@@ -1,0 +1,34 @@
+"""jsonschema_rs_spark — a from-scratch PySpark-native schema + constraint
+validation engine with the capabilities of the `jsonschema-rs` reference
+(studied at /root/reference; see SURVEY.md), re-expressed Spark-first.
+
+Not a port: schemas compile to trees of `pyspark.sql.Column` expressions
+(whole-stage-codegen'd, JVM-side) over typed columns, with vectorized
+pandas/Arrow UDFs only for dynamic-JSON payloads and RFC-precise formats.
+Table-level extensions (uniqueness, referential integrity, KS/chi-square
+drift, single-scan column stats) are plain DataFrame aggregations/joins.
+
+Public API (mirrors the reference's `validator_for` / `is_valid` /
+`iter_errors` / `evaluate` surface — crates/jsonschema/src/validator.rs:272,
+crates/jsonschema-py/python/jsonschema_rs/__init__.pyi):
+
+    plan = compile_schema(schema_dict, df.schema, options=ValidationOptions())
+    df2  = plan.with_validation(df)        # + valid boolean, errors array
+    bad  = plan.violations(df)             # exploded violation rows
+    summ = plan.summary(df)                # per-partition pass/fail
+"""
+
+from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
+from jsonschema_rs_spark.compiler.compiler import compile_schema
+from jsonschema_rs_spark.plans.plan import CompiledSchema
+from jsonschema_rs_spark.session import get_spark
+
+__all__ = [
+    "compile_schema",
+    "CompiledSchema",
+    "SchemaError",
+    "ValidationOptions",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,135 @@
+"""Schema → Column-expression-plan compiler.
+
+The analog of the reference's build pipeline (crates/jsonschema/src/
+compiler.rs:671-723): meta-validate the schema, resolve $ref targets from
+an in-memory registry, then recursively compile each keyword into a Rule
+(Column-expression builder) — all on the driver; executors only ever see
+the finished Catalyst plan. Recursive $refs are depth-bounded by the Spark
+dtype itself: each structural keyword consumes dtype depth, and a $ref
+cycle that consumes none is rejected like the reference's circular-ref
+detection (compiler.rs:323-338).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import types as T
+
+from jsonschema_rs_spark.compiler import keywords as K
+from jsonschema_rs_spark.compiler.nodes import Node, Rule
+from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
+from jsonschema_rs_spark.regex.ecma import ecma_to_java
+from jsonschema_rs_spark.spec.model import meta_validate
+
+
+class CompileContext:
+    def __init__(self, root_schema: Any, options: ValidationOptions):
+        self.root = root_schema
+        self.options = options
+        self._regex_cache: dict[str, str] = {}
+        # active (ref_pointer, dtype) pairs — structural-progress cycle guard
+        self._active_refs: set[tuple[str, str]] = set()
+
+    def regex(self, ecma_pattern: str) -> str:
+        """ECMA→Java translation with a compile-once cache, mirroring the
+        reference's pattern cache (compiler.rs:514-594)."""
+        if ecma_pattern not in self._regex_cache:
+            self._regex_cache[ecma_pattern] = ecma_to_java(ecma_pattern)
+        return self._regex_cache[ecma_pattern]
+
+    def resolve_ref(self, ref: str) -> Any:
+        if ref == "#":
+            return self.root
+        if not ref.startswith("#/"):
+            raise SchemaError(
+                f"only local refs supported in v1, got {ref!r}", "$ref")
+        node = self.root
+        for tok in ref[2:].split("/"):
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, dict) and tok in node:
+                node = node[tok]
+            elif isinstance(node, list) and tok.isdigit() and int(tok) < len(node):
+                node = node[int(tok)]
+            else:
+                raise SchemaError(f"unresolvable $ref {ref!r}", "$ref")
+        return node
+
+
+def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
+                 sp: str = "") -> Node:
+    """Compile one (sub)schema against a Spark dtype into a Node."""
+    if schema is True or schema == {}:
+        return Node([])
+    if schema is False:
+        from pyspark.sql import functions as F
+
+        return Node([Rule("false", sp, "schema is false: nothing is valid",
+                          lambda c: F.lit(False), priority=0)])
+    if not isinstance(schema, dict):
+        raise SchemaError(f"schema must be bool or object, got {type(schema)}", sp)
+
+    rules: list[Rule] = []
+
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        key = (ref, dt.simpleString())
+        if key in ctx._active_refs:
+            # cycle without structural progress: infinitely-recursive schema
+            # over a finite dtype — vacuously satisfiable; stop unrolling
+            pass
+        else:
+            ctx._active_refs.add(key)
+            try:
+                target = ctx.resolve_ref(ref)
+                sub = compile_node(target, dt, ctx, sp + "/$ref")
+                rules.extend(sub.rules)
+            finally:
+                ctx._active_refs.discard(key)
+
+    if "type" in schema:
+        rules += K.build_type(schema, dt, ctx, sp)
+    if "const" in schema:
+        rules += K.build_const(schema, dt, ctx, sp)
+    if "enum" in schema:
+        rules += K.build_enum(schema, dt, ctx, sp)
+    rules += K.build_bounds(schema, dt, ctx, sp)
+    if "multipleOf" in schema:
+        rules += K.build_multiple_of(schema, dt, ctx, sp)
+    rules += K.build_string_rules(schema, dt, ctx, sp)
+    rules += K.build_array_rules(schema, dt, ctx, sp, compile_node)
+    rules += K.build_object_rules(schema, dt, ctx, sp, compile_node)
+    rules += K.build_composition(schema, dt, ctx, sp, compile_node)
+
+    # custom keywords (reference: keywords/custom.rs, options.rs:482)
+    for name, factory in ctx.options.custom_keywords.items():
+        if name in schema:
+            rule = factory(schema[name], dt, ctx, sp)
+            if rule is not None:
+                rules.append(rule)
+
+    return Node(rules)
+
+
+def compile_schema(schema: Any, spark_schema: T.DataType | T.StructType,
+                   options: ValidationOptions | None = None,
+                   column: str | None = None) -> "CompiledSchema":
+    """Compile `schema` for a DataFrame of `spark_schema`.
+
+    column=None: the schema describes the whole row (root object whose
+    properties are the DataFrame's columns). column='c': the schema
+    describes that single column.
+    """
+    from jsonschema_rs_spark.plans.plan import CompiledSchema
+
+    options = options or ValidationOptions()
+    meta_validate(schema)
+    ctx = CompileContext(schema, options)
+    if column is not None:
+        if not isinstance(spark_schema, T.StructType):
+            raise SchemaError("spark_schema must be a StructType")
+        dt = dict((f.name, f.dataType) for f in spark_schema.fields)[column]
+        node = compile_node(schema, dt, ctx, "")
+        return CompiledSchema(node, options, column=column)
+    node = compile_node(schema, spark_schema, ctx, "")
+    return CompiledSchema(node, options, column=None)

@@ -1,0 +1,826 @@
+"""Keyword compilation: one builder per JSON Schema keyword.
+
+Operator inventory mirrors the reference's keywords/ directory
+(dispatch table at crates/jsonschema/src/keywords/mod.rs:254-510); each
+builder maps a keyword onto the idiomatic Spark construct catalogued in
+SURVEY.md §2 (Column predicates, higher-order functions over arrays,
+struct field access). Rule priorities follow the reference's fail-fast
+static cost ordering (keywords/mod.rs:184-252).
+
+All builders compile AGAINST A SPARK DTYPE: because columns are typed,
+type-applicability checks that the reference performs per instance
+(JsonTypeSet bitsets, types.rs:90-216) resolve here at compile time —
+a string keyword on a numeric column compiles to nothing, exactly as a
+string keyword passes on a non-string instance.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_rs_spark.compiler.nodes import (
+    Node,
+    Rule,
+    concat_errors,
+    empty_errors,
+    one_error,
+)
+from jsonschema_rs_spark.errors import SchemaError
+from jsonschema_rs_spark.regex.ecma import ecma_to_java, literal_prefix
+
+INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, INTEGRAL + FRACTIONAL)
+
+
+def static_json_types(dt: T.DataType) -> set[str]:
+    """JSON types a NON-NULL value of this Spark dtype can take."""
+    if isinstance(dt, T.StringType):
+        return {"string"}
+    if isinstance(dt, T.BooleanType):
+        return {"boolean"}
+    if isinstance(dt, INTEGRAL):
+        return {"integer", "number"}
+    if isinstance(dt, FRACTIONAL):
+        # a float with zero fraction IS an integer in >=draft6
+        # (reference: types.rs:186-204); decided at runtime
+        return {"number", "integer"}
+    if isinstance(dt, T.ArrayType):
+        return {"array"}
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return {"object"}
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType, T.BinaryType)):
+        return {"string"}
+    return set()
+
+
+def lit_for(value: Any, dt: T.DataType) -> Column:
+    """Build a deep literal Column of the given dtype from a JSON value."""
+    if value is None:
+        return F.lit(None).cast(dt)
+    if isinstance(dt, T.StructType):
+        if not isinstance(value, dict):
+            return F.lit(None).cast(dt)
+        return F.struct(
+            *[lit_for(value.get(f.name), f.dataType).alias(f.name) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        if not isinstance(value, list):
+            return F.lit(None).cast(dt)
+        if not value:
+            return F.expr("array()").cast(dt)
+        return F.array(*[lit_for(v, dt.elementType) for v in value])
+    if isinstance(dt, T.MapType):
+        if not isinstance(value, dict):
+            return F.lit(None).cast(dt)
+        kv: list[Column] = []
+        for k, v in value.items():
+            kv.append(F.lit(k))
+            kv.append(lit_for(v, dt.valueType))
+        return F.create_map(*kv) if kv else F.expr("map()").cast(dt)
+    return F.lit(value)
+
+
+def _value_matches_dtype(value: Any, dt: T.DataType) -> bool:
+    """Could a non-null column of dtype `dt` ever deep-equal `value`?"""
+    if value is None:
+        return False
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return is_numeric(dt)
+    if isinstance(value, str):
+        return isinstance(dt, (T.StringType, T.DateType, T.TimestampType,
+                               T.TimestampNTZType))
+    if isinstance(value, list):
+        return isinstance(dt, T.ArrayType) and all(
+            _value_matches_dtype(v, dt.elementType) for v in value
+        )
+    if isinstance(value, dict):
+        if isinstance(dt, T.MapType):
+            return all(_value_matches_dtype(v, dt.valueType) for v in value.values())
+        if isinstance(dt, T.StructType):
+            names = {f.name for f in dt.fields}
+            return set(value).issubset(names)
+        return False
+    return False
+
+
+# --------------------------------------------------------------------------
+# scalar assertions (§2.1)
+# --------------------------------------------------------------------------
+
+
+def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    tv = schema["type"]
+    allowed = {tv} if isinstance(tv, str) else set(tv)
+    bad = allowed - {"null", "boolean", "string", "array", "object", "number", "integer"}
+    if bad:
+        raise SchemaError(f"unknown type(s) {sorted(bad)}", sp + "/type")
+    static = static_json_types(dt)
+    if not static:  # exotic dtype — cannot assert, treat as annotation
+        return []
+    msg = f"expected type {sorted(allowed)}"
+    if static <= allowed:
+        # integer is only conditionally in static for fractional dtypes
+        if isinstance(dt, FRACTIONAL) and "integer" in allowed and "number" not in allowed:
+            pred = (lambda c: c == F.floor(c))
+            return [Rule("type", sp + "/type", msg, pred, priority=1)]
+        return []
+    if static & allowed:
+        if isinstance(dt, FRACTIONAL) and "integer" in allowed:
+            pred = (lambda c: c == F.floor(c))
+            return [Rule("type", sp + "/type", msg, pred, priority=1)]
+        return []  # e.g. integral dtype, allowed contains integer or number
+    # statically impossible: every non-null value fails
+    return [Rule("type", sp + "/type", msg, lambda c: F.lit(False), priority=1)]
+
+
+def build_const(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    value = schema["const"]
+    msg = "const mismatch"
+    if not _value_matches_dtype(value, dt):
+        return [Rule("const", sp + "/const", msg, lambda c: F.lit(False), priority=2)]
+    lit = lit_for(value, dt)
+    return [Rule("const", sp + "/const", msg, lambda c, lit=lit: c == lit, priority=2)]
+
+
+def build_enum(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    values = schema["enum"]
+    if not isinstance(values, list):
+        raise SchemaError("enum must be an array", sp + "/enum")
+    # type-bitset fast reject at compile time (reference: enum_.rs:62-71)
+    compatible = [v for v in values if _value_matches_dtype(v, dt)]
+    msg = "value not in enum"
+    if not compatible:
+        return [Rule("enum", sp + "/enum", msg, lambda c: F.lit(False), priority=2)]
+    scalars = all(isinstance(v, (str, int, float, bool)) for v in compatible)
+    if scalars and not isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return [Rule("enum", sp + "/enum", msg,
+                     lambda c, compatible=compatible: c.isin(compatible), priority=2)]
+    lits = [lit_for(v, dt) for v in compatible]
+
+    def pred(c: Column) -> Column:
+        out = c == lits[0]
+        for l in lits[1:]:
+            out = out | (c == l)
+        return out
+
+    return [Rule("enum", sp + "/enum", msg, pred, priority=2)]
+
+
+def _num_rule(keyword: str, sp: str, msg: str, fn) -> Rule:
+    return Rule(keyword, f"{sp}/{keyword}", msg, fn, priority=3)
+
+
+def build_bounds(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    if not is_numeric(dt):
+        return []
+    rules = []
+    if "minimum" in schema:
+        m = schema["minimum"]
+        rules.append(_num_rule("minimum", sp, f"value < {m}", lambda c, m=m: c >= F.lit(m)))
+    if "maximum" in schema:
+        m = schema["maximum"]
+        rules.append(_num_rule("maximum", sp, f"value > {m}", lambda c, m=m: c <= F.lit(m)))
+    em = schema.get("exclusiveMinimum")
+    if isinstance(em, (int, float)) and not isinstance(em, bool):
+        rules.append(_num_rule("exclusiveMinimum", sp, f"value <= {em}",
+                               lambda c, em=em: c > F.lit(em)))
+    ex = schema.get("exclusiveMaximum")
+    if isinstance(ex, (int, float)) and not isinstance(ex, bool):
+        rules.append(_num_rule("exclusiveMaximum", sp, f"value >= {ex}",
+                               lambda c, ex=ex: c < F.lit(ex)))
+    # draft-4 boolean form: exclusiveMinimum: true modifies minimum
+    if schema.get("exclusiveMinimum") is True and "minimum" in schema:
+        m = schema["minimum"]
+        rules = [r for r in rules if r.keyword != "minimum"]
+        rules.append(_num_rule("minimum", sp, f"value <= {m}", lambda c, m=m: c > F.lit(m)))
+    if schema.get("exclusiveMaximum") is True and "maximum" in schema:
+        m = schema["maximum"]
+        rules = [r for r in rules if r.keyword != "maximum"]
+        rules.append(_num_rule("maximum", sp, f"value >= {m}", lambda c, m=m: c < F.lit(m)))
+    return rules
+
+
+def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    if not is_numeric(dt):
+        return []
+    m = schema["multipleOf"]
+    if not isinstance(m, (int, float)) or isinstance(m, bool) or m <= 0:
+        raise SchemaError("multipleOf must be a positive number", sp + "/multipleOf")
+    msg = f"not a multiple of {m}"
+    if isinstance(dt, INTEGRAL) and isinstance(m, int):
+        return [_num_rule("multipleOf", sp, msg, lambda c, m=m: c % F.lit(m) == 0)]
+    if isinstance(m, float) and m.is_integer() and isinstance(dt, INTEGRAL):
+        mi = int(m)
+        return [_num_rule("multipleOf", sp, msg, lambda c, mi=mi: c % F.lit(mi) == 0)]
+    # float path: exactness parity with the reference's BigFraction kernel
+    # (ext/numeric.rs:62-110) via a relative-tolerance ratio check; the
+    # dynamic-JSON pUDF path uses exact Fraction arithmetic instead.
+    tol = ctx.options.float_multiple_rel_tol
+
+    def pred(c: Column) -> Column:
+        q = c.cast("double") / F.lit(float(m))
+        return F.abs(q - F.round(q, 0)) <= F.lit(tol) * F.greatest(
+            F.abs(q), F.lit(1.0)
+        )
+
+    return [_num_rule("multipleOf", sp, msg, pred)]
+
+
+# --------------------------------------------------------------------------
+# string assertions (§2.2)
+# --------------------------------------------------------------------------
+
+
+def build_string_rules(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    if not isinstance(dt, T.StringType):
+        return []
+    rules = []
+    if "minLength" in schema:
+        n = schema["minLength"]
+        # F.length counts Unicode code points (UTF8String.numChars), matching
+        # the reference's bytecount::num_chars (keywords/min_length.rs:46)
+        rules.append(Rule("minLength", sp + "/minLength", f"shorter than {n}",
+                          lambda c, n=n: F.length(c) >= F.lit(n), priority=4))
+    if "maxLength" in schema:
+        n = schema["maxLength"]
+        rules.append(Rule("maxLength", sp + "/maxLength", f"longer than {n}",
+                          lambda c, n=n: F.length(c) <= F.lit(n), priority=4))
+    if "pattern" in schema:
+        pat = schema["pattern"]
+        prefix = literal_prefix(pat)
+        msg = f"does not match pattern {pat!r}" if ctx.options.mask is None else \
+            f"does not match pattern {ctx.options.mask}"
+        if prefix is not None and pat == "^" + prefix:
+            # anchored-literal fast path (reference: pattern.rs:16)
+            rules.append(Rule("pattern", sp + "/pattern", msg,
+                              lambda c, prefix=prefix: c.startswith(prefix), priority=6))
+        else:
+            jpat = ctx.regex(pat)
+            rules.append(Rule("pattern", sp + "/pattern", msg,
+                              lambda c, jpat=jpat: c.rlike(jpat), priority=6))
+    if "format" in schema and ctx.options.validate_formats:
+        from jsonschema_rs_spark.functions.formats import format_rule
+
+        r = format_rule(schema["format"], ctx, sp)
+        if r is not None:
+            rules.append(r)
+    if "contentEncoding" in schema or "contentMediaType" in schema:
+        from jsonschema_rs_spark.functions.formats import content_rules
+
+        rules.extend(content_rules(schema, ctx, sp))
+    return rules
+
+
+# --------------------------------------------------------------------------
+# array applicators (§2.4) — the spans column path
+# --------------------------------------------------------------------------
+
+
+def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
+                      compile_node) -> list[Rule]:
+    if not isinstance(dt, T.ArrayType):
+        return []
+    et = dt.elementType
+    rules: list[Rule] = []
+    if "minItems" in schema:
+        n = schema["minItems"]
+        rules.append(Rule("minItems", sp + "/minItems", f"fewer than {n} items",
+                          lambda c, n=n: F.size(c) >= F.lit(n), priority=5))
+    if "maxItems" in schema:
+        n = schema["maxItems"]
+        rules.append(Rule("maxItems", sp + "/maxItems", f"more than {n} items",
+                          lambda c, n=n: F.size(c) <= F.lit(n), priority=5))
+    if schema.get("uniqueItems") is True:
+        # deep struct equality is native in Spark; array_distinct hashes —
+        # the reference's adaptive pairwise/hash strategy (unique_items.rs:67)
+        # is subsumed by the JVM kernel
+        rules.append(Rule("uniqueItems", sp + "/uniqueItems", "duplicate items",
+                          lambda c: F.size(c) == F.size(F.array_distinct(c)),
+                          priority=20))
+
+    items = schema.get("items")
+    prefix_schemas = None
+    rest_schema = None
+    if isinstance(items, list):  # draft 4-7 positional form
+        prefix_schemas = items
+        rest_schema = schema.get("additionalItems")
+    else:
+        prefix_schemas = schema.get("prefixItems")
+        rest_schema = items
+        if rest_schema is None and "additionalItems" in schema and prefix_schemas:
+            rest_schema = schema["additionalItems"]
+
+    nprefix = len(prefix_schemas) if prefix_schemas else 0
+
+    if prefix_schemas:
+        subnodes = [
+            compile_node(s, et, ctx, f"{sp}/prefixItems/{i}")
+            for i, s in enumerate(prefix_schemas)
+        ]
+
+        def prefix_pred(c: Column) -> Column:
+            out = F.lit(True)
+            for i, sub in enumerate(subnodes):
+                el = F.element_at(c, i + 1)
+                out = out & F.when(F.size(c) > i, sub.valid(el)).otherwise(True)
+            return out
+
+        def prefix_errors(c: Column, p: Column) -> Column:
+            parts = []
+            for i, sub in enumerate(subnodes):
+                el = F.element_at(c, i + 1)
+                parts.append(
+                    F.when(
+                        F.size(c) > i,
+                        sub.errors(el, F.concat(p, F.lit(f"/{i}"))),
+                    ).otherwise(empty_errors())
+                )
+            return concat_errors(parts)
+
+        rules.append(Rule("prefixItems", sp + "/prefixItems", "prefix item invalid",
+                          prefix_pred, errors_fn=prefix_errors, priority=30))
+
+    if rest_schema is not None and rest_schema is not True:
+        if rest_schema is False:
+            kw = "items" if not isinstance(items, list) else "additionalItems"
+            rules.append(Rule(kw, f"{sp}/{kw}", f"more than {nprefix} items allowed",
+                              lambda c, nprefix=nprefix: F.size(c) <= F.lit(nprefix), priority=5))
+        else:
+            sub = compile_node(rest_schema, et, ctx, sp + "/items")
+            if sub.rules:
+                if nprefix == 0:
+                    def items_pred(c: Column) -> Column:
+                        return F.forall(c, lambda x: sub.valid(x))
+
+                    def items_errors(c: Column, p: Column) -> Column:
+                        return F.flatten(
+                            # index-aware transform: error paths carry the
+                            # element position, built only on failure
+                            # (lazy paths — reference paths.rs:35)
+                            _transform_idx(
+                                c,
+                                lambda x, i: sub.errors(
+                                    x, F.concat(p, F.lit("/"), i.cast("string"))
+                                ),
+                            )
+                        )
+                else:
+                    def items_pred(c: Column) -> Column:
+                        rest = F.slice(
+                            c, nprefix + 1,
+                            F.greatest(F.size(c) - nprefix, F.lit(0)),
+                        )
+                        return F.forall(rest, lambda x: sub.valid(x))
+
+                    def items_errors(c: Column, p: Column) -> Column:
+                        rest = F.slice(
+                            c, nprefix + 1,
+                            F.greatest(F.size(c) - nprefix, F.lit(0)),
+                        )
+                        return F.flatten(
+                            _transform_idx(
+                                rest,
+                                lambda x, i: sub.errors(
+                                    x,
+                                    F.concat(p, F.lit("/"),
+                                             (i + nprefix).cast("string")),
+                                ),
+                            )
+                        )
+
+                rules.append(Rule("items", sp + "/items", "item invalid",
+                                  items_pred, errors_fn=items_errors, priority=30))
+
+    if "contains" in schema or "minContains" in schema or "maxContains" in schema:
+        csub = compile_node(schema.get("contains", True), et, ctx, sp + "/contains")
+        min_c = schema.get("minContains", 1)
+        max_c = schema.get("maxContains")
+
+        def match_count(c: Column) -> Column:
+            return F.size(F.filter(c, lambda x: csub.valid(x)))
+
+        if "contains" in schema:
+            if min_c == 1 and max_c is None:
+                rules.append(Rule("contains", sp + "/contains",
+                                  "no item matches contains",
+                                  lambda c, csub=csub: F.exists(c, lambda x: csub.valid(x)),
+                                  priority=25))
+            else:
+                if min_c > 0:
+                    rules.append(Rule("minContains", sp + "/minContains",
+                                      f"fewer than {min_c} matching items",
+                                      lambda c, min_c=min_c: match_count(c) >= F.lit(min_c),
+                                      priority=25))
+                if max_c is not None:
+                    rules.append(Rule("maxContains", sp + "/maxContains",
+                                      f"more than {max_c} matching items",
+                                      lambda c, max_c=max_c: match_count(c) <= F.lit(max_c),
+                                      priority=25))
+    return rules
+
+
+def _transform_idx(c: Column, fn) -> Column:
+    return F.transform(c, lambda x, i: fn(x, i))
+
+
+# --------------------------------------------------------------------------
+# object applicators (§2.3): struct columns (static) and map columns (dynamic)
+# --------------------------------------------------------------------------
+
+
+def build_object_rules(schema: dict, dt: T.DataType, ctx, sp: str,
+                       compile_node) -> list[Rule]:
+    if isinstance(dt, T.StructType):
+        return _struct_object_rules(schema, dt, ctx, sp, compile_node)
+    if isinstance(dt, T.MapType):
+        return _map_object_rules(schema, dt, ctx, sp, compile_node)
+    return []
+
+
+def _struct_object_rules(schema: dict, dt: T.StructType, ctx, sp: str,
+                         compile_node) -> list[Rule]:
+    rules: list[Rule] = []
+    fields = {f.name: f.dataType for f in dt.fields}
+
+    req = schema.get("required")
+    if req:
+        missing_static = [k for k in req if k not in fields]
+        for k in req:
+            if k in fields:
+                rules.append(Rule(
+                    "required", sp + "/required",
+                    f"missing required property {k!r}",
+                    (lambda c, k=k: c.getField(k).isNotNull()),
+                    priority=7,
+                ))
+        for k in missing_static:
+            rules.append(Rule("required", sp + "/required",
+                              f"missing required property {k!r}",
+                              lambda c: F.lit(False), priority=7))
+
+    props = schema.get("properties", {})
+    for name, sub in props.items():
+        if name not in fields:
+            continue  # absent property: subschema vacuously satisfied
+        subnode = compile_node(sub, fields[name], ctx, f"{sp}/properties/{name}")
+        if not subnode.rules:
+            continue
+        rules.append(Rule(
+            "properties", f"{sp}/properties/{name}", f"property {name!r} invalid",
+            (lambda c, n=name, s=subnode: s.valid(c.getField(n))),
+            errors_fn=(lambda c, p, n=name, s=subnode:
+                       s.errors(c.getField(n), F.concat(p, F.lit("/" + n)))),
+            priority=40,
+        ))
+
+    for dep_kw in ("dependentRequired", "dependencies"):
+        deps = schema.get(dep_kw)
+        if not isinstance(deps, dict):
+            continue
+        for key, need in deps.items():
+            if key not in fields:
+                continue
+            if isinstance(need, list):  # dependentRequired / array-form
+                needed = [k for k in need if k in fields]
+                absent = [k for k in need if k not in fields]
+
+                def dep_pred(c: Column, key=key, needed=needed, absent=absent):
+                    present = c.getField(key).isNotNull()
+                    ok = F.lit(not absent)
+                    for k in needed:
+                        ok = ok & c.getField(k).isNotNull()
+                    return F.when(present, ok).otherwise(True)
+
+                rules.append(Rule(dep_kw, f"{sp}/{dep_kw}/{key}",
+                                  f"dependency of {key!r} not satisfied",
+                                  dep_pred, priority=45))
+            elif isinstance(need, (dict, bool)):  # dependentSchemas / schema-form
+                subnode = compile_node(need, dt, ctx, f"{sp}/{dep_kw}/{key}")
+                rules.append(Rule(
+                    dep_kw, f"{sp}/{dep_kw}/{key}",
+                    f"dependent schema of {key!r} failed",
+                    (lambda c, key=key, s=subnode:
+                     F.when(c.getField(key).isNotNull(), s.valid(c)).otherwise(True)),
+                    priority=60,
+                ))
+
+    dsch = schema.get("dependentSchemas")
+    if isinstance(dsch, dict):
+        for key, sub in dsch.items():
+            if key not in fields:
+                continue
+            subnode = compile_node(sub, dt, ctx, f"{sp}/dependentSchemas/{key}")
+            rules.append(Rule(
+                "dependentSchemas", f"{sp}/dependentSchemas/{key}",
+                f"dependent schema of {key!r} failed",
+                (lambda c, key=key, s=subnode:
+                 F.when(c.getField(key).isNotNull(), s.valid(c)).otherwise(True)),
+                errors_fn=(lambda c, p, key=key, s=subnode:
+                           F.when(c.getField(key).isNotNull(),
+                                  s.errors(c, p)).otherwise(empty_errors())),
+                priority=60,
+            ))
+
+    mn, mx = schema.get("minProperties"), schema.get("maxProperties")
+    if mn is not None or mx is not None:
+        def present_count(c: Column) -> Column:
+            cnt = F.lit(0)
+            for name in fields:
+                cnt = cnt + c.getField(name).isNotNull().cast("int")
+            return cnt
+
+        if mn is not None:
+            rules.append(Rule("minProperties", sp + "/minProperties",
+                              f"fewer than {mn} properties",
+                              lambda c, mn=mn: present_count(c) >= F.lit(mn), priority=8))
+        if mx is not None:
+            rules.append(Rule("maxProperties", sp + "/maxProperties",
+                              f"more than {mx} properties",
+                              lambda c, mx=mx: present_count(c) <= F.lit(mx), priority=8))
+
+    # additionalProperties: a struct schema is closed — keys beyond the
+    # dtype cannot exist, so `false` is statically satisfied for declared-
+    # only data; patternProperties on struct: apply to matching field names
+    pp = schema.get("patternProperties")
+    if isinstance(pp, dict):
+        import re as _re
+
+        for pat, sub in pp.items():
+            jre = _re.compile(pat)
+            for name in fields:
+                if jre.search(name):
+                    subnode = compile_node(sub, fields[name], ctx,
+                                           f"{sp}/patternProperties/{pat}")
+                    if subnode.rules:
+                        rules.append(Rule(
+                            "patternProperties", f"{sp}/patternProperties/{pat}",
+                            f"property {name!r} invalid",
+                            (lambda c, n=name, s=subnode: s.valid(c.getField(n))),
+                            errors_fn=(lambda c, p, n=name, s=subnode:
+                                       s.errors(c.getField(n),
+                                                F.concat(p, F.lit("/" + n)))),
+                            priority=41,
+                        ))
+
+    ap = schema.get("additionalProperties")
+    if ap is not None and ap is not True and ap is not False:
+        # schema form: applies to struct fields not named in properties and
+        # not matched by patternProperties
+        import re as _re
+
+        known = set(props)
+        pats = [_re.compile(p) for p in (pp or {})]
+        for name in fields:
+            if name in known or any(r.search(name) for r in pats):
+                continue
+            subnode = compile_node(ap, fields[name], ctx,
+                                   sp + "/additionalProperties")
+            if subnode.rules:
+                rules.append(Rule(
+                    "additionalProperties", sp + "/additionalProperties",
+                    f"additional property {name!r} invalid",
+                    (lambda c, n=name, s=subnode: s.valid(c.getField(n))),
+                    errors_fn=(lambda c, p, n=name, s=subnode:
+                               s.errors(c.getField(n),
+                                        F.concat(p, F.lit("/" + n)))),
+                    priority=42,
+                ))
+
+    pn = schema.get("propertyNames")
+    if pn is not None and pn is not True:
+        # struct field names are compile-time constants: evaluate now
+        name_node_fails = []
+        if pn is False:
+            name_node_fails = list(fields)
+        else:
+            namenode_schema = pn
+            import re as _re
+            for name in fields:
+                if not _check_name_static(namenode_schema, name):
+                    name_node_fails.append(name)
+        for name in name_node_fails:
+            rules.append(Rule(
+                "propertyNames", sp + "/propertyNames",
+                f"property name {name!r} invalid",
+                # only fails when the property is actually present
+                (lambda c, n=name: c.getField(n).isNull()),
+                priority=9,
+            ))
+    return rules
+
+
+def _check_name_static(schema: Any, name: str) -> bool:
+    """Evaluate a propertyNames subschema against a literal field name."""
+    if schema is True or schema == {}:
+        return True
+    if schema is False:
+        return False
+    import re as _re
+
+    if "minLength" in schema and len(name) < schema["minLength"]:
+        return False
+    if "maxLength" in schema and len(name) > schema["maxLength"]:
+        return False
+    if "pattern" in schema and not _re.search(schema["pattern"], name):
+        return False
+    if "enum" in schema and name not in schema["enum"]:
+        return False
+    if "const" in schema and name != schema["const"]:
+        return False
+    if schema.get("type") not in (None, "string"):
+        return False
+    return True
+
+
+def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
+                      compile_node) -> list[Rule]:
+    rules: list[Rule] = []
+    vt = dt.valueType
+
+    req = schema.get("required")
+    if req:
+        for k in req:
+            rules.append(Rule("required", sp + "/required",
+                              f"missing required property {k!r}",
+                              (lambda c, k=k: F.map_contains_key(c, F.lit(k))),
+                              priority=7))
+
+    props = schema.get("properties", {})
+    known = list(props)
+    for name, sub in props.items():
+        subnode = compile_node(sub, vt, ctx, f"{sp}/properties/{name}")
+        if not subnode.rules:
+            continue
+        rules.append(Rule(
+            "properties", f"{sp}/properties/{name}", f"property {name!r} invalid",
+            (lambda c, n=name, s=subnode: s.valid(c.getItem(n))),
+            errors_fn=(lambda c, p, n=name, s=subnode:
+                       s.errors(c.getItem(n), F.concat(p, F.lit("/" + n)))),
+            priority=40,
+        ))
+
+    pp = schema.get("patternProperties") or {}
+    pat_java = {pat: ctx.regex(pat) for pat in pp}
+    for pat, sub in pp.items():
+        subnode = compile_node(sub, vt, ctx, f"{sp}/patternProperties/{pat}")
+        if not subnode.rules:
+            continue
+        jp = pat_java[pat]
+        rules.append(Rule(
+            "patternProperties", f"{sp}/patternProperties/{pat}",
+            f"pattern property {pat!r} invalid",
+            (lambda c, jp=jp, s=subnode: F.forall(
+                F.map_entries(c),
+                lambda e: F.when(e.getField("key").rlike(jp),
+                                 s.valid(e.getField("value"))).otherwise(True))),
+            priority=41,
+        ))
+
+    ap = schema.get("additionalProperties")
+    if ap is not None and ap is not True:
+        def is_additional(k: Column) -> Column:
+            cond = ~k.isin(known) if known else F.lit(True)
+            for jp in pat_java.values():
+                cond = cond & ~k.rlike(jp)
+            return cond
+
+        if ap is False:
+            rules.append(Rule(
+                "additionalProperties", sp + "/additionalProperties",
+                "additional properties not allowed",
+                (lambda c: F.forall(F.map_keys(c),
+                                    lambda k: ~is_additional(k))),
+                priority=42,
+            ))
+        else:
+            subnode = compile_node(ap, vt, ctx, sp + "/additionalProperties")
+            rules.append(Rule(
+                "additionalProperties", sp + "/additionalProperties",
+                "additional property invalid",
+                (lambda c, s=subnode: F.forall(
+                    F.map_entries(c),
+                    lambda e: F.when(is_additional(e.getField("key")),
+                                     s.valid(e.getField("value"))).otherwise(True))),
+                priority=42,
+            ))
+
+    pn = schema.get("propertyNames")
+    if pn is not None and pn is not True:
+        namenode = compile_node(pn if pn is not False else {"not": {}},
+                                T.StringType(), ctx, sp + "/propertyNames")
+        rules.append(Rule(
+            "propertyNames", sp + "/propertyNames", "property name invalid",
+            (lambda c, s=namenode: F.forall(F.map_keys(c), lambda k: s.valid(k))),
+            priority=9,
+        ))
+
+    mn, mx = schema.get("minProperties"), schema.get("maxProperties")
+    if mn is not None:
+        rules.append(Rule("minProperties", sp + "/minProperties",
+                          f"fewer than {mn} properties",
+                          lambda c, mn=mn: F.size(F.map_keys(c)) >= F.lit(mn), priority=8))
+    if mx is not None:
+        rules.append(Rule("maxProperties", sp + "/maxProperties",
+                          f"more than {mx} properties",
+                          lambda c, mx=mx: F.size(F.map_keys(c)) <= F.lit(mx), priority=8))
+
+    deps = schema.get("dependentRequired")
+    if isinstance(deps, dict):
+        for key, need in deps.items():
+            def dep_pred(c: Column, key=key, need=need):
+                ok = F.lit(True)
+                for k in need:
+                    ok = ok & F.map_contains_key(c, F.lit(k))
+                return F.when(F.map_contains_key(c, F.lit(key)), ok).otherwise(True)
+
+            rules.append(Rule("dependentRequired", f"{sp}/dependentRequired/{key}",
+                              f"dependency of {key!r} not satisfied",
+                              dep_pred, priority=45))
+    return rules
+
+
+# --------------------------------------------------------------------------
+# composition (§2.5)
+# --------------------------------------------------------------------------
+
+
+def build_composition(schema: dict, dt: T.DataType, ctx, sp: str,
+                      compile_node) -> list[Rule]:
+    rules: list[Rule] = []
+
+    if "allOf" in schema:
+        subs = [compile_node(s, dt, ctx, f"{sp}/allOf/{i}")
+                for i, s in enumerate(schema["allOf"])]
+
+        def all_pred(c: Column, subs=subs) -> Column:
+            out = F.lit(True)
+            for s in subs:
+                out = out & s.valid(c)
+            return out
+
+        def all_errors(c: Column, p: Column, subs=subs) -> Column:
+            return concat_errors([s.errors(c, p) for s in subs])
+
+        rules.append(Rule("allOf", sp + "/allOf", "allOf failed", all_pred,
+                          errors_fn=all_errors, priority=70))
+
+    if "anyOf" in schema:
+        subs = [compile_node(s, dt, ctx, f"{sp}/anyOf/{i}")
+                for i, s in enumerate(schema["anyOf"])]
+
+        def any_pred(c: Column, subs=subs) -> Column:
+            out = F.lit(False)
+            for s in subs:
+                out = out | s.valid(c)
+            return out
+
+        rules.append(Rule("anyOf", sp + "/anyOf",
+                          "value matches none of the anyOf subschemas",
+                          any_pred, priority=71))
+
+    if "oneOf" in schema:
+        subs = [compile_node(s, dt, ctx, f"{sp}/oneOf/{i}")
+                for i, s in enumerate(schema["oneOf"])]
+
+        def one_pred(c: Column, subs=subs) -> Column:
+            cnt = F.lit(0)
+            for s in subs:
+                cnt = cnt + s.valid(c).cast("int")
+            return cnt == 1
+
+        rules.append(Rule("oneOf", sp + "/oneOf",
+                          "value must match exactly one oneOf subschema",
+                          one_pred, priority=72))
+
+    if "not" in schema:
+        sub = compile_node(schema["not"], dt, ctx, sp + "/not")
+        rules.append(Rule("not", sp + "/not", "value matches forbidden schema",
+                          lambda c, sub=sub: ~sub.valid(c), priority=73))
+
+    if "if" in schema and ("then" in schema or "else" in schema):
+        if_node = compile_node(schema["if"], dt, ctx, sp + "/if")
+        then_node = compile_node(schema.get("then", True), dt, ctx, sp + "/then")
+        else_node = compile_node(schema.get("else", True), dt, ctx, sp + "/else")
+
+        def ite_pred(c: Column) -> Column:
+            return F.when(if_node.valid(c), then_node.valid(c)) \
+                .otherwise(else_node.valid(c))
+
+        def ite_errors(c: Column, p: Column) -> Column:
+            return F.when(if_node.valid(c), then_node.errors(c, p)) \
+                .otherwise(else_node.errors(c, p))
+
+        rules.append(Rule("if", sp + "/if", "conditional schema failed",
+                          ite_pred, errors_fn=ite_errors, priority=74))
+    return rules

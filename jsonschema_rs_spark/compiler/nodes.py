@@ -1,0 +1,107 @@
+"""Compiled-plan node model.
+
+The reference compiles a schema once into an immutable SchemaNode tree of
+keyword validators (crates/jsonschema/src/node.rs:19-69); we compile once
+into a tree of *Column-expression builders*. A node's `valid(col)` /
+`errors(col, path)` are pure functions Column -> Column, so they compose
+inside higher-order-function lambdas (F.transform / F.forall) for array
+recursion — the Spark analog of the reference's per-instance tree walk.
+
+Null convention: SQL NULL = "absent" (rows rendered to JSON with nulls
+omitted — Spark to_json's default — so the differential oracle sees the
+same instance). Keywords therefore skip null values; presence is enforced
+by `required` alone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ERR_FIELDS = "instance_path:string,schema_path:string,keyword:string,message:string"
+ERR_ARRAY_DDL = f"array<struct<{ERR_FIELDS}>>"
+
+
+def empty_errors() -> Column:
+    return F.expr(f"CAST(array() AS {ERR_ARRAY_DDL})")
+
+
+def one_error(path: Column, schema_path: str, keyword: str, message: str) -> Column:
+    return F.array(
+        F.struct(
+            path.alias("instance_path"),
+            F.lit(schema_path).alias("schema_path"),
+            F.lit(keyword).alias("keyword"),
+            F.lit(message).alias("message"),
+        )
+    )
+
+
+def concat_errors(parts: list[Column]) -> Column:
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return empty_errors()
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+@dataclass
+class Rule:
+    """One keyword validator.
+
+    pred(col) must be null-safe for NON-null col; the null guard for col
+    itself is applied centrally. errors_fn, when set, produces the full
+    (possibly nested) error array for this keyword; otherwise a single
+    static-message error is emitted on failure.
+    """
+
+    keyword: str
+    schema_path: str
+    message: str
+    pred: Callable[[Column], Column]
+    errors_fn: Optional[Callable[[Column, Column], Column]] = None
+    # static cost priority for fail-fast AND ordering; mirrors
+    # keywords/mod.rs:184-252 (lower = cheaper = evaluated first)
+    priority: int = 100
+
+    def valid_col(self, col: Column) -> Column:
+        return F.when(col.isNull(), F.lit(True)).otherwise(
+            F.coalesce(self.pred(col), F.lit(False))
+        )
+
+    def errors_col(self, col: Column, path: Column) -> Column:
+        if self.errors_fn is not None:
+            return F.when(col.isNull(), empty_errors()).otherwise(
+                self.errors_fn(col, path)
+            )
+        return F.when(self.valid_col(col), empty_errors()).otherwise(
+            one_error(path, self.schema_path, self.keyword, self.message)
+        )
+
+
+@dataclass
+class Node:
+    """A compiled (sub)schema: an ordered list of keyword rules."""
+
+    rules: list[Rule] = field(default_factory=list)
+
+    def sorted_rules(self) -> list[Rule]:
+        return sorted(self.rules, key=lambda r: r.priority)
+
+    def valid(self, col: Column) -> Column:
+        rules = self.sorted_rules()
+        if not rules:
+            return F.lit(True)
+        out = rules[0].valid_col(col)
+        for r in rules[1:]:
+            out = out & r.valid_col(col)
+        return out
+
+    def errors(self, col: Column, path: Column) -> Column:
+        if not self.rules:
+            return empty_errors()
+        return concat_errors([r.errors_col(col, path) for r in self.sorted_rules()])

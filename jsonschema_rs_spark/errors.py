@@ -1,0 +1,51 @@
+"""Error types and validation options.
+
+Mirrors the reference's ValidationOptions (crates/jsonschema/src/options.rs:21-39)
+and SchemaError-style compile failures (crates/jsonschema/src/error.rs), but the
+options that matter on Spark differ: there is no regex-engine choice (Java regex
+is fixed) and draft selection is pinned to 2020-12 semantics for v1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class SchemaError(ValueError):
+    """Raised when a schema/spec fails meta-validation or compilation.
+
+    Analog of the reference rejecting invalid schemas before compilation
+    (crates/jsonschema/src/compiler.rs:714-717, 805-823).
+    """
+
+    def __init__(self, message: str, schema_path: str = ""):
+        super().__init__(f"{schema_path or '<root>'}: {message}")
+        self.schema_path = schema_path
+        self.message = message
+
+
+@dataclass
+class ValidationOptions:
+    """Compile-time switches.
+
+    - validate_formats: draft 2020-12 treats `format` as annotation-only by
+      default; the reference exposes should_validate_formats
+      (compiler.rs:271-276) — same default here (False).
+    - mask: replace instance values in messages with a placeholder, like
+      the reference's masked error messages (error.rs:496+). Our default
+      messages never embed instance values, so masking is the default-safe
+      behavior; mask=None keeps static messages.
+    - max_ref_depth: recursive $ref schemas are depth-unrolled at compile
+      time (Spark expressions cannot recurse); documents have bounded depth.
+    - draft4_integer: draft-4 `1.0 is not an integer` semantics
+      (keywords/legacy/type_draft_4.rs:91-155). Default: 2020-12 (float with
+      zero fraction IS an integer).
+    """
+
+    validate_formats: bool = False
+    mask: str | None = None
+    max_ref_depth: int = 8
+    draft4_integer: bool = False
+    float_multiple_rel_tol: float = 1e-9
+    custom_keywords: dict = field(default_factory=dict)
+    custom_formats: dict = field(default_factory=dict)
