@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine / dot-product as pure higher-order-function expressions
+  (zip_with + aggregate) — JVM-side, codegen'd, no Python
+- brute-force top-k: broadcast the (small) query set against the corpus;
+  one scan of the corpus, no shuffle except the final per-query top-k
+  aggregation
+- LSH-bucketed ANN (random hyperplanes): signature is one projection;
+  candidates meet in buckets (shuffle linear in rows), exact re-rank on
+  the candidate set — the 100 TB scale path (brute force is O(Q*N))
+- embedding near-duplicate pairs: same LSH machinery with a cosine
+  threshold instead of top-k
+
+Determinism: hyperplanes are ±1 vectors derived from hashlib.md5 on the
+DRIVER (embedded as literals in the plan) — identical across engines and
+cluster sizes, and reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    `queries` (query_id, embedding) is broadcast — the corpus is scanned
+    once with Q cosine evaluations per row, embarrassingly parallel; the
+    only shuffle is the per-query top-k (rows = Q * N pre-filter, so we
+    cut with a window after repartitioning by query: at scale, replace
+    the window with a bounded per-partition heap via mapInPandas if Q*N
+    rows would spill)."""
+    q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
+                                   F.col(vec_col).alias("__qv")))
+    scored = corpus.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 — same on any machine/engine.
+    plane p, component d → +1 if first hex digit of md5(f"{p}-{d}") is even.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}-{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Bucket id = sign bits of the vector against each hyperplane, packed
+    into a bigint. Planes are ±1, so dot(v, plane) = sum(±v[d]) — one
+    zip_with per plane against a literal int array (codegen'd)."""
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        d = F.aggregate(
+            F.zip_with(vec, lit_plane,
+                       lambda x, s: x.cast("double") * s.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        out = out + F.when(d > 0, F.lit(1 << i).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_planes: int = 8, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates = corpus rows in the SAME hyperplane
+    bucket as the query (recall tunable by n_planes / multi-probe), exact
+    cosine re-rank on candidates only. The corpus is bucketed in one
+    projection; the join is an equi-join on bucket (hash-partitioned,
+    AQE-coalesced) — no Q*N blowup."""
+    planes = hyperplane_signs(n_planes, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
+                              n_planes: int = 12, dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              exact: bool = False) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    exact=False (scale path): LSH buckets generate candidates — pairs
+    meeting in a bucket; high-cosine pairs agree on most hyperplane signs
+    so recall is high for threshold ~0.95.
+    exact=True (verify path): full self-join — O(N^2), small scale only.
+    """
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        ).where(F.col("sim") >= threshold)
+    planes = hyperplane_signs(n_planes, dim)
+    bucketed = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    a = bucketed.select("bucket", F.col("id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = bucketed.select("bucket", F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,365 @@
+"""Table-level checks — the north-rule extensions beyond the reference
+(SURVEY.md §2.9; BASELINE.json north_star). The reference validates one
+document at a time (crates/jsonschema/src/validator.rs); these checks are
+properties of the TABLE, so they are pure Spark design:
+
+- single-scan per-column stats (null rate, distinct, min/max, histograms)
+- uniqueness via hash groupBy, with an explicit two-phase SALTED variant
+  for skewed keys (AQE handles skew joins; skewed aggregation hot keys
+  still benefit from salting at 10^12-row scale)
+- referential integrity via left-anti join, broadcast vs sort-merge chosen
+  by dimension cardinality estimate
+- distribution drift: two-sample KS (exact via windowed empirical CDFs for
+  small/verify scale; quantile-sketch approximation for 100 TB scale) and
+  chi-square over categorical/bucketed counts, with p-values computed
+  driver-side (no scipy in this environment: regularized incomplete gamma
+  implemented here)
+
+Scale notes (100 TB): stats + drift are one scan plus a tiny shuffle of
+aggregates; uniqueness shuffles only (key, count) pairs after map-side
+partial aggregation; referential shuffles only when the dim exceeds the
+broadcast threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# single-scan column stats
+# ---------------------------------------------------------------------------
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None,
+                 exact_distinct: bool = False,
+                 hll_rsd: float = 0.02) -> DataFrame:
+    """Per-column stats in ONE scan: a single wide `agg` so Spark reads the
+    data once (map-side partial aggregation; the shuffle carries one row).
+
+    Output: one row per column —
+      (column, n_rows, n_nulls, null_rate, n_distinct, min_value, max_value)
+    min/max are stringified so heterogeneous columns stack into one frame.
+
+    exact_distinct=True uses count(DISTINCT) (testing/oracle parity);
+    default is HyperLogLog++ `approx_count_distinct` (north_star), constant
+    memory at any scale.
+    """
+    columns = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd=hll_rsd)
+                        .alias(f"{c}__distinct"))
+        dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into one row per column (driver-free)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+def numeric_histogram(df: DataFrame, column: str, n_buckets: int = 20,
+                      lo: float | None = None,
+                      hi: float | None = None) -> DataFrame:
+    """Equi-width histogram sketch: one pass if (lo, hi) given, else two
+    (min/max scan + bucket-count scan). width_bucket keeps it JVM-side."""
+    if lo is None or hi is None:
+        row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    b = F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi),
+                       F.lit(n_buckets))
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def quantile_sketch(df: DataFrame, column: str, k: int = 100,
+                    rel_err: float = 0.0001) -> list[float]:
+    """k+1 approximate quantiles (Greenwald-Khanna sketch via
+    approxQuantile) — the scale path for KS drift: one pass, mergeable,
+    bounded memory regardless of row count."""
+    probs = [i / k for i in range(k + 1)]
+    return df.approxQuantile(column, probs, rel_err)
+
+
+# ---------------------------------------------------------------------------
+# uniqueness (skew-aware)
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str],
+                          salt_buckets: int = 0) -> DataFrame:
+    """Keys appearing more than once → (keys..., n_dup).
+
+    Plain path: groupBy(keys).count() — Spark's hash aggregation does
+    map-side partial aggregation, so only (key, partial_count) pairs
+    shuffle; with mostly-unique keys that is ~1 row per input row, which
+    is why the SALTED path exists for hot keys.
+
+    salt_buckets>0: two-phase aggregation — phase 1 groups by
+    (keys..., salt) so a hot key's rows split across `salt_buckets`
+    reducers, phase 2 re-aggregates the per-salt partial counts (tiny).
+    This is the explicit skew strategy from the north rule; AQE's
+    skew-join handling does not cover aggregations.
+    """
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64(F.lit(5417),
+                                 *[F.col(k) for k in keys],
+                                 F.monotonically_increasing_id()),
+                      F.lit(salt_buckets)).alias("__salt")
+        phase1 = (
+            df.groupBy(*keys, salt)
+            .agg(F.count(F.lit(1)).alias("__partial"))
+        )
+        counted = phase1.groupBy(*keys).agg(F.sum("__partial").alias("n_dup"))
+    else:
+        counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dup"))
+    return counted.where(F.col("n_dup") > 1)
+
+
+def assert_unique_ratio(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row summary: (n_rows, n_keys, n_dup_keys, dup_row_ratio)."""
+    counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    return counted.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("c") > 1).cast("long")).alias("n_dup_keys"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+         / F.sum("c")).alias("dup_row_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+DEFAULT_BROADCAST_LIMIT = 50_000_000  # rows; ~a few GB of keys
+
+
+def referential_violations(fact: DataFrame, fact_key: str,
+                           dim: DataFrame, dim_key: str,
+                           dim_rows: int | None = None,
+                           broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+                           distinct_fact_keys: bool = True) -> DataFrame:
+    """Fact keys with no matching dim key (dangling references).
+
+    Join strategy by dim cardinality (north rule): broadcast the dim's key
+    column when it fits, else shuffle sort-merge — and in the shuffle case
+    we anti-join DISTINCT fact keys (usually orders of magnitude smaller
+    than the fact table, and immune to fact-side key skew: the hot key
+    collapses to one row before the join).
+    """
+    keys = dim.select(F.col(dim_key).alias("__dim_key")).dropDuplicates()
+    if dim_rows is None:
+        # bounded probe: count at most broadcast_limit+1 dim rows — cheap
+        # relative to the fact scan; callers at true scale pass table
+        # metadata (Iceberg snapshot row counts) instead
+        dim_rows = dim.select(dim_key).limit(broadcast_limit + 1).count()
+    use_broadcast = dim_rows <= broadcast_limit
+    if use_broadcast:
+        keys = F.broadcast(keys)
+        probe = fact
+    else:
+        probe = fact.select(fact_key).dropDuplicates() if distinct_fact_keys \
+            else fact
+    out = probe.join(keys, on=probe[fact_key] == keys["__dim_key"],
+                     how="left_anti")
+    return out.where(F.col(fact_key).isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# drift: two-sample Kolmogorov–Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_statistic_exact(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
+    """Exact two-sample KS statistic as ONE DataFrame plan (no collect).
+
+    union the samples tagged by side → window cumulative counts over the
+    value order → D = max |F_a(x) - F_b(x)|. The global window is a full
+    sort — correct at verify scale; use `ks_statistic_sketch` at 100 TB.
+
+    Returns one row: (n_a, n_b, ks_stat).
+    """
+    ua = a.select(F.col(column).cast("double").alias("v"),
+                  F.lit(1).alias("ia"), F.lit(0).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    ub = b.select(F.col(column).cast("double").alias("v"),
+                  F.lit(0).alias("ia"), F.lit(1).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    u = ua.unionAll(ub)
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cdfs = u.select(
+        F.sum("ia").over(w).alias("ca"),
+        F.sum("ib").over(w).alias("cb"),
+    )
+    return _ks_finish(cdfs)
+
+
+def _ks_finish(cdfs: DataFrame) -> DataFrame:
+    totals = cdfs.agg(F.max("ca").alias("n_a"), F.max("cb").alias("n_b"))
+    gap = cdfs.crossJoin(F.broadcast(totals)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")))
+        .alias("ks_stat"),
+    )
+    return gap
+
+
+def ks_statistic_sketch(a: DataFrame, b: DataFrame, column: str,
+                        k: int = 200, rel_err: float = 1e-4) -> dict:
+    """Scale path: compare quantile sketches instead of sorting 100 TB.
+    D ≈ max CDF gap evaluated at the union of both sketches' quantile
+    points; error is bounded by 1/k + 2*rel_err. Driver-side math on 2(k+1)
+    floats."""
+    qa = quantile_sketch(a, column, k, rel_err)
+    qb = quantile_sketch(b, column, k, rel_err)
+
+    def cdf(q: list[float], x: float) -> float:
+        import bisect
+        return bisect.bisect_right(q, x) / len(q)
+
+    points = sorted(set(qa) | set(qb))
+    d = max(abs(cdf(qa, x) - cdf(qb, x)) for x in points) if points else 0.0
+    return {"ks_stat": d, "k": k}
+
+
+def ks_pvalue(d: float, n_a: int, n_b: int) -> float:
+    """Asymptotic two-sample KS p-value (Kolmogorov distribution tail):
+    p = 2 * sum_{j>=1} (-1)^{j-1} exp(-2 j^2 t^2), t = d * sqrt(n_a*n_b/(n_a+n_b)).
+    Public formula (Smirnov 1948); scipy-free."""
+    if n_a == 0 or n_b == 0:
+        return 1.0
+    en = math.sqrt(n_a * n_b / (n_a + n_b))
+    t = (en + 0.12 + 0.11 / en) * d  # Stephens' small-sample correction
+    if t < 0.2:
+        # the alternating series diverges numerically as t→0; Q(0+) = 1
+        return 1.0
+    s, sign = 0.0, 1.0
+    for j in range(1, 101):
+        term = sign * math.exp(-2.0 * (j * t) ** 2)
+        s += term
+        if abs(term) < 1e-12:
+            break
+        sign = -sign
+    return max(0.0, min(1.0, 2.0 * s))
+
+
+# ---------------------------------------------------------------------------
+# drift: chi-square
+# ---------------------------------------------------------------------------
+
+
+def chi_square_drift(observed: DataFrame, reference: DataFrame,
+                     column: str | Column,
+                     min_expected: float = 1.0) -> DataFrame:
+    """Chi-square homogeneity test between two samples on a categorical
+    (or pre-bucketed) column. Two groupBy-count scans (tiny shuffles of
+    category counts), then the statistic as one aggregation:
+
+        chi2 = sum over categories of (o_scaled_diff)^2 / expected
+
+    using the standard two-sample formulation with pooled expectation.
+    Returns one row: (chi2, dof, n_obs, n_ref).
+    """
+    c = F.col(column) if isinstance(column, str) else column
+    o = observed.groupBy(c.alias("cat")).agg(F.count(F.lit(1)).alias("n_o"))
+    r = reference.groupBy(c.alias("cat")).agg(F.count(F.lit(1)).alias("n_r"))
+    both = o.join(r, "cat", "full_outer").fillna(0, ["n_o", "n_r"])
+    # totals via an unpartitioned window: the frame here is CATEGORY counts
+    # (tiny regardless of input scale), so a single-partition window is safe
+    # and keeps the whole check one plan with no self-join lineage clash
+    w = Window.partitionBy()
+    j = both.select("n_o", "n_r",
+                    F.sum("n_o").over(w).alias("tot_o"),
+                    F.sum("n_r").over(w).alias("tot_r"))
+    # expected counts under homogeneity
+    e_o = (F.col("n_o") + F.col("n_r")) * F.col("tot_o") / (F.col("tot_o") + F.col("tot_r"))
+    e_r = (F.col("n_o") + F.col("n_r")) * F.col("tot_r") / (F.col("tot_o") + F.col("tot_r"))
+    term = (
+        F.when(e_o >= min_expected,
+               (F.col("n_o") - e_o) ** 2 / e_o).otherwise(0.0)
+        + F.when(e_r >= min_expected,
+                 (F.col("n_r") - e_r) ** 2 / e_r).otherwise(0.0)
+    )
+    return j.agg(
+        F.sum(term).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.max("tot_o").alias("n_obs"),
+        F.max("tot_r").alias("n_ref"),
+    )
+
+
+def _igamc(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — series/continued
+    fraction (Numerical Recipes 6.2, public algorithm). Used for the
+    chi-square survival function without scipy."""
+    if x <= 0.0 or a <= 0.0:
+        return 1.0
+    if x < a + 1.0:
+        # lower series, then complement
+        ap, s, d = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            d *= x / ap
+            s += d
+            if abs(d) < abs(s) * 1e-15:
+                break
+        p = s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, min(1.0, 1.0 - p))
+    # continued fraction for Q directly
+    tiny = 1e-300
+    b, c = x + 1.0 - a, 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return max(0.0, min(1.0, h * math.exp(-x + a * math.log(x) - math.lgamma(a))))
+
+
+def chi2_pvalue(chi2: float, dof: int) -> float:
+    """P(X >= chi2) for X ~ ChiSq(dof)."""
+    if dof <= 0:
+        return 1.0
+    return _igamc(dof / 2.0, chi2 / 2.0)

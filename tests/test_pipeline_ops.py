@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), similarity search (brute-force + LSH ANN), text analysis,
+multimodal plumbing. Planted duplicates and numpy cosine oracles make the
+assertions exact."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.operators import dedup as dd
+from jsonschema_rs_spark.operators import multimodal as mm
+from jsonschema_rs_spark.operators import similarity as sim
+from jsonschema_rs_spark.operators import text_analysis as ta
+
+DOCS = [
+    ("d1", "The quick brown fox jumps over the lazy dog near the old river bank"),
+    ("d2", "The quick brown fox jumps over the lazy dog near the old river bank"),  # exact dup of d1
+    ("d3", "The quick brown fox jumps over the lazy dog near the new river bank"),  # near dup (1 token)
+    ("d4", "Completely different content about spark dataframes and shuffle behavior"),
+    ("d5", "el perro corre por la calle y la casa es grande pero el gato duerme"),
+    ("d6", "THE QUICK BROWN FOX jumps over the lazy dog near the old river bank!"),  # normalized dup of d1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("don't stop!",)],
+                               "t string")
+    got = df.select(ta.ws_token_count(F.col("t")).alias("ws"),
+                    ta.bpe_token_count(F.col("t")).alias("bpe")).collect()
+    assert [r["ws"] for r in got] == [3, 0, 0, 2]
+    # don't stop! → don ' t stop !
+    assert got[3]["bpe"] == 5
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", ta.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got["d1"] == "en"
+    assert got["d5"] == "es"
+
+
+def test_quality_score_monotone(spark):
+    df = spark.createDataFrame(
+        [("good", "the cat sat on the mat and it was good"),
+         ("short", "hi"),
+         ("nums", "12 34 56 78 90 11 22 33 44 55")], "k string, t string")
+    got = {r["k"]: r["q"] for r in df.select(
+        "k", ta.quality_score(F.col("t")).alias("q")).collect()}
+    assert got["good"] == 1.0
+    assert got["short"] < got["good"]
+    assert got["nums"] < got["good"]
+
+
+def test_fingerprint_normalization(docs):
+    got = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", ta.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got["d1"] == got["d2"] == got["d6"]
+    assert got["d1"] != got["d3"]
+
+
+def test_sorted_token_fingerprint(spark):
+    df = spark.createDataFrame([("b a c",), ("c b a",), ("a b d",)], "t string")
+    fps = [r["fp"] for r in df.select(
+        ta.sorted_token_fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_with_text_features_schema(docs):
+    out = ta.with_text_features(docs)
+    for c in ["n_tokens_ws", "n_tokens_bpe", "lang_pred", "quality", "fp"]:
+        assert c in out.columns
+    assert out.count() == len(DOCS)
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_exact_duplicate_groups(docs):
+    groups = dd.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == ["d1", "d2", "d6"]
+
+
+def test_dedup_exact_keeps_one(docs):
+    kept = sorted(r["doc_id"] for r in dd.dedup_exact(docs).collect())
+    assert kept == ["d1", "d3", "d4", "d5"]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    got = df.select(dd.word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == ["x y"]  # shorter than n → whole text
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs and 0.5 <= pairs[("d1", "d3")] < 1.0
+    assert not any("d4" in p for p in pairs)
+
+
+def test_minhash_near_duplicates(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.minhash_near_duplicates(
+               docs, num_hashes=16, bands=8, threshold=0.5).collect()}
+    assert ("d1", "d2") in got
+    assert ("d1", "d6") in got  # normalized dup
+    assert ("d1", "d3") in got  # near dup caught by some band
+    assert not any("d4" in k or "d5" in k for k in got)
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = docs.select(dd.minhash_signature(F.col("text"), 8).alias("s")).collect()
+    s2 = docs.select(dd.minhash_signature(F.col("text"), 8).alias("s")).collect()
+    assert s1 == s2
+    # identical docs → identical signatures
+    by_id = dict(zip([d[0] for d in DOCS], [r["s"] for r in s1]))
+    assert by_id["d1"] == by_id["d2"] == by_id["d6"]
+
+
+def test_simhash_properties(docs):
+    got = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dd.simhash(F.col("text")).alias("sh")).collect()}
+    assert got["d1"] == got["d2"] == got["d6"]
+    assert 0 <= got["d1"] < 2 ** 32
+    # near-dup differs in few bits; unrelated differs in many
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(got["d1"], got["d3"]) <= 6
+    assert ham(got["d1"], got["d5"]) > 6
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert ("d1", "d2") in pairs and ("d1", "d6") in pairs
+
+
+# -- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    import numpy as np
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.brute_force_topk(emb, q, k=5).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid in [0, 1, 2]:
+        qv = data[qid]
+        sims = {}
+        for vid, v in data.items():
+            sims[vid] = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        expect = sorted(sims, key=lambda vid: (-round(sims[vid], 6), vid))[:5]
+        mine = [r["neighbor_id"] for r in sorted(
+            (x for x in got if x["query_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == expect
+        # self is always rank 1 with sim 1.0
+        assert mine[0] == qid
+
+
+def test_ann_lsh_subset_of_bucket_and_ranked(emb):
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = sim.ann_topk_lsh(emb, q, k=5, n_planes=6)
+    rows = got.collect()
+    # every query finds at least itself (same vector → same bucket)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == qid and best["sim"] == 1.0
+    assert set(by_q) == {0, 1, 2, 3}
+
+
+def test_near_duplicates_by_cosine_exact_vs_lsh(spark):
+    # planted near-dup pair + noise
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, 16)
+    rows = [(0, base.tolist()), (1, (base + 0.01).tolist())] + [
+        (i, rng.normal(0, 1, 16).tolist()) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sim.near_duplicates_by_cosine(df, threshold=0.99, dim=16,
+                                          exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(0, 1)]
+    lsh = sim.near_duplicates_by_cosine(df, threshold=0.99, n_planes=8,
+                                        dim=16).collect()
+    assert [(r["id_a"], r["id_b"]) for r in lsh] == [(0, 1)]
+
+
+def test_hyperplane_determinism():
+    assert sim.hyperplane_signs(3, 8) == sim.hyperplane_signs(3, 8)
+    flat = [x for row in sim.hyperplane_signs(4, 64) for x in row]
+    assert set(flat) == {-1, 1}
+    assert 0.3 < flat.count(1) / len(flat) < 0.7
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_media_features(spark):
+    media = mm.synthetic_media_df(spark, 30)
+    feats = mm.extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        if r["media_type"] == "image":
+            assert r["width"] is not None and r["height"] is not None
+            assert r["duration_ms"] is None
+        else:
+            assert r["duration_ms"] is not None and r["frame_count"] >= 1
+            assert r["width"] is None
+    # deterministic across runs
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, feats.collect()))
+
+
+def test_frame_sample_plan(spark):
+    media = mm.synthetic_media_df(spark, 30)
+    frames = mm.frame_sample_plan(media, every_ms=60_000)
+    rows = frames.collect()
+    assert all(r["ts_ms"] == r["frame_idx"] * 60_000 for r in rows)
+    n_videos = media.where(F.col("media_type") == "video").count()
+    assert len({r["asset_id"] for r in rows}) == n_videos
