@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: compile the interleaved-document spec and
+                 validate the derived spans table at sf0.001 (per-row
+                 verdict + error count, one scan, no shuffle).
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-pipeline extensions); impls in
+                 jsonschema_rs_spark/queries.py.
+oracle_sql()   — DuckDB-equivalent SQL per query; impls in
+                 jsonschema_rs_spark/oracles.py. Queries without an entry
+                 (minhash_pairs, mm_features) get rows-only checks:
+                 banded-LSH pair generation and mapInPandas feature
+                 extraction are not ANSI-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -12,27 +18,32 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spec → Column-expression plan → verdicts over the
+    interleaved spans table derived from sf0.001 documents."""
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+    from jsonschema_rs_spark.docspec import default_options
+    from jsonschema_rs_spark.queries import SPANS_SCHEMA, derived_spans_df
+
+    schema = dict(SPANS_SCHEMA)
+    schema["x-strictlyIncreasing"] = "offset"
+    df = derived_spans_df(spark, "/root/testdata/sf0.001")
+    plan = compile_schema(schema, df.schema, options=default_options(),
+                          column="spans")
+    v = plan.with_validation(df, mode="verbose")
+    return v.select("doc_id", "valid", F.size("errors").alias("n_errors"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsonschema_rs_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonschema_rs_spark.oracles import ORACLES
+
+    return dict(ORACLES)

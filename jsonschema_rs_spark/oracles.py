@@ -1,0 +1,424 @@
+"""DuckDB oracle SQL for every query in queries.py (where SQL-expressible).
+
+Each SQL string re-computes the Spark query's result from first principles
+on the same parquet tables (pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings). The driver
+compares row counts, schemas, and order-insensitive value hashes.
+
+Engine-parity rules baked into these strings:
+- null = absent: every keyword predicate passes on NULL; `required` alone
+  checks presence (nodes.py null convention)
+- md5-only hashing; regexp_replace needs the 'g' flag in DuckDB (Spark
+  replaces all matches by default)
+- float outputs rounded identically on both sides
+- cumulative windows use RANGE (ties) exactly like the Spark plan
+"""
+
+from __future__ import annotations
+
+from jsonschema_rs_spark.operators.similarity import hyperplane_signs
+from jsonschema_rs_spark.operators.text_analysis import (
+    BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS)
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+_EVENTS_VALID = """
+ (event_type IS NOT NULL AND ts IS NOT NULL
+  AND (event_type IS NULL OR event_type IN ('click','view','signup','purchase'))
+  AND (value IS NULL OR (value >= 0 AND value <= 150))
+  AND (user_id IS NULL OR user_id >= 0)
+  AND (props IS NULL OR (regexp_matches(props, '^\\{{.*\\}}$')
+       AND length(props) >= 2 AND length(props) <= 64)))
+""".replace("{{", "{").replace("}}", "}")
+
+VAL_EVENTS_FLAG = f"""
+SELECT event_id, {_EVENTS_VALID} AS valid FROM events
+"""
+
+VAL_EVENTS_VIOLATIONS = """
+SELECT event_id, 'required' AS keyword FROM events WHERE event_type IS NULL
+UNION ALL
+SELECT event_id, 'required' FROM events WHERE ts IS NULL
+UNION ALL
+SELECT event_id, 'enum' FROM events
+ WHERE event_type IS NOT NULL
+   AND event_type NOT IN ('click','view','signup','purchase')
+UNION ALL
+SELECT event_id, 'minimum' FROM events WHERE value IS NOT NULL AND value < 0
+UNION ALL
+SELECT event_id, 'maximum' FROM events WHERE value IS NOT NULL AND value > 150
+UNION ALL
+SELECT event_id, 'minimum' FROM events
+ WHERE user_id IS NOT NULL AND user_id < 0
+UNION ALL
+SELECT event_id, 'pattern' FROM events
+ WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')
+UNION ALL
+SELECT event_id, 'minLength' FROM events
+ WHERE props IS NOT NULL AND length(props) < 2
+UNION ALL
+SELECT event_id, 'maxLength' FROM events
+ WHERE props IS NOT NULL AND length(props) > 64
+"""
+
+_DOCS_VALID = """
+ (doc_id IS NOT NULL AND text IS NOT NULL
+  AND (lang IS NULL OR lang IN ('en','es','de','fr'))
+  AND (source IS NULL OR regexp_matches(source, '^src[0-4]$'))
+  AND (n_chars IS NULL OR (n_chars >= 50 AND n_chars <= 500))
+  AND (text IS NULL OR length(text) >= 20))
+"""
+
+VAL_DOCS_FLAG = f"SELECT doc_id, {_DOCS_VALID} AS valid FROM documents"
+
+VAL_DOCS_SUMMARY = f"""
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN {_DOCS_VALID} THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(count(*) - sum(CASE WHEN {_DOCS_VALID} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_invalid
+FROM documents
+"""
+
+_LINEITEM_VALID = """
+ ((l_quantity IS NULL OR (l_quantity % 5) = 0)
+  AND (l_discount IS NULL OR (l_discount >= 0 AND l_discount < 0.08))
+  AND (l_returnflag IS NULL OR l_returnflag IN ('A','N')))
+"""
+
+VAL_LINEITEM_FLAG = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {_LINEITEM_VALID} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# spans derived from documents.text: token i (0-based) → span; every 5th is
+# an image. Mirrors queries.derived_spans_df exactly.
+_SPANS_CTE = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+"""
+
+VAL_SPANS_FLAG = _SPANS_CTE + """
+SELECT doc_id,
+ (len(toks) >= 1 AND len(toks) <= 500
+  AND list_bool_and(list_transform(range(1, len(toks)+1), i ->
+        length(toks[i]) >= 1 AND length(toks[i]) <= 6))
+  AND list_bool_or(list_transform(range(1, len(toks)+1), i ->
+        ((i-1) % 5) = 4))
+ ) AS valid
+FROM t
+"""
+
+VAL_SPANS_VIOLATIONS = _SPANS_CTE + """, v AS (
+SELECT doc_id,
+  len(list_filter(list_transform(range(1, len(toks)+1), i ->
+        length(toks[i]) < 1), x -> x)) AS n_minlen,
+  len(list_filter(list_transform(range(1, len(toks)+1), i ->
+        length(toks[i]) > 6), x -> x)) AS n_maxlen,
+  CASE WHEN list_bool_or(list_transform(range(1, len(toks)+1), i ->
+        ((i-1) % 5) = 4)) THEN 0 ELSE 1 END AS n_contains
+FROM t)
+SELECT keyword, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'minLength' AS keyword, sum(n_minlen) AS n_violations FROM v
+  UNION ALL
+  SELECT 'maxLength', sum(n_maxlen) FROM v
+  UNION ALL
+  SELECT 'contains', sum(n_contains) FROM v
+) WHERE n_violations > 0
+"""
+
+# ---------------------------------------------------------------------------
+# table-level checks
+# ---------------------------------------------------------------------------
+
+
+def _stats_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", count(*) AS n_rows,
+  CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  round(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS null_rate,
+  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(min({col}) AS VARCHAR) AS min_value,
+  CAST(max({col}) AS VARCHAR) AS max_value
+FROM documents"""
+
+
+STATS_DOCUMENTS = " UNION ALL ".join(
+    _stats_one(c) for c in ["doc_id", "text", "lang", "source", "n_chars"])
+
+UNIQ_ORDERS_CUSTKEY = """
+SELECT o_custkey, count(*) AS n_dup FROM orders
+GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+RI_ORDERS_CUSTOMER = """
+SELECT o_custkey, count(*) AS n_dangling FROM orders
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)
+GROUP BY o_custkey
+"""
+
+RI_EVENTS_CUSTOMER = """
+SELECT user_id, count(*) AS n_dangling FROM events
+WHERE user_id IS NOT NULL
+  AND user_id NOT IN (SELECT c_custkey FROM customer
+                      WHERE c_custkey IS NOT NULL)
+GROUP BY user_id
+"""
+
+KS_EVENTS_VALUE = """
+WITH u AS (
+  SELECT value AS v, 1 AS ia, 0 AS ib FROM events
+   WHERE event_type = 'click' AND value IS NOT NULL
+  UNION ALL
+  SELECT value, 0, 1 FROM events
+   WHERE event_type = 'error' AND value IS NOT NULL),
+c AS (SELECT
+  sum(ia) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS ca,
+  sum(ib) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cb
+  FROM u),
+t AS (SELECT CAST(max(ca) AS BIGINT) AS na, CAST(max(cb) AS BIGINT) AS nb
+      FROM c)
+SELECT t.na AS n_a, t.nb AS nb_out,
+       round(max(abs(ca / CAST(t.na AS DOUBLE)
+                   - cb / CAST(t.nb AS DOUBLE))), 6) AS ks_stat
+FROM c, t GROUP BY t.na, t.nb
+""".replace("nb_out", "n_b")
+
+CHISQ_EVENTS_HALVES = """
+WITH mid AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS m FROM events),
+o AS (SELECT event_type AS cat, count(*) AS n_o
+      FROM events, mid WHERE event_id <= m GROUP BY event_type),
+r AS (SELECT event_type AS cat, count(*) AS n_r
+      FROM events, mid WHERE event_id > m GROUP BY event_type),
+b AS (SELECT coalesce(o.n_o, 0) AS n_o, coalesce(r.n_r, 0) AS n_r
+      FROM o FULL OUTER JOIN r ON o.cat = r.cat),
+j AS (SELECT n_o, n_r, sum(n_o) OVER () AS tot_o, sum(n_r) OVER () AS tot_r
+      FROM b)
+SELECT
+  round(sum(
+    (CASE WHEN (n_o + n_r) * tot_o / CAST(tot_o + tot_r AS DOUBLE) >= 1.0
+      THEN pow(n_o - (n_o + n_r) * tot_o / CAST(tot_o + tot_r AS DOUBLE), 2)
+           / ((n_o + n_r) * tot_o / CAST(tot_o + tot_r AS DOUBLE))
+      ELSE 0.0 END)
+    + (CASE WHEN (n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE) >= 1.0
+      THEN pow(n_r - (n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE), 2)
+           / ((n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE))
+      ELSE 0.0 END)), 6) AS chi2,
+  CAST(count(*) - 1 AS BIGINT) AS dof,
+  CAST(max(tot_o) AS BIGINT) AS n_obs,
+  CAST(max(tot_r) AS BIGINT) AS n_ref
+FROM j
+"""
+
+# Spark width_bucket(v, lo, hi, n): 0 below lo, n+1 at/above hi, else
+# floor((v-lo)/((hi-lo)/n)) + 1
+HIST_ORDERS_TOTAL = """
+SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 11
+            ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS BIGINT)
+         AS bucket,
+       count(*) AS n
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup
+# ---------------------------------------------------------------------------
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text),"
+         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+
+_WS_COUNT = ("CASE WHEN trim(text) = '' THEN 0 "
+             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+
+
+def _marker_sql(markers: list[str]) -> str:
+    pat = "\\b(" + "|".join(markers) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+def _lang_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = {lang: _marker_sql(LANG_MARKERS[lang]) for lang in langs}
+    m = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN {hits[lang]} = {m} THEN '{lang}'" for lang in langs)
+    return f"(CASE WHEN {m} < 1 THEN 'und' {cases} END)"
+
+
+_N_PUNCT = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+_N_DIGIT = "len(regexp_extract_all(text, '[0-9]'))"
+_N_STOP = _marker_sql(STOPWORDS)
+_SAFE_TOK = f"greatest({_WS_COUNT}, 1)"
+_SAFE_CHR = "greatest(length(text), 1)"
+_PUNCT_RATIO = f"({_N_PUNCT} / CAST({_SAFE_CHR} AS DOUBLE))"
+_DIGIT_RATIO = f"({_N_DIGIT} / CAST({_SAFE_CHR} AS DOUBLE))"
+_STOP_RATIO = f"({_N_STOP} / CAST({_SAFE_TOK} AS DOUBLE))"
+
+_QUALITY = f"""
+greatest(1.0
+  - (CASE WHEN {_WS_COUNT} < 5 THEN 0.4 ELSE 0.0 END)
+  - (CASE WHEN {_PUNCT_RATIO} > 0.2 THEN 0.2 ELSE 0.0 END)
+  - (CASE WHEN {_DIGIT_RATIO} > 0.3 THEN 0.2 ELSE 0.0 END)
+  - (CASE WHEN {_STOP_RATIO} < 0.05 THEN 0.2 ELSE 0.0 END), 0.0)
+"""
+
+TEXT_FEATURES = f"""
+SELECT doc_id,
+  CAST({_WS_COUNT} AS INT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT)
+      AS n_tokens_bpe,
+  {_lang_sql()} AS lang_pred,
+  round({_PUNCT_RATIO}, 6) AS punct_ratio,
+  round({_STOP_RATIO}, 6) AS stopword_ratio,
+  round({_QUALITY}, 6) AS quality,
+  md5({_NORM}) AS fp
+FROM documents
+"""
+
+FP_COUNTS = f"""
+SELECT md5({_NORM}) AS fp, count(*) AS n_docs FROM documents GROUP BY 1
+"""
+
+# word shingles (n=3, distinct) over normalized text — mirrors
+# dedup.word_shingles
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))")
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{i}|' || x)), 'min')"
+        for i in range(num_hashes))
+    return f"""
+WITH t AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+SELECT doc_id, concat_ws(',', {mins}) AS sig FROM s
+"""
+
+
+MINHASH_SIGS = _minhash_sql(8)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, v -> "
+        f"CASE WHEN ((v >> {j}) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH t AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks,
+        x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM t)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
+"""
+
+
+SIMHASH_VALS = _simhash_sql(32)
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+_COS = ("(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
+
+SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round({_COS.format(a='cv', b='qv')}, 6) AS sim
+      FROM c CROSS JOIN q)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= 5
+"""
+
+
+def _bucket_sql(vec_expr: str, n_planes: int = 8, dim: int = 64) -> str:
+    planes = hyperplane_signs(n_planes, dim)
+    parts = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(s)}" for s in plane) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+ANN_LSH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_bucket_sql('embedding::DOUBLE[]')} AS b
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_bucket_sql('embedding::DOUBLE[]')} AS b
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round({_COS.format(a='cv', b='qv')}, 6) AS sim
+      FROM c JOIN q USING (b))
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= 5
+"""
+
+NDCOS_PAIRS = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round({_COS.format(a='a.e', b='b.e')}, 6) AS sim
+FROM v a CROSS JOIN v b
+WHERE a.id < b.id
+  AND round({_COS.format(a='a.e', b='b.e')}, 6) >= 0.5
+"""
+
+ROLLUP_EVENTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# registry — keys must match queries.QUERIES; missing key → rows-only check
+# ---------------------------------------------------------------------------
+
+ORACLES = {
+    "val_events_flag": VAL_EVENTS_FLAG,
+    "val_events_violations": VAL_EVENTS_VIOLATIONS,
+    "val_docs_flag": VAL_DOCS_FLAG,
+    "val_docs_summary": VAL_DOCS_SUMMARY,
+    "val_lineitem_flag": VAL_LINEITEM_FLAG,
+    "val_spans_flag": VAL_SPANS_FLAG,
+    "val_spans_violations": VAL_SPANS_VIOLATIONS,
+    "stats_documents": STATS_DOCUMENTS,
+    "uniq_orders_custkey": UNIQ_ORDERS_CUSTKEY,
+    "ri_orders_customer": RI_ORDERS_CUSTOMER,
+    "ri_events_customer": RI_EVENTS_CUSTOMER,
+    "ks_events_value": KS_EVENTS_VALUE,
+    "chisq_events_halves": CHISQ_EVENTS_HALVES,
+    "hist_orders_total": HIST_ORDERS_TOTAL,
+    "text_features": TEXT_FEATURES,
+    "fp_counts": FP_COUNTS,
+    "minhash_sigs": MINHASH_SIGS,
+    "simhash_vals": SIMHASH_VALS,
+    # minhash_pairs: rows-only (banded LSH pipeline, not ANSI-SQL)
+    "sim_topk": SIM_TOPK,
+    "ann_lsh": ANN_LSH,
+    "ndcos_pairs": NDCOS_PAIRS,
+    "rollup_events": ROLLUP_EVENTS,
+    # mm_features: rows-only (mapInPandas feature extraction)
+}
