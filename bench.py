@@ -1,0 +1,123 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json): documents validated/sec on the synthetic
+interleaved text+media table (deterministic datagen — identical input at
+any parallelism), flag-mode validation = one scan, zero shuffle.
+
+Each query is forced end-to-end with the noop sink (evaluates every
+column; df.count() would let Catalyst prune the projection and measure
+nothing).
+
+Scaling evidence (north rule: ≥0.8 efficiency N→4N executors) is produced
+by scaling_bench.py (separate JVMs per parallelism level); set
+SPARK_GRAFT_SCALING=1 to inline it here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# docs for the flagship validation throughput measurement (generated —
+# the 10^12-doc-shaped interleaved table, small deterministic slice)
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+
+BENCH_QUERIES = [
+    "val_events_flag", "val_docs_flag", "val_lineitem_flag",
+    "val_spans_flag", "val_events_violations",
+    "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
+    "ks_events_value", "chisq_events_halves", "hist_orders_total",
+    "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
+    "minhash_pairs", "sim_topk", "ann_lsh", "rollup_events",
+    "mm_features",
+]
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def materialize_docs(spark, n_docs: int, path: str | None = None,
+                     files: int = 256) -> str:
+    """Generate the deterministic interleaved table once and persist it as
+    parquet with `files` splits, so the measured job is scan+validate (the
+    real 100 TB shape) and both parallelism levels in the scaling bench
+    see plenty of input splits."""
+    from jsonschema_rs_spark.datagen import documents_df
+
+    path = path or f"/tmp/jrs_bench_docs_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = documents_df(spark, n_docs).drop("_vclass")
+        docs.repartition(files).write.mode("overwrite").parquet(path)
+    return path
+
+
+def validate_flagship(spark, n_docs: int) -> float:
+    """Flag-mode validation (scan → one codegen'd Project → noop sink) of
+    the persisted interleaved table; returns elapsed seconds."""
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.docspec import DOC_SPEC_FULL, default_options
+
+    docs = spark.read.parquet(materialize_docs(spark, n_docs))
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    v = plan.with_validation(docs, mode="flag")
+    t0 = time.perf_counter()
+    noop_write(v)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from jsonschema_rs_spark.queries import QUERIES
+    from jsonschema_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS,
+                      shuffle_partitions=2 * CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM/codegen once so per-query numbers are steady-state
+    validate_flagship(spark, 10_000)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        noop_write(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship LAST: the N_DOCS-row job pressures the heap/page cache and
+    # would otherwise inflate the small queries' numbers
+    t_flag = validate_flagship(spark, N_DOCS)
+    timings["validate_interleaved"] = round(t_flag, 4)
+    docs_per_sec = N_DOCS / t_flag
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "headline suite wall-clock (validation + table checks + "
+                  "pipeline ops); docs_per_sec = flag-mode validation "
+                  f"throughput on {N_DOCS} generated interleaved docs",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(docs_per_sec),
+        "n_docs": N_DOCS,
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        import scaling_bench
+        out["scaling"] = scaling_bench.measure(N_DOCS)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -72,17 +72,40 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text (array<string>).
-    Documents with fewer than n tokens yield a single shingle of the whole
-    text so they can still collide with exact near-copies."""
-    toks = F.split(normalize_text(text), " ")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token-array column.
+
+    `toks` MUST be a cheap reference (a staged column, not an expression
+    tree): Spark higher-order functions are interpreted, so every
+    element_at(toks, i) re-evaluates the whole `toks` expression — if it
+    were split(regexp_replace(...)) inline, shingling would re-run the
+    regex pipeline once per gram per arg (measured 10x+ slowdown).
+    Likewise the lambda body is O(1) per element (element_at + concat_ws,
+    not slice, which copies n elements per output)."""
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
+    grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )).otherwise(F.array(F.array_join(toks, " ")))
     return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenient for small frames
+    and tests; pipelines should stage the token array first (see
+    with_minhash) so the normalize+split pipeline runs once per row."""
+    return shingles_from_tokens(F.split(normalize_text(text), " "), n)
+
+
+def with_shingles(df: DataFrame, text_col: str = "text",
+                  out_col: str = "shingles", n: int = 3) -> DataFrame:
+    """Staged shingle column: tokens materialized first, then grams."""
+    staged = df.withColumn(
+        "__ws_toks", F.split(normalize_text(F.col(text_col)), " "))
+    return staged.withColumn(
+        out_col, shingles_from_tokens(F.col("__ws_toks"), n)) \
+        .drop("__ws_toks")
 
 
 # ---------------------------------------------------------------------------
@@ -102,10 +125,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from |A|+|B|-common. Exact; cost bounded by co-occurrence, so at 100 TB
     this runs AFTER MinHash-LSH candidate generation, not instead of it.
     """
-    sh = df.select(
+    staged = with_shingles(df, text_col, "__sh", n)
+    sh = staged.select(
         F.col(id_col).alias("id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.size(F.col("__sh")).alias("n_sh"),
+        F.explode(F.col("__sh")).alias("shingle"),
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
     sh = sh.join(F.broadcast(freq.where(F.col("f") > max_shingle_freq)
@@ -133,30 +157,80 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^62
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod p — derived from md5 on the DRIVER so any
+    engine (including the DuckDB oracle) reproduces them exactly."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_PRIME - 1) + 1
+        b = int(d[8:16], 16) % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def shingle_hash(s: Column) -> Column:
+    """One 32-bit base hash per shingle: first 8 hex chars of md5.
+    md5 (not xxhash64) so external engines re-derive it."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, n: int = 3) -> Column:
-    """array<string> of per-seed minima: sig[i] = min over shingles of
-    md5(i || '|' || shingle). Min over md5 hex strings is a valid uniform
-    min-hash (lexicographic order on a uniform 128-bit hash). One
-    projection, no shuffle, reproducible in any engine with md5."""
-    sh = word_shingles(text, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"),
-                                                     F.lit("|"), s)))
-        ),
-    )
+    """array<bigint>: sig[i] = min over shingles of (a_i*h + b_i) mod p,
+    h = 32-bit md5 prefix of the shingle.
+
+    ONE md5 per shingle, then num_hashes integer ops — Spark HOFs are
+    interpreted, so per-element work must be minimal (the md5-per-seed
+    formulation was ~50x slower). Mirrors the classic universal-hash
+    MinHash; collision probability for Jaccard j is still j per hash."""
+    hs = F.transform(word_shingles(text, n), shingle_hash)
+    return F.array(*[
+        F.array_min(F.transform(hs, _uhash(a, b)))
+        for a, b in minhash_params(num_hashes)
+    ])
+
+
+def _uhash(a: int, b: int):
+    # closure factory, NOT default-arg lambdas: PySpark derives a HOF's
+    # arity from the Python signature, so `lambda h, a=a: ...` is
+    # (wrongly) treated as a 2-arg lambda
+    return lambda h: (a * h + b) % MINHASH_PRIME
+
+
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 out_col: str = "sig", num_hashes: int = 16,
+                 n: int = 3) -> DataFrame:
+    """Staged MinHash: the shingle base hashes are materialized in their
+    own projection so the num_hashes array_min passes each read the SAME
+    computed array instead of re-deriving shingles+md5 per seed (Catalyst
+    will not collapse a projection when it would duplicate an expensive
+    expression). This is the form to use in pipelines."""
+    staged = df.withColumn(
+        "__mh_toks", F.split(normalize_text(F.col(text_col)), " "))
+    staged = staged.withColumn(
+        "__mh_hs",
+        F.transform(shingles_from_tokens(F.col("__mh_toks"), n), shingle_hash))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__mh_hs"), _uhash(a, b)))
+        for a, b in minhash_params(num_hashes)
+    ])
+    return staged.withColumn(out_col, sig).drop("__mh_toks", "__mh_hs")
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     """array<string> of band bucket keys: md5(band_idx || joined rows)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat(
-            b.cast("string"), F.lit("#"),
-            F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                         ","))),
-    )
+    return F.array(*[
+        F.md5(F.concat_ws("#", F.lit(str(b)), F.array_join(
+            F.transform(F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string")), ",")))
+        for b in range(bands)
+    ])
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -174,10 +248,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     1 - (1 - j^r)^b with r = num_hashes/bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, n)
-    keys = lsh_band_keys(sig, bands, rows_per_band)
-    exploded = df.select(F.col(id_col).alias("id"),
-                         F.explode(keys).alias("band_key"))
+    staged = with_minhash(df, text_col, "__sig", num_hashes, n)
+    keys = lsh_band_keys(F.col("__sig"), bands, rows_per_band)
+    exploded = staged.select(F.col(id_col).alias("id"),
+                             F.explode(keys).alias("band_key"))
     buckets = (
         exploded.groupBy("band_key")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
@@ -209,8 +283,8 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     pipeline: cheap recall then exact precision on the tiny candidate set).
     """
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
-    sides = df.select(F.col(id_col).alias("id"),
-                      word_shingles(F.col(text_col), n).alias("sh"))
+    sides = with_shingles(df, text_col, "sh", n).select(
+        F.col(id_col).alias("id"), "sh")
     a = sides.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sides.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     j = (
@@ -232,25 +306,45 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 SIMHASH_BITS = 32
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash signature as a bigint: bit j is the sign of the sum over
-    tokens of (token_hash bit j ? +1 : -1). Token hash = first 8 hex chars
-    of md5 (32 bits) — engine-portable. One projection, no shuffle."""
-    toks = F.split(normalize_text(text), " ")
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8),
-                                            16, 10).cast("long"))
+def _simhash_from_hashes(th: Column, bits: int) -> Column:
+    """bits-wide SimHash from a pre-computed token-hash array column."""
+    def vote_fn(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
     def bit_vote(j: int) -> Column:
-        votes = F.aggregate(
-            th, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        votes = F.aggregate(th, F.lit(0).cast("long"), vote_fn(j))
+        return F.when(votes > 0, F.lit(2 ** j).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
 
     out = F.lit(0).cast("long")
     for j in range(bits):
         out = out + bit_vote(j)
     return out
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature as a bigint: bit j is the sign of the sum over
+    tokens of (token_hash bit j ? +1 : -1). Token hash = first 8 hex chars
+    of md5 (32 bits) — engine-portable.
+
+    NOTE: as a bare Column the token-hash array is re-derived per bit
+    (HOFs are interpreted, 32x md5 cost) — fine for small frames/tests;
+    pipelines should use with_simhash() which stages it once."""
+    toks = F.split(normalize_text(text), " ")
+    th = F.transform(toks, shingle_hash)
+    return _simhash_from_hashes(th, bits)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 out_col: str = "simhash",
+                 bits: int = SIMHASH_BITS) -> DataFrame:
+    """Staged SimHash: token hashes materialized once (one md5 per token),
+    then 32 integer bit-vote aggregations over the staged array."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    staged = df.withColumn("__sh_th", F.transform(toks, shingle_hash))
+    return staged.withColumn(
+        out_col, _simhash_from_hashes(F.col("__sh_th"), bits)).drop("__sh_th")
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -266,8 +360,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     """
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
     bits_per = SIMHASH_BITS // chunks
-    s = df.select(F.col(id_col).alias("id"),
-                  simhash(F.col(text_col)).alias("sig"))
+    s = with_simhash(df, text_col, "sig").select(
+        F.col(id_col).alias("id"), "sig")
     chunked = s.select(
         "id", "sig",
         F.explode(F.array(*[

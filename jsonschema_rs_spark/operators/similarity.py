@@ -54,11 +54,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the window with a bounded per-partition heap via mapInPandas if Q*N
     rows would spill)."""
     q = F.broadcast(queries.select(F.col(query_id_col).alias("query_id"),
-                                   F.col(vec_col).alias("__qv")))
-    scored = corpus.crossJoin(q).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("sim"),
+                                   F.col(vec_col).alias("__qv"),
+                                   norm(F.col(vec_col)).alias("__qn")))
+    # corpus norms staged once per row — NOT recomputed per (row, query)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      norm(F.col(vec_col)).alias("__cn"))
+    scored = c.crossJoin(q).select(
+        "query_id", "neighbor_id",
+        F.round(dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
@@ -116,13 +121,16 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     planes = hyperplane_signs(n_planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),
+                      norm(F.col(vec_col)).alias("__cn"),
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
+                       norm(F.col(vec_col)).alias("__qn"),
                        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("sim"),
+        F.round(dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
@@ -145,26 +153,31 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     so recall is high for threshold ~0.95.
     exact=True (verify path): full self-join — O(N^2), small scale only.
     """
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  norm(F.col(vec_col)).alias("n"))
     if exact:
-        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
         return pairs.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")), 6).alias("sim"),
         ).where(F.col("sim") >= threshold)
     planes = hyperplane_signs(n_planes, dim)
     bucketed = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
     a = bucketed.select("bucket", F.col("id").alias("id_a"),
-                        F.col("v").alias("va"))
+                        F.col("v").alias("va"), F.col("n").alias("na"))
     b = bucketed.select("bucket", F.col("id").alias("id_b"),
-                        F.col("v").alias("vb"))
+                        F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+                F.round(dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("sim"))
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= threshold)
     )

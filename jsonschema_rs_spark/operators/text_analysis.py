@@ -135,16 +135,54 @@ def sorted_token_fingerprint(text: Column) -> Column:
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents table → + token counts, lang, quality, fingerprint.
-    One projection over one scan; fully codegen'd."""
+
+    STAGED: base counts (regex scans, token splits, marker hits) are
+    materialized in one projection, derived features (ratios, argmax
+    lang, quality gates) reference them in a second — each regex runs
+    exactly once per row instead of once per consuming feature
+    (projection staging is the CSE mechanism that works with Spark's
+    interpreted expressions; Catalyst won't collapse projections when it
+    would duplicate expensive expressions)."""
     t = F.col(text_col)
-    feats = quality_features(t)
-    return df.select(
+    low = F.lower(t)
+    langs = sorted(LANG_MARKERS)
+    staged = df.select(
         "*",
-        ws_token_count(t).alias("n_tokens_ws"),
-        bpe_token_count(t).alias("n_tokens_bpe"),
-        lang_id(t).alias("lang_pred"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fp"),
+        F.length(t).alias("__n_chars"),
+        ws_token_count(t).alias("__n_tok"),
+        bpe_token_count(t).alias("__n_bpe"),
+        F.regexp_count(t, F.lit(r"[^\w\s]")).alias("__n_punct"),
+        F.regexp_count(t, F.lit(r"[0-9]")).alias("__n_digit"),
+        _marker_hits(low, STOPWORDS).alias("__n_stop"),
+        *[_marker_hits(low, LANG_MARKERS[lang]).alias(f"__h_{lang}")
+          for lang in langs],
+        normalize_text(t).alias("__norm"),
     )
+    hits = [F.col(f"__h_{lang}") for lang in langs]
+    m = F.greatest(*hits)
+    lang_pred = F.when(m < 1, F.lit("und"))
+    for lang, h in zip(langs, hits):
+        lang_pred = lang_pred.when(h == m, F.lit(lang))
+    safe_tok = F.greatest(F.col("__n_tok"), F.lit(1))
+    safe_chr = F.greatest(F.col("__n_chars"), F.lit(1))
+    punct_ratio = F.col("__n_punct") / safe_chr
+    digit_ratio = F.col("__n_digit") / safe_chr
+    stop_ratio = F.col("__n_stop") / safe_tok
+    quality = F.greatest(
+        F.lit(1.0)
+        - F.when(F.col("__n_tok") < 5, 0.4).otherwise(0.0)
+        - F.when(punct_ratio > 0.2, 0.2).otherwise(0.0)
+        - F.when(digit_ratio > 0.3, 0.2).otherwise(0.0)
+        - F.when(stop_ratio < 0.05, 0.2).otherwise(0.0),
+        F.lit(0.0))
+    out = staged.select(
+        *df.columns,
+        F.col("__n_tok").alias("n_tokens_ws"),
+        F.col("__n_bpe").alias("n_tokens_bpe"),
+        lang_pred.alias("lang_pred"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+        F.md5(F.col("__norm")).alias("fp"),
+    )
+    return out

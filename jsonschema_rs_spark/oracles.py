@@ -297,13 +297,18 @@ _SHINGLES = (
 
 
 def _minhash_sql(num_hashes: int = 8) -> str:
+    from jsonschema_rs_spark.operators.dedup import (MINHASH_PRIME,
+                                                     minhash_params)
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{i}|' || x)), 'min')"
-        for i in range(num_hashes))
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({a} * h + {b}) % {MINHASH_PRIME}), 'min')"
+        for a, b in minhash_params(num_hashes))
     return f"""
 WITH t AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
-s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t)
-SELECT doc_id, concat_ws(',', {mins}) AS sig FROM s
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+hh AS (SELECT doc_id, list_transform(sh,
+         x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM s)
+SELECT doc_id, concat_ws(',', {mins}) AS sig FROM hh
 """
 
 

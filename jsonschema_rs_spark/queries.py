@@ -227,17 +227,13 @@ def hist_orders_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    t = F.col("text")
-    feats = ta.quality_features(t)
-    return docs.select(
-        "doc_id",
-        ta.ws_token_count(t).alias("n_tokens_ws"),
-        ta.bpe_token_count(t).alias("n_tokens_bpe"),
-        ta.lang_id(t).alias("lang_pred"),
-        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
-        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(ta.quality_score(t), 6).alias("quality"),
-        ta.fingerprint(t).alias("fp"),
+    out = ta.with_text_features(docs)  # staged: each regex runs once
+    return out.select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "fp",
     )
 
 
@@ -249,13 +245,16 @@ def fp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    sig = dd.minhash_signature(F.col("text"), num_hashes=8, n=3)
-    return docs.select("doc_id", F.array_join(sig, ",").alias("sig"))
+    staged = dd.with_minhash(docs, "text", "sig_arr", num_hashes=8, n=3)
+    return staged.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("sig_arr"),
+                                 lambda x: x.cast("string")), ",").alias("sig"))
 
 
 def simhash_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+    return dd.with_simhash(docs, "text").select("doc_id", "simhash")
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

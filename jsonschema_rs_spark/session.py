@@ -39,7 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # NOT bigger-is-better: a 48g heap made 32-thread runs 10-30x
+        # slower — G1 grows/uncommits regions between jobs and all task
+        # threads then page-fault simultaneously, serializing on the
+        # kernel's mmap lock (94% system time). A right-sized steady heap
+        # keeps faults out of the hot path. On a real cluster this is the
+        # same guidance: moderate executor heaps (8-16g), more executors.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
