@@ -1,0 +1,140 @@
+"""Checkpointed validation runs with per-partition lineage + metrics
+(north rule / SURVEY.md §2.9 "Checkpoint/resume").
+
+A run validates an IceTable snapshot partition-by-partition:
+
+- the **metrics table** (`_validation_runs/` parquet) IS the checkpoint:
+  one row per (run_id, partition) with pass/fail counts, per-keyword
+  violation counts, input-file lineage, and wall time — written only
+  after that chunk of partitions completed
+- **resume** = anti-join the snapshot's partition list against already-
+  recorded (run_id, partition) rows and process only the remainder
+- partitions are processed in **chunks**: each chunk is ONE Spark job
+  over a partition-pruned scan (not one job per partition — at 10^12
+  rows / 10k partitions, per-partition jobs would drown in scheduling
+  overhead; chunking keeps checkpoint granularity without losing
+  whole-cluster parallelism inside a chunk)
+- violations are appended to a violations table in the same pass's
+  second action (verbose plans share the scan via Spark's FileScan
+  cache; at cluster scale the violations sink is an Iceberg append)
+
+The reference has no storage/run concept — this is the table-scale
+extension the north rule adds on top of its per-document semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.plans.plan import CompiledSchema
+from jsonschema_rs_spark.sources.icetable import PART_COL, IceTable
+
+METRICS_SCHEMA_DDL = (
+    "run_id string, snapshot_id bigint, part_id string, n_rows bigint, "
+    "n_valid bigint, n_invalid bigint, violation_keywords map<string,bigint>, "
+    "input_files array<string>, started double, finished double"
+)
+
+
+class ValidationRunner:
+    def __init__(self, table: IceTable, plan: CompiledSchema,
+                 runs_path: str, violations_path: str | None = None,
+                 chunk_size: int = 64):
+        self.table = table
+        self.plan = plan
+        self.runs_path = runs_path
+        self.violations_path = violations_path
+        self.chunk_size = chunk_size
+        self.spark = table.spark
+
+    # -- checkpoint state --------------------------------------------------
+
+    def completed_partitions(self, run_id: str) -> set[str]:
+        if not os.path.exists(self.runs_path):
+            return set()
+        df = self.spark.read.parquet(self.runs_path)
+        return {r["part_id"] for r in
+                df.where(F.col("run_id") == run_id)
+                .select("part_id").distinct().collect()}
+
+    def metrics(self) -> DataFrame:
+        if not os.path.exists(self.runs_path):
+            return self.spark.createDataFrame([], METRICS_SCHEMA_DDL)
+        return self.spark.read.parquet(self.runs_path)
+
+    # -- the run -----------------------------------------------------------
+
+    def run(self, run_id: str | None = None,
+            snapshot_id: int | None = None,
+            resume: bool = True) -> dict:
+        """Validate every partition of the snapshot not yet recorded for
+        run_id. Returns {"run_id", "processed", "skipped"}."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        snapshot_id = snapshot_id if snapshot_id is not None \
+            else self.table.current_snapshot()
+        all_parts = self.table.partitions(snapshot_id)
+        done = self.completed_partitions(run_id) if resume else set()
+        pending = [p for p in all_parts if p not in done]
+
+        for i in range(0, len(pending), self.chunk_size):
+            chunk = pending[i:i + self.chunk_size]
+            self._process_chunk(run_id, snapshot_id, chunk)
+
+        return {"run_id": run_id, "processed": len(pending),
+                "skipped": len(done)}
+
+    def _process_chunk(self, run_id: str, snapshot_id: int,
+                       parts: list[str]) -> None:
+        t0 = time.time()
+        df = self.table.read(partitions=parts)
+        if self.violations_path:
+            self.plan.violations(df, id_cols=[PART_COL]) \
+                .withColumn("run_id", F.lit(run_id)) \
+                .write.mode("append").parquet(self.violations_path)
+        # metrics LAST: a chunk is checkpointed only once fully done
+        self._append_metrics(run_id, snapshot_id, df, t0)
+
+    def _append_metrics(self, run_id: str, snapshot_id: int,
+                        df: DataFrame, t0: float) -> None:
+        # one aggregation pass: per-partition counts + per-keyword
+        # violation counts + input-file lineage — the shuffle carries one
+        # row per partition, nothing row-scale
+        v = self.plan.with_validation(df, mode="verbose")
+        per_part = (
+            v.select(F.col(PART_COL).cast("string").alias(PART_COL),
+                     "valid", F.input_file_name().alias("__file"),
+                     F.transform(F.col("errors"),
+                                 lambda e: e["keyword"]).alias("__kws"))
+            .groupBy(PART_COL)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+                F.flatten(F.collect_list("__kws")).alias("__all_kws"),
+                F.collect_set("__file").alias("input_files"),
+            )
+            # keyword → count map derived from the aggregated array in a
+            # second projection (aggregates can't nest inside HOF lambdas)
+            .withColumn(
+                "violation_keywords",
+                F.map_from_entries(F.transform(
+                    F.array_distinct(F.col("__all_kws")),
+                    lambda k: F.struct(
+                        k.alias("key"),
+                        F.size(F.filter(F.col("__all_kws"),
+                                        lambda x: x == k)).cast("bigint")
+                        .alias("value")))))
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("snapshot_id", F.lit(snapshot_id).cast("bigint"))
+            .withColumn("started", F.lit(t0))
+            .withColumn("finished", F.lit(time.time()))
+            .select("run_id", "snapshot_id", PART_COL, "n_rows", "n_valid",
+                    "n_invalid", "violation_keywords", "input_files",
+                    "started", "finished")
+        )
+        per_part.write.mode("append").parquet(self.runs_path)

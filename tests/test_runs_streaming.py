@@ -1,0 +1,144 @@
+"""Checkpoint/resume runs (IceTable + ValidationRunner) and Structured
+Streaming validation — the north-rule M5/M6 slices."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark import compile_schema
+from jsonschema_rs_spark.datagen import documents_df
+from jsonschema_rs_spark.docspec import DOC_SPEC_FULL, default_options
+from jsonschema_rs_spark.plans.runs import ValidationRunner
+from jsonschema_rs_spark.sources.icetable import IceTable
+from jsonschema_rs_spark.streaming import validate as sv
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = IceTable(spark, str(tmp_path / "ice"))
+    docs = documents_df(spark, 2000).drop("_vclass")
+    t.append_partitions(docs, F.pmod(F.xxhash64("doc_id"), F.lit(4))
+                        .cast("string"))
+    return t
+
+
+def _plan(spark, table):
+    df = table.read()
+    sub = df.drop("part_id")
+    return compile_schema(DOC_SPEC_FULL, sub.schema, default_options())
+
+
+def test_icetable_snapshots(spark, table):
+    assert table.current_snapshot() == 1
+    assert sorted(table.partitions()) == ["0", "1", "2", "3"]
+    more = documents_df(spark, 100, seed=77).drop("_vclass")
+    sid = table.append_partitions(more, F.lit("9"))
+    assert sid == 2
+    assert "9" in table.partitions()
+    assert table.added_between(1, 2) == ["9"]
+    assert table.partitions(1) == ["0", "1", "2", "3"]  # time travel
+    assert table.read(snapshot_id=1).count() == 2000
+    assert table.read(partitions=["9"]).count() == 100
+
+
+def test_partition_pruning(spark, table):
+    plan_str = table.read(partitions=["2"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_str
+
+
+def test_run_metrics_and_lineage(spark, table, tmp_path):
+    plan = _plan(spark, table)
+    runner = ValidationRunner(table, plan, str(tmp_path / "runs"),
+                              violations_path=str(tmp_path / "viol"))
+    out = runner.run(run_id="r1")
+    assert out == {"run_id": "r1", "processed": 4, "skipped": 0}
+    m = runner.metrics().orderBy("part_id").collect()
+    assert [r["part_id"] for r in m] == ["0", "1", "2", "3"]
+    assert sum(r["n_rows"] for r in m) == 2000
+    for r in m:
+        assert r["n_rows"] == r["n_valid"] + r["n_invalid"]
+        assert r["run_id"] == "r1" and r["snapshot_id"] == 1
+        assert len(r["input_files"]) >= 1  # lineage
+        assert r["finished"] >= r["started"]
+        if r["n_invalid"]:
+            assert sum(r["violation_keywords"].values()) > 0
+    # violations landed with run_id + partition ids
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    assert viol.where(F.col("run_id") == "r1").count() > 0
+    assert set(viol.columns) >= {"part_id", "keyword", "run_id"}
+
+
+def test_run_resume_skips_completed(spark, table, tmp_path):
+    plan = _plan(spark, table)
+    runner = ValidationRunner(table, plan, str(tmp_path / "runs"),
+                              chunk_size=1)
+    runner._process_chunk("r2", 1, ["0", "1"])  # simulate partial run
+    out = runner.run(run_id="r2")
+    assert out["skipped"] == 2 and out["processed"] == 2
+    m = runner.metrics().where(F.col("run_id") == "r2")
+    # exactly one metrics row per partition — no double-processing
+    assert m.groupBy("part_id").count().where("count > 1").count() == 0
+    # second resume: nothing left
+    out2 = runner.run(run_id="r2")
+    assert out2["processed"] == 0 and out2["skipped"] == 4
+
+
+def test_run_incremental_snapshot(spark, table, tmp_path):
+    plan = _plan(spark, table)
+    runner = ValidationRunner(table, plan, str(tmp_path / "runs"))
+    runner.run(run_id="r3", snapshot_id=1)
+    more = documents_df(spark, 100, seed=78).drop("_vclass")
+    table.append_partitions(more, F.lit("7"))
+    out = runner.run(run_id="r3")  # resume over new snapshot
+    assert out["processed"] == 1  # only the new partition
+    got = {r["part_id"]: r["n_rows"] for r in runner.metrics()
+           .where(F.col("run_id") == "r3").collect()}
+    assert got["7"] == 100
+
+
+# -- streaming --------------------------------------------------------------
+
+
+@pytest.fixture()
+def stream_src(spark, tmp_path):
+    docs = documents_df(spark, 1000).drop("_vclass")
+    path = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path), docs
+
+
+def test_streaming_matches_batch(spark, stream_src, tmp_path):
+    stream, docs = stream_src
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    out = sv.validate_stream(stream, plan, mode="flag")
+    assert out.isStreaming
+    q = (out.groupBy("valid").count()
+         .writeStream.format("memory").queryName("t_sm")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["valid"]: r["count"]
+           for r in spark.sql("select * from t_sm").collect()}
+    expect = {r["valid"]: r["count"] for r in
+              plan.with_validation(docs, "flag").groupBy("valid")
+              .count().collect()}
+    assert got == expect
+
+
+def test_streaming_metrics_sink(spark, stream_src, tmp_path):
+    stream, docs = stream_src
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    runs = str(tmp_path / "runs")
+    q = sv.run_to_metrics(stream, plan, runs, "sr1",
+                          str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    m = spark.read.parquet(runs).collect()
+    assert sum(r["n_rows"] for r in m) == 1000
+    assert all(r["run_id"] == "sr1" for r in m)
+    assert all(r["part_id"].startswith("batch-") for r in m)
+    total_invalid = sum(r["n_invalid"] for r in m)
+    expect_invalid = plan.with_validation(docs, "flag") \
+        .where(~F.col("valid")).count()
+    assert total_invalid == expect_invalid
