@@ -32,7 +32,7 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 
 BENCH_QUERIES = [
     "val_events_flag", "val_docs_flag", "val_lineitem_flag",
-    "val_spans_flag", "val_events_violations",
+    "val_spans_flag", "val_events_violations", "val_json_props",
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
     "ks_events_value", "chisq_events_halves", "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",

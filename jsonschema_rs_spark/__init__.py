@@ -20,12 +20,16 @@ crates/jsonschema-py/python/jsonschema_rs/__init__.pyi):
 
 from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
 from jsonschema_rs_spark.compiler.compiler import compile_schema
+from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
+                                                  compile_json_schema)
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
 
 __all__ = [
     "compile_schema",
+    "compile_json_schema",
     "CompiledSchema",
+    "CompiledJsonSchema",
     "SchemaError",
     "ValidationOptions",
     "get_spark",

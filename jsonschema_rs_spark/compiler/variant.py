@@ -1,0 +1,619 @@
+"""Dynamic-JSON validation over Spark 4 VariantType.
+
+The typed-column compiler (compiler.py) covers tables whose schema is
+known; THIS module covers the reference's original data model — an
+arbitrary JSON document per row (crates/jsonschema/src/lib.rs: one
+serde_json::Value per validate call) — without ever leaving the JVM:
+
+    json string --try_parse_json--> variant
+    type dispatch   = schema_of_variant(v)        (per-row type string)
+    object recursion= try_variant_get(v,'$','map<string,variant>') + HOFs
+    array recursion = try_variant_get(v,'$','array<variant>') + HOFs
+    scalars         = try_variant_get(v,'$','double'/'string'/'boolean')
+
+Per-row JSON type semantics match draft 2020-12 (types.rs:186-204):
+integer ⊇ any number with zero fraction; 1 == 1.0 for const/enum/
+uniqueItems (ext/cmp.rs:46-107 equal_numbers).
+
+Reuses the Rule/Node machinery, so flag mode / verbose errors /
+violations() all work unchanged. Depth: recursion is compile-time
+unrolling; `$ref` cycles are bounded by options.max_ref_depth (beyond
+the bound the sub-schema is treated as `true`, documented deviation —
+the reference detects runtime cycles instead, validator.rs:34-52).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.compiler.nodes import (Node, Rule, concat_errors,
+                                                empty_errors, one_error)
+from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
+from jsonschema_rs_spark.regex.ecma import ecma_to_java
+from jsonschema_rs_spark.spec.model import meta_validate
+
+_NUMERIC_PREFIXES = ("BIGINT", "DECIMAL", "DOUBLE", "FLOAT", "INT",
+                     "SMALLINT", "TINYINT")
+
+
+# -- per-variant type predicates -------------------------------------------
+
+
+def _vtype(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_string(v: Column) -> Column:
+    return _vtype(v) == "STRING"
+
+
+def _is_boolean(v: Column) -> Column:
+    return _vtype(v) == "BOOLEAN"
+
+
+def _is_null(v: Column) -> Column:
+    return _vtype(v) == "VOID"
+
+
+def _is_object(v: Column) -> Column:
+    return _vtype(v).startswith("OBJECT")
+
+
+def _is_array(v: Column) -> Column:
+    return _vtype(v).startswith("ARRAY")
+
+
+def _is_number(v: Column) -> Column:
+    t = _vtype(v)
+    out = F.lit(False)
+    for p in _NUMERIC_PREFIXES:
+        out = out | t.startswith(p)
+    return out
+
+
+def _as_double(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "double")
+
+
+def _as_string(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def _as_map(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "map<string,variant>")
+
+
+def _as_array(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def _is_integer(v: Column) -> Column:
+    # draft 2020-12: integer == number with zero fraction (types.rs:186-204)
+    d = _as_double(v)
+    return _is_number(v) & (d == F.floor(d))
+
+
+_TYPE_PREDS = {
+    "null": _is_null,
+    "boolean": _is_boolean,
+    "string": _is_string,
+    "number": _is_number,
+    "integer": _is_integer,
+    "object": _is_object,
+    "array": _is_array,
+}
+
+
+def _canonical(v: Column) -> Column:
+    """Canonical scalar-aware serialization for equality: numbers via
+    double (so 1 == 1.0), everything else via JSON text. Composite
+    equality is serialization-based — exact for identical documents,
+    which is the uniqueItems case that matters."""
+    return F.when(_is_number(v), F.concat(F.lit("n:"),
+                                          _as_double(v).cast("string"))) \
+        .otherwise(F.concat(F.lit("j:"), F.coalesce(_as_string(v),
+                                                    F.lit("\x00"))))
+
+
+# -- const / enum: compile the literal into a structural predicate ---------
+
+
+def _const_pred(value: Any, v: Column) -> Column:
+    if value is None:
+        return _is_null(v)
+    if isinstance(value, bool):
+        return _is_boolean(v) & (F.try_variant_get(v, "$", "boolean")
+                                 == F.lit(value))
+    if isinstance(value, (int, float)):
+        return _is_number(v) & (_as_double(v) == F.lit(float(value)))
+    if isinstance(value, str):
+        return _is_string(v) & (_as_string(v) == F.lit(value))
+    if isinstance(value, list):
+        a = _as_array(v)
+        p = _is_array(v) & (F.size(a) == len(value))
+        for i, item in enumerate(value):
+            p = p & F.coalesce(_const_pred(item, F.try_element_at(a, F.lit(i + 1))),
+                               F.lit(False))
+        return p
+    if isinstance(value, dict):
+        m = _as_map(v)
+        p = _is_object(v) & (F.size(F.map_keys(m)) == len(value))
+        for k, item in value.items():
+            p = p & F.coalesce(_const_pred(item, F.try_element_at(m, F.lit(k))),
+                               F.lit(False))
+        return p
+    raise SchemaError(f"unsupported const {type(value)}")
+
+
+# -- the compiler -----------------------------------------------------------
+
+
+class VariantCompileContext:
+    def __init__(self, root: Any, options: ValidationOptions):
+        self.root = root
+        self.options = options
+        self._ref_depth: dict[str, int] = {}
+
+    def regex(self, pattern: str) -> str:
+        return ecma_to_java(pattern)
+
+    def resolve_ref(self, ref: str) -> Any:
+        if ref == "#":
+            return self.root
+        if not ref.startswith("#/"):
+            raise SchemaError(f"only local refs supported, got {ref!r}", "$ref")
+        node = self.root
+        for tok in ref[2:].split("/"):
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, dict) and tok in node:
+                node = node[tok]
+            elif isinstance(node, list) and tok.isdigit():
+                node = node[int(tok)]
+            else:
+                raise SchemaError(f"unresolvable $ref {ref!r}", "$ref")
+        return node
+
+
+def compile_variant(schema: Any, ctx: VariantCompileContext,
+                    sp: str = "") -> Node:
+    if schema is True or schema == {}:
+        return Node([])
+    if schema is False:
+        return Node([Rule("false", sp, "schema is false",
+                          lambda c: F.lit(False), priority=0)])
+    if not isinstance(schema, dict):
+        raise SchemaError("schema must be bool or object", sp)
+
+    rules: list[Rule] = []
+    add = rules.append
+
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        depth = ctx._ref_depth.get(ref, 0)
+        if depth < ctx.options.max_ref_depth:
+            ctx._ref_depth[ref] = depth + 1
+            try:
+                sub = compile_variant(ctx.resolve_ref(ref), ctx, sp + "/$ref")
+                rules.extend(sub.rules)
+            finally:
+                ctx._ref_depth[ref] = depth
+
+    if "type" in schema:
+        ts = schema["type"]
+        ts = [ts] if isinstance(ts, str) else ts
+        for t in ts:
+            if t not in _TYPE_PREDS:
+                raise SchemaError(f"unknown type {t!r}", sp + "/type")
+
+        def type_pred(v: Column, ts=tuple(ts)) -> Column:
+            out = F.lit(False)
+            for t in ts:
+                out = out | _TYPE_PREDS[t](v)
+            return out
+
+        add(Rule("type", sp + "/type", f"not of type {ts}", type_pred,
+                 priority=1))
+
+    if "const" in schema:
+        c = schema["const"]
+        add(Rule("const", sp + "/const", "not equal to const",
+                 lambda v, c=c: _const_pred(c, v), priority=2))
+    if "enum" in schema:
+        vals = schema["enum"]
+
+        def enum_pred(v: Column, vals=tuple(vals)) -> Column:
+            out = F.lit(False)
+            for val in vals:
+                out = out | F.coalesce(_const_pred(val, v), F.lit(False))
+            return out
+
+        add(Rule("enum", sp + "/enum", "value not in enum", enum_pred,
+                 priority=2))
+
+    # numeric keywords: non-numbers pass (minmax.rs semantics)
+    for kw, op in [("minimum", lambda d, lim: d >= lim),
+                   ("maximum", lambda d, lim: d <= lim),
+                   ("exclusiveMinimum", lambda d, lim: d > lim),
+                   ("exclusiveMaximum", lambda d, lim: d < lim)]:
+        if kw in schema:
+            lim = float(schema[kw])
+
+            def num_pred(v: Column, op=op, lim=lim) -> Column:
+                return ~_is_number(v) | op(_as_double(v), F.lit(lim))
+
+            add(Rule(kw, f"{sp}/{kw}", f"violates {kw} {lim}", num_pred,
+                     priority=3))
+    if "multipleOf" in schema:
+        m = float(schema["multipleOf"])
+
+        def mult_pred(v: Column, m=m) -> Column:
+            q = _as_double(v) / m
+            return ~_is_number(v) | (q == F.floor(q))
+
+        add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
+                 mult_pred, priority=3))
+
+    # string keywords: non-strings pass
+    if "minLength" in schema:
+        n = int(schema["minLength"])
+        add(Rule("minLength", sp + "/minLength", "too short",
+                 lambda v, n=n: ~_is_string(v) | (F.length(_as_string(v)) >= n),
+                 priority=4))
+    if "maxLength" in schema:
+        n = int(schema["maxLength"])
+        add(Rule("maxLength", sp + "/maxLength", "too long",
+                 lambda v, n=n: ~_is_string(v) | (F.length(_as_string(v)) <= n),
+                 priority=4))
+    if "pattern" in schema:
+        pat = ctx.regex(schema["pattern"])
+        add(Rule("pattern", sp + "/pattern", "does not match pattern",
+                 lambda v, pat=pat: ~_is_string(v) | _as_string(v).rlike(pat),
+                 priority=6))
+
+    rules += _object_rules(schema, ctx, sp)
+    rules += _array_rules(schema, ctx, sp)
+    rules += _composition_rules(schema, ctx, sp)
+    return Node(rules)
+
+
+def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
+    rules: list[Rule] = []
+
+    if "required" in schema:
+        names = list(schema["required"])
+
+        def req_pred(v: Column, names=tuple(names)) -> Column:
+            m = _as_map(v)
+            out = F.lit(True)
+            for nm in names:
+                out = out & F.try_element_at(m, F.lit(nm)).isNotNull()
+            return ~_is_object(v) | out
+
+        rules.append(Rule("required", sp + "/required",
+                          "missing required property", req_pred, priority=5))
+
+    if "properties" in schema:
+        for k, sub in schema["properties"].items():
+            node = compile_variant(sub, ctx, f"{sp}/properties/{k}")
+            if not node.rules:
+                continue
+
+            def prop_pred(v: Column, node=node, k=k) -> Column:
+                # element_at → SQL NULL when absent; Rule's null guard in
+                # node.valid treats each sub-rule's null as pass, so wrap:
+                val = F.try_element_at(_as_map(v), F.lit(k))
+                return ~_is_object(v) | F.when(val.isNull(), F.lit(True)) \
+                    .otherwise(node.valid(val))
+
+            def prop_errs(v: Column, path: Column, node=node, k=k) -> Column:
+                val = F.try_element_at(_as_map(v), F.lit(k))
+                sub_path = F.concat(path, F.lit("/" + k))
+                return F.when(~_is_object(v) | val.isNull(), empty_errors()) \
+                    .otherwise(node.errors(val, sub_path))
+
+            rules.append(Rule("properties", f"{sp}/properties/{k}",
+                              f"property {k!r} invalid", prop_pred,
+                              errors_fn=prop_errs, priority=10))
+
+    if "patternProperties" in schema:
+        for pat, sub in schema["patternProperties"].items():
+            jpat = ctx.regex(pat)
+            node = compile_variant(sub, ctx, f"{sp}/patternProperties/{pat}")
+
+            def pp_pred(v: Column, node=node, jpat=jpat) -> Column:
+                m = _as_map(v)
+                return ~_is_object(v) | F.forall(
+                    F.map_entries(m),
+                    lambda e: F.when(e["key"].rlike(jpat),
+                                     node.valid(e["value"]))
+                    .otherwise(F.lit(True)))
+
+            rules.append(Rule("patternProperties",
+                              f"{sp}/patternProperties/{pat}",
+                              f"patternProperties {pat!r} invalid", pp_pred,
+                              priority=11))
+
+    if "additionalProperties" in schema:
+        ap = schema["additionalProperties"]
+        known = tuple(schema.get("properties", {}).keys())
+        pats = tuple(ctx.regex(p)
+                     for p in schema.get("patternProperties", {}).keys())
+
+        def matched(k: Column) -> Column:
+            out = k.isin(*known) if known else F.lit(False)
+            for p in pats:
+                out = out | k.rlike(p)
+            return out
+
+        if ap is False:
+            def ap_pred(v: Column) -> Column:
+                return ~_is_object(v) | F.forall(F.map_keys(_as_map(v)),
+                                                 matched)
+
+            rules.append(Rule("additionalProperties",
+                              sp + "/additionalProperties",
+                              "additional properties not allowed", ap_pred,
+                              priority=12))
+        elif isinstance(ap, dict) and ap != {}:
+            node = compile_variant(ap, ctx, sp + "/additionalProperties")
+
+            def ap_schema_pred(v: Column, node=node) -> Column:
+                return ~_is_object(v) | F.forall(
+                    F.map_entries(_as_map(v)),
+                    lambda e: F.when(matched(e["key"]), F.lit(True))
+                    .otherwise(node.valid(e["value"])))
+
+            rules.append(Rule("additionalProperties",
+                              sp + "/additionalProperties",
+                              "additional property invalid", ap_schema_pred,
+                              priority=12))
+
+    if "propertyNames" in schema:
+        node = compile_variant(schema["propertyNames"], ctx,
+                               sp + "/propertyNames")
+
+        def pn_pred(v: Column, node=node) -> Column:
+            # lift each key (plain string) into a variant so the compiled
+            # sub-node applies: to_json(array(k)) gives '["<escaped>"]'
+            return ~_is_object(v) | F.forall(
+                F.map_keys(_as_map(v)),
+                lambda k: node.valid(F.try_element_at(
+                    _as_array(F.try_parse_json(F.to_json(F.array(k)))), F.lit(1))))
+
+        rules.append(Rule("propertyNames", sp + "/propertyNames",
+                          "property name invalid", pn_pred, priority=12))
+
+    if "minProperties" in schema:
+        n = int(schema["minProperties"])
+        rules.append(Rule(
+            "minProperties", sp + "/minProperties", "too few properties",
+            lambda v, n=n: ~_is_object(v)
+            | (F.size(F.map_keys(_as_map(v))) >= n), priority=5))
+    if "maxProperties" in schema:
+        n = int(schema["maxProperties"])
+        rules.append(Rule(
+            "maxProperties", sp + "/maxProperties", "too many properties",
+            lambda v, n=n: ~_is_object(v)
+            | (F.size(F.map_keys(_as_map(v))) <= n), priority=5))
+
+    if "dependentRequired" in schema:
+        for k, needs in schema["dependentRequired"].items():
+            def dep_pred(v: Column, k=k, needs=tuple(needs)) -> Column:
+                m = _as_map(v)
+                present = F.try_element_at(m, F.lit(k)).isNotNull()
+                out = F.lit(True)
+                for nm in needs:
+                    out = out & F.try_element_at(m, F.lit(nm)).isNotNull()
+                return ~_is_object(v) | ~present | out
+
+            rules.append(Rule("dependentRequired",
+                              f"{sp}/dependentRequired/{k}",
+                              f"dependentRequired for {k!r} unmet", dep_pred,
+                              priority=6))
+    return rules
+
+
+def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
+    rules: list[Rule] = []
+
+    if "minItems" in schema:
+        n = int(schema["minItems"])
+        rules.append(Rule("minItems", sp + "/minItems", "too few items",
+                          lambda v, n=n: ~_is_array(v)
+                          | (F.size(_as_array(v)) >= n), priority=5))
+    if "maxItems" in schema:
+        n = int(schema["maxItems"])
+        rules.append(Rule("maxItems", sp + "/maxItems", "too many items",
+                          lambda v, n=n: ~_is_array(v)
+                          | (F.size(_as_array(v)) <= n), priority=5))
+
+    prefix = schema.get("prefixItems")
+    if prefix:
+        for i, sub in enumerate(prefix):
+            node = compile_variant(sub, ctx, f"{sp}/prefixItems/{i}")
+            if not node.rules:
+                continue
+
+            def pi_pred(v: Column, node=node, i=i) -> Column:
+                el = F.try_element_at(_as_array(v), F.lit(i + 1))
+                return ~_is_array(v) | F.when(el.isNull(), F.lit(True)) \
+                    .otherwise(node.valid(el))
+
+            rules.append(Rule("prefixItems", f"{sp}/prefixItems/{i}",
+                              f"prefix item {i} invalid", pi_pred,
+                              priority=13))
+
+    if "items" in schema:
+        sub = schema["items"]
+        start = len(prefix) if prefix else 0
+        if sub is False:
+            rules.append(Rule(
+                "items", sp + "/items", "no items beyond prefix allowed",
+                lambda v, start=start: ~_is_array(v)
+                | (F.size(_as_array(v)) <= start), priority=13))
+        else:
+            node = compile_variant(sub, ctx, sp + "/items")
+            if node.rules:
+                def items_pred(v: Column, node=node, start=start) -> Column:
+                    a = _as_array(v)
+                    tail = F.slice(a, start + 1,
+                                   F.greatest(F.size(a) - start, F.lit(0))) \
+                        if start else a
+                    return ~_is_array(v) | F.forall(tail, node.valid)
+
+                rules.append(Rule("items", sp + "/items", "item invalid",
+                                  items_pred, priority=13))
+
+    if "contains" in schema:
+        node = compile_variant(schema["contains"], ctx, sp + "/contains")
+        lo = int(schema.get("minContains", 1))
+        hi = schema.get("maxContains")
+
+        def contains_pred(v: Column, node=node, lo=lo, hi=hi) -> Column:
+            n = F.size(F.filter(_as_array(v),
+                                lambda x: F.coalesce(node.valid(x),
+                                                     F.lit(False))))
+            ok = n >= lo
+            if hi is not None:
+                ok = ok & (n <= int(hi))
+            return ~_is_array(v) | ok
+
+        rules.append(Rule("contains", sp + "/contains",
+                          "contains count out of bounds", contains_pred,
+                          priority=14))
+
+    if schema.get("uniqueItems") is True:
+        def uniq_pred(v: Column) -> Column:
+            canon = F.transform(_as_array(v), _canonical)
+            return ~_is_array(v) | (F.size(F.array_distinct(canon))
+                                    == F.size(canon))
+
+        rules.append(Rule("uniqueItems", sp + "/uniqueItems",
+                          "items not unique", uniq_pred, priority=15))
+    return rules
+
+
+def _composition_rules(schema: dict, ctx, sp: str) -> list[Rule]:
+    rules: list[Rule] = []
+
+    if "allOf" in schema:
+        nodes = [compile_variant(s, ctx, f"{sp}/allOf/{i}")
+                 for i, s in enumerate(schema["allOf"])]
+
+        def all_pred(v: Column, nodes=tuple(nodes)) -> Column:
+            out = F.lit(True)
+            for nd in nodes:
+                out = out & F.coalesce(nd.valid(v), F.lit(False))
+            return out
+
+        def all_errs(v: Column, path: Column, nodes=tuple(nodes)) -> Column:
+            return concat_errors([nd.errors(v, path) for nd in nodes])
+
+        rules.append(Rule("allOf", sp + "/allOf", "allOf failed", all_pred,
+                          errors_fn=all_errs, priority=20))
+    if "anyOf" in schema:
+        nodes = [compile_variant(s, ctx, f"{sp}/anyOf/{i}")
+                 for i, s in enumerate(schema["anyOf"])]
+
+        def any_pred(v: Column, nodes=tuple(nodes)) -> Column:
+            out = F.lit(False)
+            for nd in nodes:
+                out = out | F.coalesce(nd.valid(v), F.lit(False))
+            return out
+
+        rules.append(Rule("anyOf", sp + "/anyOf", "no anyOf branch matched",
+                          any_pred, priority=21))
+    if "oneOf" in schema:
+        nodes = [compile_variant(s, ctx, f"{sp}/oneOf/{i}")
+                 for i, s in enumerate(schema["oneOf"])]
+
+        def one_pred(v: Column, nodes=tuple(nodes)) -> Column:
+            total = F.lit(0)
+            for nd in nodes:
+                total = total + F.coalesce(nd.valid(v), F.lit(False)) \
+                    .cast("int")
+            return total == 1
+
+        rules.append(Rule("oneOf", sp + "/oneOf",
+                          "not exactly one oneOf branch", one_pred,
+                          priority=21))
+    if "not" in schema:
+        node = compile_variant(schema["not"], ctx, sp + "/not")
+        rules.append(Rule("not", sp + "/not", "must not match",
+                          lambda v, node=node:
+                          ~F.coalesce(node.valid(v), F.lit(False)),
+                          priority=21))
+    if "if" in schema:
+        if_node = compile_variant(schema["if"], ctx, sp + "/if")
+        then_node = compile_variant(schema.get("then", True), ctx,
+                                    sp + "/then")
+        else_node = compile_variant(schema.get("else", True), ctx,
+                                    sp + "/else")
+
+        def ite_pred(v: Column) -> Column:
+            return F.when(F.coalesce(if_node.valid(v), F.lit(False)),
+                          F.coalesce(then_node.valid(v), F.lit(True))) \
+                .otherwise(F.coalesce(else_node.valid(v), F.lit(True)))
+
+        rules.append(Rule("if", sp + "/if", "conditional failed", ite_pred,
+                          priority=22))
+    return rules
+
+
+# -- public API -------------------------------------------------------------
+
+
+class CompiledJsonSchema:
+    """Validator for a JSON-string column. Unparseable JSON is invalid
+    (keyword 'json'), mirroring the reference CLI's behavior on malformed
+    instance documents."""
+
+    def __init__(self, schema: Any,
+                 options: ValidationOptions | None = None):
+        options = options or ValidationOptions()
+        meta_validate(schema)
+        ctx = VariantCompileContext(schema, options)
+        self.node = compile_variant(schema, ctx, "")
+        self.options = options
+
+    def valid_column(self, json_col: Column) -> Column:
+        v = F.try_parse_json(json_col)
+        return F.when(json_col.isNull(), F.lit(True)) \
+            .when(v.isNull(), F.lit(False)) \
+            .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+
+    def errors_column(self, json_col: Column) -> Column:
+        v = F.try_parse_json(json_col)
+        return F.when(json_col.isNull(), empty_errors()) \
+            .when(v.isNull(),
+                  one_error(F.lit(""), "", "json", "invalid JSON document")) \
+            .otherwise(self.node.errors(v, F.lit("")))
+
+    def with_validation(self, df: DataFrame, json_col: str,
+                        mode: str = "flag") -> DataFrame:
+        # stage the parsed variant once (projection barrier): every rule
+        # references the staged column instead of re-running the parse —
+        # same staging discipline as the dedup/text operators
+        staged = df.withColumn("__v", F.try_parse_json(F.col(json_col)))
+        jc, v = F.col(json_col), F.col("__v")
+        if mode == "flag":
+            valid = F.when(jc.isNull(), F.lit(True)) \
+                .when(v.isNull(), F.lit(False)) \
+                .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+            return staged.withColumn("valid", valid).drop("__v")
+        errs = F.when(jc.isNull(), empty_errors()) \
+            .when(v.isNull(),
+                  one_error(F.lit(""), "", "json", "invalid JSON document")) \
+            .otherwise(self.node.errors(v, F.lit("")))
+        out = staged.withColumn("errors", errs).drop("__v")
+        return out.withColumn("valid", F.size("errors") == 0)
+
+
+def compile_json_schema(schema: Any,
+                        options: ValidationOptions | None = None
+                        ) -> CompiledJsonSchema:
+    return CompiledJsonSchema(schema, options)

@@ -94,6 +94,25 @@ SELECT l_returnflag, count(*) AS n_rows,
 FROM lineitem GROUP BY l_returnflag
 """
 
+# dynamic JSON via DuckDB's JSON functions; mirrors the variant compiler's
+# semantics: required presence, integer = number with zero fraction,
+# bounds pass for non-numbers (but type already failed them)
+VAL_JSON_PROPS = """
+SELECT event_id,
+ (props IS NULL OR
+  (json_valid(props) AND json_type(props) = 'OBJECT'
+   AND json_extract(props, '$.k') IS NOT NULL
+   AND (json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        OR (json_type(props, '$.k') = 'DOUBLE'
+            AND CAST(json_extract(props, '$.k') AS DOUBLE)
+                = floor(CAST(json_extract(props, '$.k') AS DOUBLE))))
+   AND (json_type(props, '$.k') NOT IN ('BIGINT','UBIGINT','DOUBLE')
+        OR (CAST(json_extract(props, '$.k') AS DOUBLE) >= 0
+            AND CAST(json_extract(props, '$.k') AS DOUBLE) <= 50))))
+ AS valid
+FROM events
+"""
+
 # spans derived from documents.text: token i (0-based) → span; every 5th is
 # an image. Mirrors queries.derived_spans_df exactly.
 _SPANS_CTE = """
@@ -406,6 +425,7 @@ ORACLES = {
     "val_events_violations": VAL_EVENTS_VIOLATIONS,
     "val_docs_flag": VAL_DOCS_FLAG,
     "val_docs_summary": VAL_DOCS_SUMMARY,
+    "val_json_props": VAL_JSON_PROPS,
     "val_lineitem_flag": VAL_LINEITEM_FLAG,
     "val_spans_flag": VAL_SPANS_FLAG,
     "val_spans_violations": VAL_SPANS_VIOLATIONS,

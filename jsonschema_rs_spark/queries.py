@@ -103,6 +103,24 @@ def val_lineitem_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROPS_JSON_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+}
+
+
+def val_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON path: validate the events.props JSON-string column
+    through the VariantType compiler (per-row JSON type semantics)."""
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+    ev = _read(spark, sf_dir, "events")
+    plan = compile_json_schema(PROPS_JSON_SCHEMA)
+    return plan.with_validation(ev, "props", mode="flag") \
+        .select("event_id", "valid")
+
+
 # ---------------------------------------------------------------------------
 # validation: derived interleaved spans (array applicators — the north-rule
 # document shape, derived deterministically from documents.text so the
@@ -329,6 +347,7 @@ QUERIES = {
     "val_docs_flag": val_docs_flag,
     "val_docs_summary": val_docs_summary,
     "val_lineitem_flag": val_lineitem_flag,
+    "val_json_props": val_json_props,
     "val_spans_flag": val_spans_flag,
     "val_spans_violations": val_spans_violations,
     "stats_documents": stats_documents,
