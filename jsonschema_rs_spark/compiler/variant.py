@@ -277,6 +277,7 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
     rules += _object_rules(schema, ctx, sp)
     rules += _array_rules(schema, ctx, sp)
     rules += _composition_rules(schema, ctx, sp)
+    rules += _unevaluated_rules(schema, ctx, sp)
     return Node(rules)
 
 
@@ -494,6 +495,179 @@ def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
 
         rules.append(Rule("uniqueItems", sp + "/uniqueItems",
                           "items not unique", uniq_pred, priority=15))
+    return rules
+
+
+# -- unevaluatedProperties / unevaluatedItems -------------------------------
+#
+# The reference walks sibling and in-place-applicator schemas at compile
+# time and tracks evaluation dynamically at runtime
+# (keywords/unevaluated_properties.rs:223-554, unevaluated_items.rs:218-509).
+# Here the same dynamic semantics compile to Column logic: a key/index is
+# "evaluated" by an applicator branch only when that branch VALIDATES the
+# instance — `branch.valid(v) & branch_coverage(key)` — so annotations
+# from failed branches don't count, exactly per 2020-12.
+
+
+def _key_coverage(schema: Any, ctx):
+    """fn(v, key) -> Column: key is evaluated by this schema's property
+    applicators (dynamic, validity-conditioned for in-place branches)."""
+    if not isinstance(schema, dict):
+        return lambda v, k: F.lit(False)
+    parts = []
+    names = tuple(schema.get("properties", {}).keys())
+    if names:
+        parts.append(lambda v, k, names=names: k.isin(*names))
+    for p in schema.get("patternProperties", {}):
+        jp = ctx.regex(p)
+        parts.append(lambda v, k, jp=jp: k.rlike(jp))
+    if "additionalProperties" in schema or "unevaluatedProperties" in schema:
+        # either one (any form, even `false`) claims every key
+        parts.append(lambda v, k: F.lit(True))
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in schema.get(kw, []) or []:
+            node = compile_variant(sub, ctx, "/__cov")
+            cov = _key_coverage(sub, ctx)
+            parts.append(
+                lambda v, k, node=node, cov=cov:
+                F.coalesce(node.valid(v), F.lit(False)) & cov(v, k))
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        depth = ctx._ref_depth.get("cov:" + ref, 0)
+        if depth < ctx.options.max_ref_depth:
+            ctx._ref_depth["cov:" + ref] = depth + 1
+            try:
+                cov = _key_coverage(ctx.resolve_ref(ref), ctx)
+                parts.append(cov)
+            finally:
+                ctx._ref_depth["cov:" + ref] = depth
+    if "if" in schema:
+        if_node = compile_variant(schema["if"], ctx, "/__cov")
+        if_cov = _key_coverage(schema["if"], ctx)
+        then_cov = _key_coverage(schema.get("then", {}), ctx)
+        else_cov = _key_coverage(schema.get("else", {}), ctx)
+
+        def ite_cov(v, k):
+            ok = F.coalesce(if_node.valid(v), F.lit(False))
+            return F.when(ok, if_cov(v, k) | then_cov(v, k)) \
+                .otherwise(else_cov(v, k))
+
+        parts.append(ite_cov)
+    if "dependentSchemas" in schema:
+        for dk, sub in schema["dependentSchemas"].items():
+            cov = _key_coverage(sub, ctx)
+            parts.append(
+                lambda v, k, dk=dk, cov=cov:
+                F.try_element_at(_as_map(v), F.lit(dk)).isNotNull()
+                & cov(v, k))
+
+    def combined(v: Column, k: Column) -> Column:
+        out = F.lit(False)
+        for p in parts:
+            out = out | F.coalesce(p(v, k), F.lit(False))
+        return out
+
+    return combined
+
+
+def _index_coverage(schema: Any, ctx):
+    """fn(v, idx0, el) -> Column: array element (0-based idx) is evaluated
+    by this schema's array applicators."""
+    if not isinstance(schema, dict):
+        return lambda v, i, el: F.lit(False)
+    parts = []
+    prefix = schema.get("prefixItems")
+    if prefix:
+        n = len(prefix)
+        parts.append(lambda v, i, el, n=n: i < n)
+    if "items" in schema or "unevaluatedItems" in schema \
+            or "additionalItems" in schema:
+        parts.append(lambda v, i, el: F.lit(True))
+    if "contains" in schema:
+        cnode = compile_variant(schema["contains"], ctx, "/__cov")
+        parts.append(lambda v, i, el, cnode=cnode:
+                     F.coalesce(cnode.valid(el), F.lit(False)))
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in schema.get(kw, []) or []:
+            node = compile_variant(sub, ctx, "/__cov")
+            cov = _index_coverage(sub, ctx)
+            parts.append(
+                lambda v, i, el, node=node, cov=cov:
+                F.coalesce(node.valid(v), F.lit(False)) & cov(v, i, el))
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        depth = ctx._ref_depth.get("icov:" + ref, 0)
+        if depth < ctx.options.max_ref_depth:
+            ctx._ref_depth["icov:" + ref] = depth + 1
+            try:
+                parts.append(_index_coverage(ctx.resolve_ref(ref), ctx))
+            finally:
+                ctx._ref_depth["icov:" + ref] = depth
+    if "if" in schema:
+        if_node = compile_variant(schema["if"], ctx, "/__cov")
+        if_cov = _index_coverage(schema["if"], ctx)
+        then_cov = _index_coverage(schema.get("then", {}), ctx)
+        else_cov = _index_coverage(schema.get("else", {}), ctx)
+
+        def ite_cov(v, i, el):
+            ok = F.coalesce(if_node.valid(v), F.lit(False))
+            return F.when(ok, if_cov(v, i, el) | then_cov(v, i, el)) \
+                .otherwise(else_cov(v, i, el))
+
+        parts.append(ite_cov)
+
+    def combined(v: Column, i: Column, el: Column) -> Column:
+        out = F.lit(False)
+        for p in parts:
+            out = out | F.coalesce(p(v, i, el), F.lit(False))
+        return out
+
+    return combined
+
+
+def _unevaluated_rules(schema: dict, ctx, sp: str) -> list[Rule]:
+    rules: list[Rule] = []
+    if "unevaluatedProperties" in schema:
+        up = schema["unevaluatedProperties"]
+        sibling = dict(schema)
+        sibling.pop("unevaluatedProperties")
+        cov = _key_coverage(sibling, ctx)
+        node = None if up is False else compile_variant(
+            up, ctx, sp + "/unevaluatedProperties")
+
+        def up_pred(v: Column, cov=cov, node=node) -> Column:
+            def entry_ok(e):
+                ok = cov(v, e["key"])
+                if node is not None:
+                    ok = ok | F.coalesce(node.valid(e["value"]), F.lit(False))
+                return ok
+            return ~_is_object(v) | F.forall(F.map_entries(_as_map(v)),
+                                             entry_ok)
+
+        rules.append(Rule("unevaluatedProperties",
+                          sp + "/unevaluatedProperties",
+                          "unevaluated properties present", up_pred,
+                          priority=30))
+    if "unevaluatedItems" in schema:
+        ui = schema["unevaluatedItems"]
+        sibling = dict(schema)
+        sibling.pop("unevaluatedItems")
+        icov = _index_coverage(sibling, ctx)
+        node = None if ui is False else compile_variant(
+            ui, ctx, sp + "/unevaluatedItems")
+
+        def ui_pred(v: Column, icov=icov, node=node) -> Column:
+            def el_ok(el, i):
+                ok = icov(v, i, el)
+                if node is not None:
+                    ok = ok | F.coalesce(node.valid(el), F.lit(False))
+                return ok
+            checks = F.transform(_as_array(v), el_ok)
+            return ~_is_array(v) | F.forall(checks, lambda b: b)
+
+        rules.append(Rule("unevaluatedItems", sp + "/unevaluatedItems",
+                          "unevaluated items present", ui_pred,
+                          priority=30))
     return rules
 
 

@@ -198,3 +198,52 @@ def test_events_props_column(spark):
     rows = v.select("props", "valid").collect()
     for r in rows:
         assert r["valid"] == ov.is_valid(json.loads(r["props"]))
+
+
+def test_unevaluated_properties_parity(spark):
+    docs = ['{"a": 1}', '{"a": 1, "b": 2}', '{"a": 1, "z": 9}',
+            '{"b": "s"}', '{}', '{"a": 1, "b": 2, "c": 3}',
+            '{"num1": 5}', '{"num1": 5, "other": 1}']
+    assert_parity(spark, docs, {
+        "properties": {"a": {"type": "integer"}},
+        "unevaluatedProperties": False})
+    assert_parity(spark, docs, {
+        "properties": {"a": {"type": "integer"}},
+        "unevaluatedProperties": {"type": "integer"}})
+    assert_parity(spark, docs, {
+        "allOf": [{"properties": {"a": {}}},
+                  {"properties": {"b": {}}}],
+        "unevaluatedProperties": False})
+    assert_parity(spark, docs, {
+        "anyOf": [{"required": ["a"], "properties": {"a": {}, "b": {}}},
+                  {"required": ["num1"], "properties": {"num1": {}}}],
+        "unevaluatedProperties": False})
+    assert_parity(spark, docs, {
+        "if": {"required": ["a"]},
+        "then": {"properties": {"a": {}, "b": {}}},
+        "else": {"properties": {"b": {}}},
+        "unevaluatedProperties": False})
+    assert_parity(spark, docs, {
+        "patternProperties": {"^num": {}},
+        "unevaluatedProperties": False})
+
+
+def test_unevaluated_items_parity(spark):
+    docs = ['[]', '[1]', '[1, 2]', '[1, "s"]', '["s", 1]',
+            '[1, 2, 3, 4]', '["a", "b"]']
+    assert_parity(spark, docs, {
+        "prefixItems": [{"type": "integer"}],
+        "unevaluatedItems": False})
+    assert_parity(spark, docs, {
+        "prefixItems": [{"type": "integer"}],
+        "unevaluatedItems": {"type": "string"}})
+    assert_parity(spark, docs, {
+        "contains": {"type": "string"},
+        "unevaluatedItems": False})
+    assert_parity(spark, docs, {
+        "allOf": [{"prefixItems": [{}, {}]}],
+        "unevaluatedItems": False})
+    assert_parity(spark, docs, {
+        "anyOf": [{"items": {"type": "integer"}},
+                  {"prefixItems": [{"type": "string"}]}],
+        "unevaluatedItems": False})
