@@ -74,6 +74,36 @@ def validate_flagship(spark, n_docs: int) -> float:
     return time.perf_counter() - t0
 
 
+def verdict_parity(spark, n: int) -> dict:
+    """Per-row verdict parity vs the Python `jsonschema` oracle on a
+    deterministic sample — the report's violation-parity evidence
+    (SURVEY.md §7 M6). Sampled because the pure-Python oracle does
+    ~10k docs/s/core; the engine's verdicts are what's being audited."""
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.datagen import documents_df
+    from jsonschema_rs_spark.docspec import (DOC_SPEC_FULL, DOC_SPEC_JSON,
+                                             default_options)
+    from jsonschema_rs_spark.oracle import clean, oracle_verdicts
+
+    docs = documents_df(spark, n).drop("_vclass")
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    rows = plan.with_validation(docs, mode="flag").collect()
+    # oracle sees the JSON-Schema-expressible spec (custom span-order
+    # keyword excluded) + the order invariant re-checked in Python
+    instances = [clean(r.asDict(recursive=True)) for r in rows]
+    for inst in instances:
+        inst.pop("valid", None)
+    want = oracle_verdicts(instances, DOC_SPEC_JSON)
+    for i, inst in enumerate(instances):
+        offs = [s.get("offset") for s in inst.get("spans", [])]
+        if any(b is None or a is None or b <= a
+               for a, b in zip(offs, offs[1:])):
+            want[i] = False
+    got = [r["valid"] for r in rows]
+    matches = sum(g == w for g, w in zip(got, want))
+    return {"n": n, "matches": matches, "match_rate": round(matches / n, 6)}
+
+
 def main() -> None:
     from jsonschema_rs_spark.queries import QUERIES
     from jsonschema_rs_spark.session import get_spark
@@ -97,6 +127,7 @@ def main() -> None:
     t_flag = validate_flagship(spark, N_DOCS)
     timings["validate_interleaved"] = round(t_flag, 4)
     docs_per_sec = N_DOCS / t_flag
+    parity = verdict_parity(spark, 5000)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -110,6 +141,7 @@ def main() -> None:
         "docs_per_sec": round(docs_per_sec),
         "n_docs": N_DOCS,
         "cpus": CPUS,
+        "verdict_parity": parity,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

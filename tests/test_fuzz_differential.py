@@ -1,0 +1,97 @@
+"""Fuzz-style differential testing of the dynamic-JSON validator.
+
+Mirrors the reference's fuzz targets (fuzz/fuzz_targets/validation.rs):
+seeded random JSON documents x a corpus of keyword-combination schemas,
+every verdict compared against the Python `jsonschema` oracle in one
+Spark job per schema (per-example Spark actions would be 1000x slower).
+"""
+
+import json
+import random
+
+import pytest
+
+from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+
+def gen_value(rng: random.Random, depth: int = 0):
+    kinds = ["int", "float", "str", "bool", "null"]
+    if depth < 3:
+        kinds += ["arr", "obj", "arr", "obj"]
+    k = rng.choice(kinds)
+    if k == "int":
+        return rng.choice([0, 1, -1, 5, 7, 10, 42, 100, -100])
+    if k == "float":
+        return rng.choice([0.0, 1.0, 2.5, -1.5, 10.0, 3.14, 1e3])
+    if k == "str":
+        n = rng.randint(0, 12)
+        return "".join(rng.choice("abcXYZ019 _-") for _ in range(n))
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "null":
+        return None
+    if k == "arr":
+        return [gen_value(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+    keys = ["a", "b", "c", "num1", "x-y", "Z", ""]
+    return {rng.choice(keys): gen_value(rng, depth + 1)
+            for _ in range(rng.randint(0, 4))}
+
+
+SCHEMAS = [
+    {"type": "integer", "minimum": 0, "maximum": 50},
+    {"type": ["string", "number"], "minLength": 2, "multipleOf": 2.5},
+    {"enum": [1, 1.5, "abc", [1, 2], {"a": 1}, None, True]},
+    {"const": {"a": [1, 2.0]}},
+    {"type": "object", "required": ["a"],
+     "properties": {"a": {"type": "integer", "exclusiveMinimum": 0},
+                    "b": {"type": "array", "items": {"type": "string"}}},
+     "additionalProperties": False},
+    {"type": "object", "patternProperties": {"^num": {"type": "number"}},
+     "propertyNames": {"maxLength": 4}, "minProperties": 1},
+    {"type": "array", "prefixItems": [{"type": "integer"}],
+     "items": {"type": "string", "pattern": "^[a-z]"},
+     "minItems": 1, "maxItems": 3, "uniqueItems": True},
+    {"type": "array", "contains": {"type": "integer", "minimum": 5},
+     "minContains": 1, "maxContains": 2},
+    {"anyOf": [{"type": "string", "minLength": 3},
+               {"type": "integer", "multipleOf": 5}]},
+    {"oneOf": [{"type": "number", "minimum": 0},
+               {"type": "number", "maximum": 10}]},
+    {"not": {"type": ["object", "array"]}},
+    {"if": {"type": "object", "required": ["a"]},
+     "then": {"properties": {"a": {"type": "integer"}}},
+     "else": {"type": "array"}},
+    {"properties": {"a": {}}, "unevaluatedProperties": {"type": "string"}},
+    {"$defs": {"leaf": {"type": ["integer", "string"]}},
+     "type": "object",
+     "properties": {"v": {"$ref": "#/$defs/leaf"}},
+     "dependentRequired": {"v": ["a"]},
+     "additionalProperties": {"type": "integer"}},
+    {"allOf": [{"minProperties": 1}, {"propertyNames": {"minLength": 1}}],
+     "unevaluatedProperties": False,
+     "properties": {"a": {"type": "integer"}}},
+]
+
+N_DOCS = 300
+
+
+@pytest.mark.parametrize("schema_idx", range(len(SCHEMAS)))
+def test_fuzz_schema(spark, schema_idx):
+    import jsonschema
+
+    schema = SCHEMAS[schema_idx]
+    rng = random.Random(1000 + schema_idx)
+    values = [gen_value(rng) for _ in range(N_DOCS)]
+    docs = [json.dumps(v) for v in values]
+
+    oracle = jsonschema.Draft202012Validator(schema)
+    want = [oracle.is_valid(v) for v in values]
+
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    plan = compile_json_schema(schema)
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j", mode="flag").collect()]
+
+    mismatches = [(docs[i], got[i], want[i])
+                  for i in range(N_DOCS) if got[i] != want[i]]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"

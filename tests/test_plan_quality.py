@@ -1,0 +1,141 @@
+"""Physical-plan assertions: the properties that make this engine work at
+100 TB are checked here so they can't silently regress —
+
+- validation is ONE projection over the scan: no Exchange (shuffle), no
+  Python (BatchEvalPython/ArrowEvalPython) in the plan
+- filters reach the parquet scan (PushedFilters) and column pruning
+  reaches ReadSchema
+- referential checks broadcast small dims (BroadcastHashJoin) and
+  shuffle big ones (SortMergeJoin)
+- staged operators evaluate their expensive subexpression exactly once
+  (projection barriers survive optimization)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark import compile_schema
+from jsonschema_rs_spark.docspec import DOC_SPEC_FULL, default_options
+from jsonschema_rs_spark.operators import table_checks as tc
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tmp_path_factory):
+    from jsonschema_rs_spark.datagen import documents_df
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    documents_df(spark, 1000).drop("_vclass").write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_validation_no_shuffle_no_python(spark, docs):
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    for mode in ("flag", "verbose"):
+        p = physical(plan.with_validation(docs, mode))
+        assert "Exchange" not in p
+        assert "EvalPython" not in p  # no row-wise or arrow Python eval
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    v = plan.with_validation(docs).where(F.col("doc_id") > "doc-5")
+    p = physical(v)
+    assert "PushedFilters: [" in p
+    assert "GreaterThan(doc_id" in p or "doc_id" in p.split(
+        "PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, docs):
+    sub = docs.select("doc_id")
+    p = physical(sub)
+    scan = p.split("ReadSchema:")[1][:200]
+    assert "spans" not in scan  # 95% of bytes skipped for id-only reads
+
+
+def test_referential_broadcast_vs_shuffle(spark):
+    fact = spark.range(10_000).select(
+        (F.col("id") % 100).cast("string").alias("ref"))
+    dim = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    bcast = tc.referential_violations(fact, "ref", dim, "key", dim_rows=100)
+    assert "BroadcastHashJoin" in physical(bcast)
+    # big-dim path: with auto-broadcast off (as it would be for a dim that
+    # truly exceeds the threshold) the anti-join becomes a shuffle join,
+    # and the fact side is pre-shrunk to DISTINCT keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = tc.referential_violations(fact, "ref", dim, "key",
+                                         dim_rows=10**9, broadcast_limit=10)
+        p = physical(shuf)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "LeftAnti" in p
+        assert p.count("HashAggregate") >= 2  # distinct fact keys first
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_uniqueness_partial_aggregation(spark):
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    p = physical(tc.uniqueness_violations(df, ["k"]))
+    # map-side partial agg before the exchange: two HashAggregates
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(k" in p
+
+
+def test_column_stats_single_scan(spark, docs):
+    s = tc.column_stats(docs, ["doc_id"])
+    p = physical(s)
+    assert p.count("FileScan") == 1  # ONE pass for all the stats
+
+
+def test_minhash_staging_survives_optimizer(spark, docs):
+    from jsonschema_rs_spark.operators.dedup import with_minhash
+    flat = docs.select("doc_id", F.lit("a b c d e f g").alias("text"))
+    out = with_minhash(flat, "text", "sig", num_hashes=16)
+    o = optimized(out)
+    # base md5 computed once, not once per hash seed
+    assert o.count("md5") == 1
+    # normalize pipeline (2 regexp_replace) not duplicated per seed
+    assert o.count("regexp_replace") <= 4
+
+
+def test_text_features_staging(spark, docs):
+    from jsonschema_rs_spark.operators.text_analysis import with_text_features
+    flat = docs.select("doc_id", F.lit("some text here").alias("text"))
+    o = optimized(with_text_features(flat))
+    # each marker-regex scan appears once (5 langs/stopword sets + bpe +
+    # punct + digit ≈ 8 regexp scans; quality/ratios REUSE them)
+    assert o.count("regexp_count") <= 8
+
+
+def test_json_variant_single_parse(spark):
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    df = spark.createDataFrame([('{"a":1}',)], "j string")
+    plan = compile_json_schema({
+        "type": "object", "required": ["a"],
+        "properties": {"a": {"type": "integer", "minimum": 0}}})
+    import re
+    o = optimized(plan.with_validation(df, "j"))
+    # the parse is staged into __v exactly once, not re-run per rule
+    assert len(re.findall(r"(?i)parse_?json", o)) == 1
+    assert "__v#" in o
+
+
+def test_whole_stage_codegen_on_scalar_validation(spark):
+    ev = spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 100).cast("double").alias("value"))
+    schema = {"type": "object", "required": ["event_type"],
+              "properties": {"value": {"minimum": 0, "maximum": 50},
+                             "event_type": {"enum": ["click", "view"]}}}
+    plan = compile_schema(schema, ev.schema)
+    p = physical(plan.with_validation(ev))
+    # '*(n)' prefix marks whole-stage-codegen'd operators in toString()
+    assert "*(1) Project" in p or "*(1) Range" in p
