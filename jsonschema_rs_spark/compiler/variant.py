@@ -274,6 +274,24 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
                  lambda v, pat=pat: ~_is_string(v) | _as_string(v).rlike(pat),
                  priority=6))
 
+    # format / content keywords reuse the typed-path validators, applied
+    # to the extracted string (non-strings pass, format.rs semantics)
+    if "format" in schema and ctx.options.validate_formats:
+        from jsonschema_rs_spark.functions.formats import format_rule
+        base = format_rule(schema["format"], ctx, sp)
+        if base is not None:
+            add(Rule("format", sp + "/format", base.message,
+                     lambda v, base=base: ~_is_string(v)
+                     | F.coalesce(base.pred(_as_string(v)), F.lit(False)),
+                     priority=7))
+    if "contentEncoding" in schema or "contentMediaType" in schema:
+        from jsonschema_rs_spark.functions.formats import content_rules
+        for base in content_rules(schema, ctx, sp):
+            add(Rule(base.keyword, base.schema_path, base.message,
+                     lambda v, base=base: ~_is_string(v)
+                     | F.coalesce(base.pred(_as_string(v)), F.lit(False)),
+                     priority=16))
+
     rules += _object_rules(schema, ctx, sp)
     rules += _array_rules(schema, ctx, sp)
     rules += _composition_rules(schema, ctx, sp)
@@ -400,6 +418,20 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
             "maxProperties", sp + "/maxProperties", "too many properties",
             lambda v, n=n: ~_is_object(v)
             | (F.size(F.map_keys(_as_map(v))) <= n), priority=5))
+
+    if "dependentSchemas" in schema:
+        for dk, sub in schema["dependentSchemas"].items():
+            node = compile_variant(sub, ctx, f"{sp}/dependentSchemas/{dk}")
+
+            def ds_pred(v: Column, dk=dk, node=node) -> Column:
+                present = F.try_element_at(_as_map(v), F.lit(dk)).isNotNull()
+                return ~_is_object(v) | ~present \
+                    | F.coalesce(node.valid(v), F.lit(False))
+
+            rules.append(Rule("dependentSchemas",
+                              f"{sp}/dependentSchemas/{dk}",
+                              f"dependentSchemas for {dk!r} failed", ds_pred,
+                              priority=20))
 
     if "dependentRequired" in schema:
         for k, needs in schema["dependentRequired"].items():

@@ -247,3 +247,28 @@ def test_unevaluated_items_parity(spark):
         "anyOf": [{"items": {"type": "integer"}},
                   {"prefixItems": [{"type": "string"}]}],
         "unevaluatedItems": False})
+
+
+def test_dependent_schemas_parity(spark):
+    docs = ['{"credit": "1234", "billing": "x"}', '{"credit": "1234"}',
+            '{"name": "n"}', '{}', '{"credit": 5, "billing": "x"}']
+    assert_parity(spark, docs, {
+        "dependentSchemas": {
+            "credit": {"required": ["billing"],
+                       "properties": {"credit": {"type": "string"}}}}})
+
+
+def test_format_keyword_variant(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    docs = ['"2024-01-15"', '"2024-13-40"', '"not a date"', '5', 'null',
+            '"550e8400-e29b-41d4-a716-446655440000"']
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    plan = compile_json_schema({"format": "date"},
+                               ValidationOptions(validate_formats=True))
+    got = [r["valid"] for r in plan.with_validation(df, "j").collect()]
+    # non-strings (5, null) pass; the uuid string is not a date
+    assert got == [True, False, False, True, True, False]
+    plan2 = compile_json_schema({"format": "uuid"},
+                                ValidationOptions(validate_formats=True))
+    got2 = [r["valid"] for r in plan2.with_validation(df, "j").collect()]
+    assert got2 == [False, False, False, True, True, True]
