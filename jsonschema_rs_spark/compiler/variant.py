@@ -811,12 +811,17 @@ class CompiledJsonSchema:
                 .when(v.isNull(), F.lit(False)) \
                 .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
             return staged.withColumn("valid", valid).drop("__v")
-        errs = F.when(jc.isNull(), empty_errors()) \
+        # two context weights (validator.rs:106-109): the boolean plan
+        # decides validity; error construction only runs on failing rows
+        valid = F.when(jc.isNull(), F.lit(True)) \
+            .when(v.isNull(), F.lit(False)) \
+            .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+        out = staged.withColumn("valid", valid)
+        errs = F.when(F.col("valid"), empty_errors()) \
             .when(v.isNull(),
                   one_error(F.lit(""), "", "json", "invalid JSON document")) \
             .otherwise(self.node.errors(v, F.lit("")))
-        out = staged.withColumn("errors", errs).drop("__v")
-        return out.withColumn("valid", F.size("errors") == 0)
+        return out.withColumn("errors", errs).drop("__v")
 
 
 def compile_json_schema(schema: Any,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jsonschema_rs_spark.compiler.nodes import Node
+from jsonschema_rs_spark.compiler.nodes import ERR_ARRAY_DDL, Node
 from jsonschema_rs_spark.errors import ValidationOptions
 
 
@@ -52,12 +52,21 @@ class CompiledSchema:
     # -- actions ---------------------------------------------------------------
 
     def with_validation(self, df: DataFrame, mode: str = "flag") -> DataFrame:
-        """Append `valid` (flag) or `errors` + `valid` (verbose)."""
+        """Append `valid` (flag) or `errors` + `valid` (verbose).
+
+        Verbose gates the error-collection expression behind the cheap
+        boolean plan — the reference's two-context-weight design
+        (validator.rs:106-109) as a Column conditional: valid rows (the
+        vast majority at production quality bars) never pay for error
+        construction."""
         if mode == "flag":
             return df.withColumn("valid", self.valid_column(df))
         if mode == "verbose":
-            out = df.withColumn("errors", self.errors_column(df))
-            return out.withColumn("valid", F.size("errors") == 0)
+            out = df.withColumn("valid", self.valid_column(df))
+            errs = F.when(F.col("valid"),
+                          F.expr(f"CAST(array() AS {ERR_ARRAY_DDL})")) \
+                .otherwise(self.errors_column(df))
+            return out.withColumn("errors", errs)
         raise ValueError(f"unknown mode {mode!r}")
 
     def violations(self, df: DataFrame, id_cols: list[str] | None = None) -> DataFrame:
