@@ -168,6 +168,39 @@ FROM documents"""
 STATS_DOCUMENTS = " UNION ALL ".join(
     _stats_one(c) for c in ["doc_id", "text", "lang", "source", "n_chars"])
 
+VAL_DOCS_KEYWORD_SUMMARY = """
+SELECT keyword, count(*) AS n_violations FROM (
+  SELECT doc_id, 'required' AS keyword FROM documents WHERE doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, 'required' FROM documents WHERE text IS NULL
+  UNION ALL
+  SELECT doc_id, 'enum' FROM documents
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')
+  UNION ALL
+  SELECT doc_id, 'pattern' FROM documents
+   WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-4]$')
+  UNION ALL
+  SELECT doc_id, 'minimum' FROM documents
+   WHERE n_chars IS NOT NULL AND n_chars < 50
+  UNION ALL
+  SELECT doc_id, 'maximum' FROM documents
+   WHERE n_chars IS NOT NULL AND n_chars > 500
+  UNION ALL
+  SELECT doc_id, 'minLength' FROM documents
+   WHERE text IS NOT NULL AND length(text) < 20
+) GROUP BY keyword
+"""
+
+UNIQ_RATIO_ORDERS = """
+WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_row_ratio
+FROM c
+"""
+
 UNIQ_ORDERS_CUSTKEY = """
 SELECT o_custkey, count(*) AS n_dup FROM orders
 GROUP BY o_custkey HAVING count(*) > 1
@@ -429,8 +462,10 @@ ORACLES = {
     "val_lineitem_flag": VAL_LINEITEM_FLAG,
     "val_spans_flag": VAL_SPANS_FLAG,
     "val_spans_violations": VAL_SPANS_VIOLATIONS,
+    "val_docs_keyword_summary": VAL_DOCS_KEYWORD_SUMMARY,
     "stats_documents": STATS_DOCUMENTS,
     "uniq_orders_custkey": UNIQ_ORDERS_CUSTKEY,
+    "uniq_ratio_orders": UNIQ_RATIO_ORDERS,
     "ri_orders_customer": RI_ORDERS_CUSTOMER,
     "ri_events_customer": RI_EVENTS_CUSTOMER,
     "ks_events_value": KS_EVENTS_VALUE,

@@ -93,9 +93,16 @@ class ValidationRunner:
         t0 = time.time()
         df = self.table.read(partitions=parts)
         if self.violations_path:
+            # dynamic partition overwrite → a chunk that crashed after
+            # writing violations but before its metrics checkpoint is
+            # simply overwritten on retry (exactly-once per partition)
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
             self.plan.violations(df, id_cols=[PART_COL]) \
                 .withColumn("run_id", F.lit(run_id)) \
-                .write.mode("append").parquet(self.violations_path)
+                .write.mode("overwrite") \
+                .partitionBy("run_id", PART_COL) \
+                .parquet(self.violations_path)
         # metrics LAST: a chunk is checkpointed only once fully done
         self._append_metrics(run_id, snapshot_id, df, t0)
 

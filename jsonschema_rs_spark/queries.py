@@ -194,6 +194,21 @@ def stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_distinct", "min_value", "max_value")
 
 
+def val_docs_keyword_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation counts per keyword (≈ evaluate().list() rollup)."""
+    docs = _read(spark, sf_dir, "documents")
+    plan = compile_schema(DOCS_SCHEMA, docs.schema)
+    return (plan.violations(docs, id_cols=["doc_id"])
+            .groupBy("keyword").agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+def uniq_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    r = tc.assert_unique_ratio(orders, ["o_custkey"])
+    return r.select("n_rows", "n_keys", "n_dup_keys",
+                    F.round("dup_row_ratio", 6).alias("dup_row_ratio"))
+
+
 def uniq_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return tc.uniqueness_violations(orders, ["o_custkey"], salt_buckets=8) \
@@ -350,8 +365,10 @@ QUERIES = {
     "val_json_props": val_json_props,
     "val_spans_flag": val_spans_flag,
     "val_spans_violations": val_spans_violations,
+    "val_docs_keyword_summary": val_docs_keyword_summary,
     "stats_documents": stats_documents,
     "uniq_orders_custkey": uniq_orders_custkey,
+    "uniq_ratio_orders": uniq_ratio_orders,
     "ri_orders_customer": ri_orders_customer,
     "ri_events_customer": ri_events_customer,
     "ks_events_value": ks_events_value,

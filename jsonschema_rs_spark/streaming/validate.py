@@ -44,6 +44,9 @@ def violation_counts_stream(df: DataFrame, plan: CompiledSchema,
     """Tumbling-window per-keyword violation counts with a watermark so
     state for closed windows is dropped (bounded memory at any uptime)."""
     v = plan.with_validation(df, mode="verbose")
+    # watermarks only accept TIMESTAMP; NTZ columns are taken as UTC
+    # (session timezone is pinned to UTC in session.py)
+    v = v.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         v.withWatermark(ts_col, watermark)
         .select(F.col(ts_col), F.explode("errors").alias("err"))

@@ -142,3 +142,46 @@ def test_streaming_metrics_sink(spark, stream_src, tmp_path):
     expect_invalid = plan.with_validation(docs, "flag") \
         .where(~F.col("valid")).count()
     assert total_invalid == expect_invalid
+
+
+def test_violations_exactly_once_on_retry(spark, table, tmp_path):
+    plan = _plan(spark, table)
+    runner = ValidationRunner(table, plan, str(tmp_path / "runs"),
+                              violations_path=str(tmp_path / "viol"),
+                              chunk_size=2)
+    # simulate a crash after violations write but before metrics: process
+    # the same chunk twice — dynamic overwrite must not duplicate rows
+    runner._process_chunk("rx", 1, ["0", "1"])
+    n1 = spark.read.parquet(str(tmp_path / "viol")).count()
+    runner._process_chunk("rx", 1, ["0", "1"])
+    n2 = spark.read.parquet(str(tmp_path / "viol")).count()
+    assert n1 == n2 > 0
+
+
+def test_violation_counts_stream_matches_batch(spark, tmp_path):
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.queries import EVENTS_SCHEMA
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "evsrc")
+    ev.repartition(3).write.parquet(src)
+    plan = compile_schema(EVENTS_SCHEMA, ev.schema)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = sv.violation_counts_stream(stream, plan, "ts", window="1 hour",
+                                     watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("t_vcs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["keyword"]): r["n_violations"]
+           for r in spark.sql("select * from t_vcs").collect()}
+    batch = (plan.with_validation(ev, "verbose")
+             .select(F.window("ts", "1 hour").alias("w"),
+                     F.explode("errors").alias("err"))
+             .groupBy(F.col("w.start").alias("ws"),
+                      F.col("err.keyword").alias("keyword"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r["ws"], r["keyword"]): r["n"] for r in batch.collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result, and most windows close
+    assert got
+    assert all(want.get(k) == v for k, v in got.items())
+    assert len(got) >= len(want) - 3
