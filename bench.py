@@ -74,6 +74,34 @@ def validate_flagship(spark, n_docs: int) -> float:
     return time.perf_counter() - t0
 
 
+def skew_checks(spark, n_docs: int) -> dict:
+    """Skew-handling evidence on the generated table: the datagen plants
+    duplicate doc_ids (~0.5% of rows) and routes ~30% of media refs to 16
+    hot assets. Times the salted uniqueness check and the broadcast
+    referential check at bench scale."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_rs_spark.datagen import media_assets_df
+    from jsonschema_rs_spark.operators import table_checks as tc
+
+    docs = spark.read.parquet(materialize_docs(spark, n_docs))
+    t0 = time.perf_counter()
+    n_dup = tc.uniqueness_violations(docs, ["doc_id"], salt_buckets=32) \
+        .count()
+    t_uniq = time.perf_counter() - t0
+    refs = docs.select(F.explode("spans").alias("s")) \
+        .select(F.col("s.media_ref").alias("media_ref")) \
+        .where(F.col("media_ref").isNotNull())
+    assets = media_assets_df(spark)
+    t0 = time.perf_counter()
+    n_dangling = tc.referential_violations(
+        refs, "media_ref", assets, "asset_id",
+        dim_rows=100_000).count()
+    t_ri = time.perf_counter() - t0
+    return {"uniq_salted_sec": round(t_uniq, 3), "n_dup_doc_ids": n_dup,
+            "ri_broadcast_sec": round(t_ri, 3), "n_dangling_refs": n_dangling}
+
+
 def verdict_parity(spark, n: int) -> dict:
     """Per-row verdict parity vs the Python `jsonschema` oracle on a
     deterministic sample — the report's violation-parity evidence
@@ -146,6 +174,7 @@ def main() -> None:
         "n_docs": N_DOCS,
         "cpus": CPUS,
         "verdict_parity": parity,
+        "skew_checks": skew_checks(spark, N_DOCS),
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
