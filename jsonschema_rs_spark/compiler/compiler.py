@@ -100,6 +100,9 @@ def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
     rules += K.build_array_rules(schema, dt, ctx, sp, compile_node)
     rules += K.build_object_rules(schema, dt, ctx, sp, compile_node)
     rules += K.build_composition(schema, dt, ctx, sp, compile_node)
+    from jsonschema_rs_spark.compiler.unevaluated import \
+        build_unevaluated_rules
+    rules += build_unevaluated_rules(schema, dt, ctx, sp, compile_node)
 
     # custom keywords (reference: keywords/custom.rs, options.rs:482)
     for name, factory in ctx.options.custom_keywords.items():

@@ -1,0 +1,237 @@
+"""unevaluatedProperties / unevaluatedItems for the TYPED compiler.
+
+Mirror of the variant-path implementation (compiler/variant.py) against
+typed columns, and of the reference's compile-time walk + runtime
+evaluation tracking (keywords/unevaluated_properties.rs:223-554,
+unevaluated_items.rs:218-509):
+
+- struct columns: field names are static, so coverage by `properties` /
+  `patternProperties` is decided AT COMPILE TIME per field; only
+  in-place-applicator coverage (valid-branch-conditioned) remains a
+  runtime Column condition
+- map columns: keys are dynamic → forall over map entries with runtime
+  name matching
+- arrays: index coverage from prefixItems / items / contains matches /
+  applicator branches
+
+"Evaluated" follows 2020-12 annotation semantics: a branch's
+properties/items only count where the branch VALIDATES the instance.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_rs_spark.compiler.nodes import Rule
+
+# fn(instance_col, key_name: str) -> Column  (static-key form, structs)
+# fn(instance_col, key_col: Column) -> Column (dynamic-key form, maps)
+
+
+def _static_name_match(schema: dict, name: str) -> bool:
+    if name in schema.get("properties", {}):
+        return True
+    for pat in schema.get("patternProperties", {}):
+        try:
+            if re.search(pat, name):
+                return True
+        except re.error:
+            pass
+    return "additionalProperties" in schema \
+        or "unevaluatedProperties" in schema
+
+
+def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
+                        ) -> Callable[[Column, str], Column]:
+    """Coverage for a STATIC field name: returns a Column condition (often
+    a literal) under which `name` counts as evaluated."""
+    if not isinstance(schema, dict):
+        return lambda c, name: F.lit(False)
+
+    branch_parts = []  # (node, coverage) for in-place applicators
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in schema.get(kw, []) or []:
+            node = compile_node(sub, dt, ctx, "/__cov")
+            cov = struct_key_coverage(sub, dt, ctx, compile_node)
+            branch_parts.append((node, cov))
+    ref_cov = None
+    if "$ref" in schema:
+        try:
+            target = ctx.resolve_ref(schema["$ref"])
+            ref_cov = struct_key_coverage(target, dt, ctx, compile_node)
+        except Exception:
+            ref_cov = None
+    ite = None
+    if "if" in schema:
+        ite = (
+            compile_node(schema["if"], dt, ctx, "/__cov"),
+            struct_key_coverage(schema["if"], dt, ctx, compile_node),
+            struct_key_coverage(schema.get("then", {}), dt, ctx,
+                                compile_node),
+            struct_key_coverage(schema.get("else", {}), dt, ctx,
+                                compile_node),
+        )
+    deps = []
+    if "dependentSchemas" in schema:
+        for dk, sub in schema["dependentSchemas"].items():
+            deps.append((dk, struct_key_coverage(sub, dt, ctx,
+                                                 compile_node)))
+
+    def covered(c: Column, name: str) -> Column:
+        out = F.lit(_static_name_match(schema, name))
+        for node, cov in branch_parts:
+            out = out | (F.coalesce(node.valid(c), F.lit(False))
+                         & cov(c, name))
+        if ref_cov is not None:
+            out = out | ref_cov(c, name)
+        if ite is not None:
+            if_node, if_cov, then_cov, else_cov = ite
+            ok = F.coalesce(if_node.valid(c), F.lit(False))
+            out = out | F.when(ok, if_cov(c, name) | then_cov(c, name)) \
+                .otherwise(else_cov(c, name))
+        for dk, cov in deps:
+            present = c.getField(dk).isNotNull() \
+                if dk in [f.name for f in dt.fields] else F.lit(False)
+            out = out | (present & cov(c, name))
+        return out
+
+    return covered
+
+
+def map_key_coverage(schema: Any, dt: T.MapType, ctx, compile_node
+                     ) -> Callable[[Column, Column], Column]:
+    if not isinstance(schema, dict):
+        return lambda c, k: F.lit(False)
+    names = tuple(schema.get("properties", {}).keys())
+    pats = tuple(ctx.regex(p) for p in schema.get("patternProperties", {}))
+    blanket = "additionalProperties" in schema \
+        or "unevaluatedProperties" in schema
+    branch_parts = []
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in schema.get(kw, []) or []:
+            node = compile_node(sub, dt, ctx, "/__cov")
+            cov = map_key_coverage(sub, dt, ctx, compile_node)
+            branch_parts.append((node, cov))
+
+    def covered(c: Column, k: Column) -> Column:
+        out = F.lit(True) if blanket else (
+            k.isin(*names) if names else F.lit(False))
+        for p in pats:
+            out = out | k.rlike(p)
+        for node, cov in branch_parts:
+            out = out | (F.coalesce(node.valid(c), F.lit(False)) & cov(c, k))
+        return out
+
+    return covered
+
+
+def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
+                   ) -> Callable[[Column, Column, Column], Column]:
+    """fn(array_col, idx0, el) -> Column."""
+    if not isinstance(schema, dict):
+        return lambda c, i, el: F.lit(False)
+    items = schema.get("items")
+    if isinstance(items, list):  # draft 4-7 positional form
+        nprefix = len(items)
+        has_rest = "additionalItems" in schema
+    else:
+        nprefix = len(schema.get("prefixItems", []) or [])
+        has_rest = items is not None
+    blanket = has_rest or "unevaluatedItems" in schema
+    cnode = compile_node(schema["contains"], dt.elementType, ctx, "/__cov") \
+        if "contains" in schema else None
+    branch_parts = []
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in schema.get(kw, []) or []:
+            node = compile_node(sub, dt, ctx, "/__cov")
+            cov = index_coverage(sub, dt, ctx, compile_node)
+            branch_parts.append((node, cov))
+
+    def covered(c: Column, i: Column, el: Column) -> Column:
+        out = F.lit(True) if blanket else (
+            (i < nprefix) if nprefix else F.lit(False))
+        if cnode is not None:
+            out = out | F.coalesce(cnode.valid(el), F.lit(False))
+        for node, cov in branch_parts:
+            out = out | (F.coalesce(node.valid(c), F.lit(False))
+                         & cov(c, i, el))
+        return out
+
+    return covered
+
+
+def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
+                            compile_node) -> list[Rule]:
+    rules: list[Rule] = []
+
+    if "unevaluatedProperties" in schema:
+        up = schema["unevaluatedProperties"]
+        sibling = {k: v for k, v in schema.items()
+                   if k != "unevaluatedProperties"}
+        if isinstance(dt, T.StructType):
+            cov = struct_key_coverage(sibling, dt, ctx, compile_node)
+            up_nodes = {} if up is False else {
+                f.name: compile_node(up, f.dataType, ctx,
+                                     sp + "/unevaluatedProperties")
+                for f in dt.fields}
+
+            def up_pred(c: Column, dt=dt, cov=cov, up=up,
+                        up_nodes=up_nodes) -> Column:
+                out = F.lit(True)
+                for f in dt.fields:
+                    ok = c.getField(f.name).isNull() | cov(c, f.name)
+                    if up is not False:
+                        ok = ok | F.coalesce(
+                            up_nodes[f.name].valid(c.getField(f.name)),
+                            F.lit(False))
+                    out = out & ok
+                return out
+
+            rules.append(Rule("unevaluatedProperties",
+                              sp + "/unevaluatedProperties",
+                              "unevaluated properties present", up_pred,
+                              priority=40))
+        elif isinstance(dt, T.MapType):
+            cov = map_key_coverage(sibling, dt, ctx, compile_node)
+            node = None if up is False else compile_node(
+                up, dt.valueType, ctx, sp + "/unevaluatedProperties")
+
+            def up_pred_m(c: Column, cov=cov, node=node) -> Column:
+                def entry_ok(e):
+                    ok = cov(c, e["key"])
+                    if node is not None:
+                        ok = ok | F.coalesce(node.valid(e["value"]),
+                                             F.lit(False))
+                    return ok
+                return F.forall(F.map_entries(c), entry_ok)
+
+            rules.append(Rule("unevaluatedProperties",
+                              sp + "/unevaluatedProperties",
+                              "unevaluated properties present", up_pred_m,
+                              priority=40))
+
+    if "unevaluatedItems" in schema and isinstance(dt, T.ArrayType):
+        ui = schema["unevaluatedItems"]
+        sibling = {k: v for k, v in schema.items()
+                   if k != "unevaluatedItems"}
+        icov = index_coverage(sibling, dt, ctx, compile_node)
+        node = None if ui is False else compile_node(
+            ui, dt.elementType, ctx, sp + "/unevaluatedItems")
+
+        def ui_pred(c: Column, icov=icov, node=node) -> Column:
+            def el_ok(el, i):
+                ok = icov(c, i, el)
+                if node is not None:
+                    ok = ok | F.coalesce(node.valid(el), F.lit(False))
+                return ok
+            return F.forall(F.transform(c, el_ok), lambda b: b)
+
+        rules.append(Rule("unevaluatedItems", sp + "/unevaluatedItems",
+                          "unevaluated items present", ui_pred,
+                          priority=40))
+    return rules

@@ -187,3 +187,61 @@ def test_map_pattern_properties_and_names(spark):
     }}}
     rows = [({"n_a": 1, "x": -5},), ({"n_a": -1},), ({"toolongname": 1},)]
     assert verdicts(spark, rows, ddl, s) == [True, False, False]
+
+
+def test_unevaluated_properties_struct(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None), (None, "y")],
+                               "a long, b string")
+    from jsonschema_rs_spark import compile_schema
+    plan = compile_schema({"properties": {"a": {"type": "integer"}},
+                           "unevaluatedProperties": False}, df.schema)
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    # b present → unevaluated → invalid; b absent (null) → fine
+    assert got == [False, True, False]
+    # branch coverage: anyOf branch claiming 'b' only counts when valid
+    plan2 = compile_schema({
+        "properties": {"a": {}},
+        "anyOf": [{"required": ["b"], "properties": {"b": {}}},
+                  {"required": ["a"]}],
+        "unevaluatedProperties": False}, df.schema)
+    got2 = [r["valid"] for r in plan2.with_validation(df).collect()]
+    assert got2 == [True, True, True]
+    plan3 = compile_schema({
+        "properties": {"a": {}},
+        "unevaluatedProperties": {"type": "integer"}}, df.schema)
+    got3 = [r["valid"] for r in plan3.with_validation(df).collect()]
+    assert got3 == [False, True, False]  # b is a string, not integer
+
+
+def test_unevaluated_items_typed_array(spark):
+    df = spark.createDataFrame(
+        [([1, 2],), ([1],), ([],), ([5, 6, 7],)], "xs array<long>")
+    from jsonschema_rs_spark import compile_schema
+    plan = compile_schema({"prefixItems": [{"type": "integer"}],
+                           "unevaluatedItems": False},
+                          df.schema, column="xs")
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [False, True, True, False]
+    plan2 = compile_schema({"prefixItems": [{}],
+                            "unevaluatedItems": {"minimum": 6}},
+                           df.schema, column="xs")
+    got2 = [r["valid"] for r in plan2.with_validation(df).collect()]
+    assert got2 == [False, True, True, True]
+    # contains-matched items count as evaluated
+    plan3 = compile_schema({"contains": {"minimum": 5},
+                            "unevaluatedItems": False},
+                           df.schema, column="xs")
+    got3 = [r["valid"] for r in plan3.with_validation(df).collect()]
+    assert got3 == [False, False, False, True]
+
+
+def test_unevaluated_properties_map(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2},), ({"a": 1},), ({"z": 9},)],
+        "m map<string,long>")
+    from jsonschema_rs_spark import compile_schema
+    plan = compile_schema({"properties": {"a": {}},
+                           "unevaluatedProperties": False},
+                          df.schema, column="m")
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [False, True, False]

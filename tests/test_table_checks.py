@@ -135,3 +135,27 @@ def test_chi2_pvalue_known_values():
 def test_ks_pvalue_limits():
     assert tc.ks_pvalue(0.0, 100, 100) == pytest.approx(1.0, abs=0.01)
     assert tc.ks_pvalue(0.9, 100, 100) < 1e-10
+
+
+def test_drift_fires_on_shifted_snapshot(spark):
+    """FIXTURES.md §3: documents_ref_df shifts text-length and span-count
+    distributions — KS must fire on the shifted stats and stay quiet
+    comparing a snapshot against itself."""
+    from jsonschema_rs_spark.datagen import documents_df, documents_ref_df
+
+    cur = documents_df(spark, 4000).drop("_vclass")
+    ref = documents_ref_df(spark, 4000).drop("_vclass")
+    feat = lambda df: df.selectExpr(
+        "size(spans) as n_spans",
+        "aggregate(transform(spans, s -> coalesce(length(s.text), 0)), "
+        "0, (a, x) -> a + x) as text_len")
+
+    shifted = tc.ks_statistic_exact(feat(cur), feat(ref), "text_len").first()
+    p_shift = tc.ks_pvalue(shifted["ks_stat"], shifted["n_a"], shifted["n_b"])
+    assert p_shift < 1e-6  # fires
+
+    same = tc.ks_statistic_exact(feat(cur), feat(cur), "text_len").first()
+    assert same["ks_stat"] == pytest.approx(0.0, abs=1e-12)  # quiet
+
+    chi = tc.chi_square_drift(feat(cur), feat(ref), "n_spans").first()
+    assert tc.chi2_pvalue(chi["chi2"], chi["dof"]) < 1e-3  # zipf shift
