@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
     "ks_events_value", "chisq_events_halves", "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
-    "minhash_pairs", "sim_topk", "ann_lsh", "rollup_events",
+    "minhash_pairs", "curate_docs", "sim_topk", "ann_lsh", "rollup_events",
     "mm_features",
 ]
 

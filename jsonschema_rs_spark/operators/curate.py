@@ -1,0 +1,49 @@
+"""End-to-end training-corpus curation: the composition a 100 TB
+pipeline actually runs, built entirely from this package's operators.
+
+    quality gate  → exact dedup → MinHash-LSH near-dedup → survivors
+
+Stage discipline (each stage is shuffle-minimal):
+1. quality gate: one projection (staged text features), a filter — no
+   shuffle, filter pushed to the scan where possible
+2. exact dedup: groupBy(fingerprint) keep-min-id — map-side combine
+3. near-dedup: LSH band buckets → candidate pairs → exact-Jaccard verify
+   → GREEDY drop (the larger id of each confirmed pair is removed).
+   Greedy-drop is deliberately not connected-components: CC needs
+   iterative joins; greedy is one pass, removes a superset of a minimal
+   cover, and is the standard production tradeoff for near-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.operators import dedup as dd
+from jsonschema_rs_spark.operators import text_analysis as ta
+
+
+def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+           quality_threshold: float = 0.7,
+           num_hashes: int = 16, bands: int = 8,
+           jaccard_threshold: float = 0.6) -> DataFrame:
+    """Returns the surviving rows of `docs` (original columns)."""
+    feats = ta.with_text_features(docs, text_col)
+    gated = feats.where(F.col("quality") >= quality_threshold)
+
+    # exact dedup: keep the smallest id per normalized fingerprint
+    keep = (gated.groupBy("fp")
+            .agg(F.min(id_col).alias("__keep")))
+    exact = (gated.join(keep, "fp")
+             .where(F.col(id_col) == F.col("__keep"))
+             .drop("__keep"))
+
+    # near-dedup on the exact-deduped survivors
+    pairs = dd.minhash_near_duplicates(
+        exact, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        threshold=jaccard_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    # drop-list size is data-dependent (could be 30%+ of a crawl) — leave
+    # the broadcast decision to AQE's runtime statistics
+    out = exact.join(drop, id_col, "left_anti")
+    return out.select(*docs.columns)

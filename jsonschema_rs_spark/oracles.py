@@ -383,6 +383,53 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
 
 SIMHASH_VALS = _simhash_sql(32)
 
+def _curate_sql(num_hashes: int = 16, bands: int = 8,
+                quality_threshold: float = 0.7,
+                jaccard_threshold: float = 0.6) -> str:
+    from jsonschema_rs_spark.operators.dedup import (MINHASH_PRIME,
+                                                     minhash_params)
+    rpb = num_hashes // bands
+    sigs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({a} * h + {b}) % {MINHASH_PRIME}), 'min')"
+        for a, b in minhash_params(num_hashes))
+    key_selects = " UNION ALL ".join(
+        "SELECT doc_id, md5('{b}#' || {parts}) AS bk FROM sg".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"sig[{b * rpb + j + 1}]::VARCHAR" for j in range(rpb)))
+        for b in range(bands))
+    common = ("len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))")
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents WHERE {_QUALITY} >= {quality_threshold}
+),
+fps AS (SELECT doc_id, text, md5({_NORM}) AS fp FROM gated),
+keep AS (SELECT fp, min(doc_id) AS k FROM fps GROUP BY fp),
+exact AS (SELECT f.doc_id, f.text FROM fps f
+          JOIN keep ON f.fp = keep.fp AND f.doc_id = keep.k),
+tk AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM exact),
+shx AS (SELECT doc_id, {_SHINGLES} AS sh FROM tk),
+hh AS (SELECT doc_id, sh,
+         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs FROM shx),
+sg AS (SELECT doc_id, sh, [{sigs}] AS sig FROM hh),
+keys AS ({key_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         FROM keys a JOIN keys b USING (bk) WHERE a.doc_id < b.doc_id),
+ver AS (SELECT ia, ib FROM cand
+        JOIN shx sa ON sa.doc_id = ia JOIN shx sb ON sb.doc_id = ib
+        WHERE {common}
+              / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
+              >= {jaccard_threshold}),
+dropped AS (SELECT DISTINCT ib FROM ver)
+SELECT doc_id FROM exact
+WHERE doc_id NOT IN (SELECT ib FROM dropped)
+"""
+
+
+CURATE_DOCS = _curate_sql()
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
@@ -475,6 +522,7 @@ ORACLES = {
     "fp_counts": FP_COUNTS,
     "minhash_sigs": MINHASH_SIGS,
     "simhash_vals": SIMHASH_VALS,
+    "curate_docs": CURATE_DOCS,
     # minhash_pairs: rows-only (banded LSH pipeline, not ANSI-SQL)
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,

@@ -297,6 +297,16 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.5)
 
 
+def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline: quality gate → exact dedup → MinHash-LSH
+    near-dedup → surviving doc_ids."""
+    from jsonschema_rs_spark.operators.curate import curate
+
+    docs = _read(spark, sf_dir, "documents")
+    return curate(docs, quality_threshold=0.7, num_hashes=16, bands=8,
+                  jaccard_threshold=0.6).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -379,6 +389,7 @@ QUERIES = {
     "minhash_sigs": minhash_sigs,
     "simhash_vals": simhash_vals,
     "minhash_pairs": minhash_pairs,
+    "curate_docs": curate_docs,
     "sim_topk": sim_topk,
     "ann_lsh": ann_lsh,
     "ndcos_pairs": ndcos_pairs,

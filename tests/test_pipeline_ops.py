@@ -240,3 +240,19 @@ def test_frame_sample_plan(spark):
     assert all(r["ts_ms"] == r["frame_idx"] * 60_000 for r in rows)
     n_videos = media.where(F.col("media_type") == "video").count()
     assert len({r["asset_id"] for r in rows}) == n_videos
+
+
+def test_curate_pipeline(spark):
+    from jsonschema_rs_spark.operators.curate import curate
+    rows = [
+        ("d1", "the cat sat on the mat and the dog slept by the door today"),
+        ("d2", "the cat sat on the mat and the dog slept by the door today"),  # exact dup
+        ("d3", "the cat sat on the mat and the dog slept by the gate today"),  # near dup
+        ("d4", "a completely different story about the spark engine and its many shuffles"),
+        ("d5", "xx"),  # fails quality gate (too short)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sorted(r["doc_id"] for r in curate(
+        df, quality_threshold=0.7, num_hashes=16, bands=8,
+        jaccard_threshold=0.5).collect())
+    assert out == ["d1", "d4"]
