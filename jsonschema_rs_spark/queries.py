@@ -28,6 +28,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + ensure enough partitions to use every core: a small table
+    stored as ONE parquet file otherwise pins expression-heavy operators
+    (shingling, simhash, mapInPandas) to a single task. The repartition
+    shuffles only the small table; at 100 TB the input has thousands of
+    splits and this is a no-op."""
+    df = _read(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # validation: scalar keywords over real tables
 # ---------------------------------------------------------------------------
@@ -259,7 +272,7 @@ def hist_orders_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     out = ta.with_text_features(docs)  # staged: each regex runs once
     return out.select(
         "doc_id", "n_tokens_ws", "n_tokens_bpe", "lang_pred",
@@ -271,13 +284,13 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return (docs.select(ta.fingerprint(F.col("text")).alias("fp"))
             .groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")))
 
 
 def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     staged = dd.with_minhash(docs, "text", "sig_arr", num_hashes=8, n=3)
     return staged.select(
         "doc_id",
@@ -286,13 +299,13 @@ def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return dd.with_simhash(docs, "text").select("doc_id", "simhash")
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no SQL oracle (banded-LSH pipeline); driver records rows-only check
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return dd.minhash_near_duplicates(docs, num_hashes=16, bands=8,
                                       threshold=0.5)
 
@@ -302,7 +315,7 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup → surviving doc_ids."""
     from jsonschema_rs_spark.operators.curate import curate
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return curate(docs, quality_threshold=0.7, num_hashes=16, bands=8,
                   jaccard_threshold=0.6).select("doc_id")
 
@@ -349,7 +362,7 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # media blobs derived deterministically from documents.text; the decode
     # is the stubbed step (multimodal.py) — driver records rows-only check
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     media = docs.select(
         F.concat(F.lit("asset-"),
                  F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8))
