@@ -237,6 +237,61 @@ def _ks_finish(cdfs: DataFrame) -> DataFrame:
     return gap
 
 
+def ks_statistic_exact_scalable(a: DataFrame, b: DataFrame,
+                                column: str) -> DataFrame:
+    """Exact two-sample KS without the single-partition window.
+
+    Plan shape (survives 100x data):
+    1. union tagged samples, repartitionByRange on the value — each
+       partition owns a contiguous value range
+    2. per-partition: sort locally, cumulative counts (one pass inside
+       mapInPandas? no — pure SQL: groupBy partition for totals)
+    3. partial per-partition totals → driver-side prefix offsets (one
+       tiny collect of n_partitions rows)
+    4. per-partition local cumsum + broadcast offset → global CDFs, max
+       gap per partition → global max
+
+    Steps 2-4 are expressed with a window PARTITIONED by the range
+    bucket, so no task ever sees more than its slice. Returns one row
+    (n_a, n_b, ks_stat), identical to ks_statistic_exact.
+    """
+    ua = a.select(F.col(column).cast("double").alias("v"),
+                  F.lit(1).alias("ia"), F.lit(0).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    ub = b.select(F.col(column).cast("double").alias("v"),
+                  F.lit(0).alias("ia"), F.lit(1).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    u = ua.unionAll(ub).repartitionByRange(F.col("v")) \
+        .withColumn("__part", F.spark_partition_id())
+    # per-partition totals → prefix offsets (tiny driver-side step)
+    totals = (u.groupBy("__part")
+              .agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+              .orderBy("__part").collect())
+    offs, ca, cb = {}, 0, 0
+    for r in totals:
+        offs[r["__part"]] = (ca, cb)
+        ca += r["ta"]
+        cb += r["tb"]
+    n_a, n_b = ca, cb
+    if n_a == 0 or n_b == 0:
+        return u.sparkSession.createDataFrame(
+            [(n_a, n_b, 0.0)], "n_a long, n_b long, ks_stat double")
+    off_a = F.create_map(*[x for p, (oa, _ob) in offs.items()
+                           for x in (F.lit(p), F.lit(oa))])
+    off_b = F.create_map(*[x for p, (_oa, ob) in offs.items()
+                           for x in (F.lit(p), F.lit(ob))])
+    w = Window.partitionBy("__part").orderBy("v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    cdfs = u.select(
+        (F.sum("ia").over(w) + off_a[F.col("__part")]).alias("ca"),
+        (F.sum("ib").over(w) + off_b[F.col("__part")]).alias("cb"),
+    )
+    return cdfs.agg(
+        F.lit(n_a).alias("n_a"), F.lit(n_b).alias("n_b"),
+        F.max(F.abs(F.col("ca") / n_a - F.col("cb") / n_b))
+        .alias("ks_stat"))
+
+
 def ks_statistic_sketch(a: DataFrame, b: DataFrame, column: str,
                         k: int = 200, rel_err: float = 1e-4) -> dict:
     """Scale path: compare quantile sketches instead of sorting 100 TB.

@@ -185,3 +185,35 @@ def test_violation_counts_stream_matches_batch(spark, tmp_path):
     assert got
     assert all(want.get(k) == v for k, v in got.items())
     assert len(got) >= len(want) - 3
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates are dropped
+    both within a micro-batch and ACROSS micro-batches (state store)."""
+    from jsonschema_rs_spark.streaming.stateful import \
+        streaming_dedup_first_seen
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [("d1", "the quick brown fox jumps over the lazy dog"),
+          ("d2", "the quick brown fox jumps over the lazy dog"),  # in-batch dup
+          ("d3", "a different document entirely about spark")]
+    b2 = [("d4", "THE QUICK BROWN FOX jumps over the lazy dog!"),  # cross-batch dup (normalized)
+          ("d5", "yet another unique piece of text content")]
+    schema = "doc_id string, text string"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(src + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(src + "/f2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/f*"))
+    out = streaming_dedup_first_seen(stream)
+    q = (out.writeStream.format("memory").queryName("t_sd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in
+                  spark.sql("select doc_id from t_sd").collect())
+    # one survivor per distinct fingerprint; d2 (in-batch) and d4
+    # (cross-batch, normalized dup of d1) are dropped
+    assert kept == ["d1", "d3", "d5"]

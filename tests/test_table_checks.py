@@ -159,3 +159,23 @@ def test_drift_fires_on_shifted_snapshot(spark):
 
     chi = tc.chi_square_drift(feat(cur), feat(ref), "n_spans").first()
     assert tc.chi2_pvalue(chi["chi2"], chi["dof"]) < 1e-3  # zipf shift
+
+
+def test_ks_exact_scalable_matches_window_version(spark):
+    import numpy as np
+    rng = np.random.RandomState(11)
+    # include heavy ties to stress range-boundary handling
+    xa = np.concatenate([rng.normal(0, 1, 500),
+                         np.repeat(0.5, 200)]).tolist()
+    xb = np.concatenate([rng.normal(0.3, 1, 400),
+                         np.repeat(0.5, 100)]).tolist()
+    a = spark.createDataFrame([(float(v),) for v in xa], "v double")
+    b = spark.createDataFrame([(float(v),) for v in xb], "v double")
+    ref = tc.ks_statistic_exact(a, b, "v").first()
+    got = tc.ks_statistic_exact_scalable(a, b, "v").first()
+    assert got["n_a"] == ref["n_a"] and got["n_b"] == ref["n_b"]
+    assert got["ks_stat"] == pytest.approx(ref["ks_stat"], abs=1e-12)
+    # and no single-partition window in the physical plan
+    p = tc.ks_statistic_exact_scalable(a, b, "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p
