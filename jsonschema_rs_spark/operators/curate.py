@@ -26,8 +26,14 @@ from jsonschema_rs_spark.operators import text_analysis as ta
 def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            quality_threshold: float = 0.7,
            num_hashes: int = 16, bands: int = 8,
-           jaccard_threshold: float = 0.6) -> DataFrame:
-    """Returns the surviving rows of `docs` (original columns)."""
+           jaccard_threshold: float = 0.6,
+           strategy: str = "greedy") -> DataFrame:
+    """Returns the surviving rows of `docs` (original columns).
+
+    strategy='greedy': drop the larger id of each confirmed pair (one
+    pass). strategy='cc': connected components over the pair graph, keep
+    the minimum id per cluster (a few extra tiny shuffles; never
+    over-deletes chains a-b, b-c)."""
     feats = ta.with_text_features(docs, text_col)
     gated = feats.where(F.col("quality") >= quality_threshold)
 
@@ -42,7 +48,12 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     pairs = dd.minhash_near_duplicates(
         exact, text_col, id_col, num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold)
-    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    if strategy == "cc":
+        comps = dd.connected_components(pairs)
+        drop = comps.where(F.col("id") != F.col("component")) \
+            .select(F.col("id").alias(id_col))
+    else:
+        drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     # drop-list size is data-dependent (could be 30%+ of a crawl) — leave
     # the broadcast decision to AQE's runtime statistics
     out = exact.join(drop, id_col, "left_anti")

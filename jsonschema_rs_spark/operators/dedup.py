@@ -300,6 +300,55 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# connected components over near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(id, component) via iterative min-label propagation.
+
+    Each round every node adopts the smallest label in its neighborhood;
+    converges in O(diameter) rounds (near-dup clusters are tiny, so
+    typically 2-4). Per round: one groupBy shuffle over the edge list —
+    the standard large-graph CC pattern when GraphFrames isn't available.
+    Used by curate(strategy='cc') to keep exactly one doc per duplicate
+    CLUSTER (greedy pair-drop can over-delete chains a-b, b-c)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = edges.select("src").union(edges.select("dst")) \
+        .distinct().withColumnRenamed("src", "id") \
+        .withColumn("component", F.col("id"))
+    for i in range(max_iterations):
+        # neighbor minimum, then keep min(own, neighbors')
+        neigh = (edges.join(labels, edges["dst"] == labels["id"])
+                 .groupBy("src").agg(F.min("component").alias("nmin")))
+        updated = (labels.join(neigh, labels["id"] == neigh["src"], "left")
+                   .select(labels["id"],
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("component")))
+                           .alias("component")))
+        if i >= 1:
+            # converged when no label changed; checked every round after
+            # the first (one tiny count per round; localCheckpoint breaks
+            # the growing lineage)
+            updated = updated.localCheckpoint(eager=True)
+            changed = (updated.alias("u")
+                       .join(labels.alias("l"), "id")
+                       .where(F.col("u.component") != F.col("l.component"))
+                       .count())
+            labels = updated
+            if changed == 0:
+                break
+        else:
+            labels = updated.localCheckpoint(eager=True)
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

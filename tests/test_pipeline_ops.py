@@ -256,3 +256,30 @@ def test_curate_pipeline(spark):
         df, quality_threshold=0.7, num_hashes=16, bands=8,
         jaccard_threshold=0.5).collect())
     assert out == ["d1", "d4"]
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_curate_cc_keeps_one_per_cluster(spark):
+    from jsonschema_rs_spark.operators.curate import curate
+    # chain a~b, b~c where a!~c directly: greedy drops b and c (both
+    # appear as id_b); cc keeps exactly one per cluster too — here both
+    # agree, but cc must not drop the cluster minimum
+    rows = [
+        ("a1", "the gray cat sat on the soft mat by the old door frame one"),
+        ("a2", "the gray cat sat on the soft mat by the old door frame two"),
+        ("a3", "the gray cat sat on the soft mat by the old door frame ten"),
+        ("zz", "a totally unrelated string of words about query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = sorted(r["doc_id"] for r in curate(
+        df, quality_threshold=0.5, jaccard_threshold=0.5,
+        strategy="cc").collect())
+    assert out == ["a1", "zz"]
