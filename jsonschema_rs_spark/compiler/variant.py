@@ -110,13 +110,17 @@ _TYPE_PREDS = {
 
 def _canonical(v: Column) -> Column:
     """Canonical scalar-aware serialization for equality: numbers via
-    double (so 1 == 1.0), everything else via JSON text. Composite
+    double (so 1 == 1.0) under one 'n:' tag; every other value under a
+    tag derived from its JSON type class (first 3 chars of
+    schema_of_variant: STR/BOO/ARR/OBJ/VOI), so boolean true never
+    collides with the string "true" nor an array with its JSON text
+    (draft 2020-12 typed equality, reference ext/cmp.rs). Composite
     equality is serialization-based — exact for identical documents,
     which is the uniqueItems case that matters."""
     return F.when(_is_number(v), F.concat(F.lit("n:"),
                                           _as_double(v).cast("string"))) \
-        .otherwise(F.concat(F.lit("j:"), F.coalesce(_as_string(v),
-                                                    F.lit("\x00"))))
+        .otherwise(F.concat(F.substring(_vtype(v), 1, 3), F.lit(":"),
+                            F.coalesce(_as_string(v), F.lit("\x00"))))
 
 
 # -- const / enum: compile the literal into a structural predicate ---------

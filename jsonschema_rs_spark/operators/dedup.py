@@ -241,24 +241,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     (sig → band keys) is one projection; explode(band keys) shuffles only
-    (band_key, doc_id); groupBy band_key with a size cap bounds the skew
-    of degenerate buckets (e.g. empty docs). Pairs are emitted from the
-    collected bucket — bucket sizes are tiny by construction (cap logged
-    at call sites). Probability a pair with Jaccard j collides:
-    1 - (1 - j^r)^b with r = num_hashes/bands.
+    (band_key, doc_id); groupBy band_key. Probability a pair with
+    Jaccard j collides: 1 - (1 - j^r)^b with r = num_hashes/bands.
+
+    Skew guard (NO silent drops): buckets up to `max_bucket` ids emit all
+    within-bucket pairs (k*(k-1)/2); OVERSIZED buckets — precisely the
+    duplicate-dense ones (empty/boilerplate text) — emit STAR pairs
+    (min_id, other) instead: linear in bucket size, and preserves cluster
+    connectivity for the verify + connected-components stages (every
+    member still reaches the representative; for identical text the
+    verify-stage Jaccard is 1, so nothing is lost). Use
+    lsh_bucket_metrics() to surface how many buckets took the star path.
     """
-    rows_per_band = num_hashes // bands
-    staged = with_minhash(df, text_col, "__sig", num_hashes, n)
-    keys = lsh_band_keys(F.col("__sig"), bands, rows_per_band)
-    exploded = staged.select(F.col(id_col).alias("id"),
-                             F.explode(keys).alias("band_key"))
-    buckets = (
-        exploded.groupBy("band_key")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
-    # pairs within bucket: posexplode twice via index sequences
-    pairs = buckets.select(
+    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands, n)
+    small = buckets.where(F.size("ids") <= max_bucket)
+    # all pairs within small buckets: index-sequence cross within the array
+    pairs_small = small.select(
         F.explode(
             F.flatten(F.transform(
                 F.sequence(F.lit(1), F.size("ids") - 1),
@@ -271,8 +269,48 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                 ),
             ))
         ).alias("p")
-    ).select("p.id_a", "p.id_b").dropDuplicates()
-    return pairs
+    ).select("p.id_a", "p.id_b")
+    # star pairs for hot buckets: (representative=min id, member)
+    big = buckets.where(F.size("ids") > max_bucket)
+    pairs_big = big.select(
+        F.element_at(F.col("ids"), 1).alias("id_a"),
+        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("id_b"),
+    )
+    return pairs_small.unionAll(pairs_big).dropDuplicates()
+
+
+def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
+                 num_hashes: int, bands: int, n: int) -> DataFrame:
+    """(band_key, ids sorted) buckets with >1 member."""
+    rows_per_band = num_hashes // bands
+    staged = with_minhash(df, text_col, "__sig", num_hashes, n)
+    keys = lsh_band_keys(F.col("__sig"), bands, rows_per_band)
+    exploded = staged.select(F.col(id_col).alias("id"),
+                             F.explode(keys).alias("band_key"))
+    return (
+        exploded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+
+
+def lsh_bucket_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = 16, bands: int = 4,
+                       n: int = 3, max_bucket: int = 500) -> DataFrame:
+    """One-row skew report for the LSH bucket distribution — the
+    no-silent-caps companion to minhash_lsh_candidates: (n_buckets,
+    n_oversized, max_bucket_size, n_ids_in_oversized). Run it alongside a
+    dedup job to see exactly how much of the key space took the
+    linear star-pair path."""
+    b = _lsh_buckets(df, text_col, id_col, num_hashes, bands, n)
+    return b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.size("ids") > max_bucket).cast("long")).alias("n_oversized"),
+        F.max(F.size("ids")).alias("max_bucket_size"),
+        F.coalesce(F.sum(F.when(F.size("ids") > max_bucket, F.size("ids"))),
+                   F.lit(0)).alias("n_ids_in_oversized"),
+    )
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",

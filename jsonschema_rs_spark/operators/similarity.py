@@ -145,13 +145,21 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
                               n_planes: int = 12, dim: int = 64,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              exact: bool = False) -> DataFrame:
+                              exact: bool = False,
+                              bands: int | None = None,
+                              planes_per_band: int = 3) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
 
-    exact=False (scale path): LSH buckets generate candidates — pairs
-    meeting in a bucket; high-cosine pairs agree on most hyperplane signs
-    so recall is high for threshold ~0.95.
-    exact=True (verify path): full self-join — O(N^2), small scale only.
+    exact=False (DEFAULT, the scale path): BANDED random-hyperplane LSH —
+    `bands` independent signatures of `planes_per_band` sign bits each;
+    candidates are pairs agreeing on ANY band (OR-construction), then an
+    exact cosine verify. Collision prob per plane is 1 - theta/pi, so a
+    pair at cosine c collides with prob 1 - (1 - p^r)^b — with the
+    defaults (b=16, r=3) recall is >0.996 at c=0.5 and ~1 above 0.8.
+    Shuffle is b rows per input row (linear); no Q*N blowup.
+
+    exact=True (verify/oracle path): full self-join — O(N^2); used by
+    tests and the DuckDB oracle at small scale only.
     """
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   norm(F.col(vec_col)).alias("n"))
@@ -166,8 +174,20 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
             F.round(dot(F.col("va"), F.col("vb"))
                     / (F.col("na") * F.col("nb")), 6).alias("sim"),
         ).where(F.col("sim") >= threshold)
-    planes = hyperplane_signs(n_planes, dim)
-    bucketed = v.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    if bands is None:
+        bands = 16
+    # one signature projection: bands * planes_per_band sign bits, banded
+    # into `bands` bucket keys — (band_idx, packed_signs)
+    planes = hyperplane_signs(bands * planes_per_band, dim)
+    keys = F.array(*[
+        F.concat_ws(
+            "#", F.lit(str(bi)),
+            lsh_bucket(F.col("v"),
+                       planes[bi * planes_per_band:(bi + 1) * planes_per_band])
+            .cast("string"))
+        for bi in range(bands)
+    ])
+    bucketed = v.select("id", "v", "n", F.explode(keys).alias("bucket"))
     a = bucketed.select("bucket", F.col("id").alias("id_a"),
                         F.col("v").alias("va"), F.col("n").alias("na"))
     b = bucketed.select("bucket", F.col("id").alias("id_b"),
@@ -175,9 +195,9 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b",
                 F.round(dot(F.col("va"), F.col("vb"))
                         / (F.col("na") * F.col("nb")), 6).alias("sim"))
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("sim") >= threshold)
     )

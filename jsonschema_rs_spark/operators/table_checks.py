@@ -187,14 +187,26 @@ def referential_violations(fact: DataFrame, fact_key: str,
         dim_rows = dim.select(dim_key).limit(broadcast_limit + 1).count()
     use_broadcast = dim_rows <= broadcast_limit
     if use_broadcast:
-        keys = F.broadcast(keys)
-        probe = fact
-    else:
-        probe = fact.select(fact_key).dropDuplicates() if distinct_fact_keys \
-            else fact
-    out = probe.join(keys, on=probe[fact_key] == keys["__dim_key"],
-                     how="left_anti")
-    return out.where(F.col(fact_key).isNotNull())
+        out = fact.join(F.broadcast(keys),
+                        on=fact[fact_key] == keys["__dim_key"],
+                        how="left_anti")
+        return out.where(F.col(fact_key).isNotNull())
+    # shuffle path: anti-join DISTINCT fact keys (immune to fact-side key
+    # skew — a hot key collapses to one row before the join), then join
+    # the dangling-key set BACK to the fact table so both strategies
+    # return the same shape: every dangling fact row
+    probe = fact.select(fact_key).dropDuplicates() if distinct_fact_keys \
+        else fact
+    dangling = probe.join(keys, on=probe[fact_key] == keys["__dim_key"],
+                          how="left_anti") \
+        .where(F.col(fact_key).isNotNull())
+    if not distinct_fact_keys:
+        return dangling
+    dangling_keys = dangling.select(F.col(fact_key).alias("__bad_key")) \
+        .dropDuplicates()
+    return fact.join(dangling_keys,
+                     on=fact[fact_key] == F.col("__bad_key"), how="inner") \
+        .drop("__bad_key")
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +363,12 @@ def chi_square_drift(observed: DataFrame, reference: DataFrame,
     c = F.col(column) if isinstance(column, str) else column
     o = observed.groupBy(c.alias("cat")).agg(F.count(F.lit(1)).alias("n_o"))
     r = reference.groupBy(c.alias("cat")).agg(F.count(F.lit(1)).alias("n_r"))
-    both = o.join(r, "cat", "full_outer").fillna(0, ["n_o", "n_r"])
+    # null-SAFE join key: a NULL category present on both sides must meet
+    # in ONE row — plain equality would split it into two half-rows and
+    # inflate chi2 and dof
+    both = (o.join(r, o["cat"].eqNullSafe(r["cat"]), "full_outer")
+            .select(F.coalesce(o["n_o"], F.lit(0)).alias("n_o"),
+                    F.coalesce(r["n_r"], F.lit(0)).alias("n_r")))
     # totals via an unpartitioned window: the frame here is CATEGORY counts
     # (tiny regardless of input scale), so a single-partition window is safe
     # and keeps the whole check one plan with no self-join lineage clash

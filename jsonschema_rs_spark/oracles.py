@@ -250,7 +250,7 @@ o AS (SELECT event_type AS cat, count(*) AS n_o
 r AS (SELECT event_type AS cat, count(*) AS n_r
       FROM events, mid WHERE event_id > m GROUP BY event_type),
 b AS (SELECT coalesce(o.n_o, 0) AS n_o, coalesce(r.n_r, 0) AS n_r
-      FROM o FULL OUTER JOIN r ON o.cat = r.cat),
+      FROM o FULL OUTER JOIN r ON o.cat IS NOT DISTINCT FROM r.cat),
 j AS (SELECT n_o, n_r, sum(n_o) OVER () AS tot_o, sum(n_r) OVER () AS tot_r
       FROM b)
 SELECT

@@ -95,12 +95,14 @@ class ValidationRunner:
         if self.violations_path:
             # dynamic partition overwrite → a chunk that crashed after
             # writing violations but before its metrics checkpoint is
-            # simply overwritten on retry (exactly-once per partition)
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # simply overwritten on retry (exactly-once per partition).
+            # Set on the WRITER, not the session conf: a session-level
+            # mutation would silently change overwrite semantics for
+            # unrelated writes later in the same Spark session.
             self.plan.violations(df, id_cols=[PART_COL]) \
                 .withColumn("run_id", F.lit(run_id)) \
                 .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
                 .partitionBy("run_id", PART_COL) \
                 .parquet(self.violations_path)
         # metrics LAST: a chunk is checkpointed only once fully done

@@ -36,7 +36,9 @@ def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     splits and this is a no-op."""
     df = _read(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # file count bounds the scan's split count for small files; cheaper
+    # probe than df.rdd.getNumPartitions() (which forces RDD conversion)
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
@@ -243,19 +245,27 @@ def ri_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS via the RANGE-PARTITIONED plan (the scale
+    default): per-partition windows + broadcast prefix offsets, never a
+    single-partition global sort. ks_statistic_exact (global window) is
+    demoted to a small-scale test oracle (test_table_checks)."""
     ev = _read(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "click")
     b = ev.where(F.col("event_type") == "error")
-    r = tc.ks_statistic_exact(a, b, "value")
+    r = tc.ks_statistic_exact_scalable(a, b, "value")
     return r.select("n_a", "n_b", F.round("ks_stat", 6).alias("ks_stat"))
 
 
 def chisq_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    # integer floor-division on both sides (duckdb CAST rounds half-even)
-    mid = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).first()[0]
-    a = ev.where(F.col("event_id") <= mid)
-    b = ev.where(F.col("event_id") > mid)
+    # split point as a broadcast scalar — one tiny agg joined into the
+    # plan instead of a driver .first() round-trip (integer floor-division
+    # on both sides; duckdb CAST rounds half-even)
+    mid = F.broadcast(
+        ev.agg(F.floor(F.max("event_id") / 2).cast("long").alias("__mid")))
+    with_mid = ev.crossJoin(mid)
+    a = with_mid.where(F.col("event_id") <= F.col("__mid"))
+    b = with_mid.where(F.col("event_id") > F.col("__mid"))
     r = tc.chi_square_drift(a, b, "event_type")
     return r.select(F.round("chi2", 6).alias("chi2"), "dof", "n_obs", "n_ref")
 
@@ -340,8 +350,11 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ndcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH path (the scale default — linear shuffle, no crossJoin);
+    the DuckDB oracle stays the exact O(N^2) self-join, so a green row
+    also certifies the LSH recall on this data."""
     emb = _read(spark, sf_dir, "embeddings")
-    return sim.near_duplicates_by_cosine(emb, threshold=0.5, exact=True)
+    return sim.near_duplicates_by_cosine(emb, threshold=0.5, exact=False)
 
 
 # ---------------------------------------------------------------------------

@@ -63,9 +63,14 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
                    checkpoint_dir: str,
                    trigger_once: bool = True):
     """Start a streaming query that validates each micro-batch and
-    appends per-micro-batch metrics rows compatible with the batch
-    ValidationRunner's table (part_id = batch-<epoch>). Exactly-once via
-    the streaming checkpoint + idempotent parquet append per batch id."""
+    writes per-micro-batch metrics rows compatible with the batch
+    ValidationRunner's columns (part_id = batch-<epoch>). Exactly-once:
+    the write is a DYNAMIC partition overwrite partitioned by
+    (run_id, part_id), so a micro-batch retried after a sink failure
+    overwrites its own partition instead of appending a duplicate row
+    (a plain parquet append is NOT idempotent). Use a dedicated
+    runs_path for streaming metrics — the layout is partitioned, unlike
+    the batch runner's append table."""
     import time as _time
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -99,7 +104,10 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
                 F.lit(_time.time()).alias("finished"),
             )
         )
-        agg.write.mode("append").parquet(runs_path)
+        agg.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("run_id", "part_id") \
+            .parquet(runs_path)
 
     writer = (stream_df.writeStream
               .foreachBatch(write_batch)
