@@ -25,11 +25,14 @@ from jsonschema_rs_spark.spec.model import meta_validate
 
 class CompileContext:
     def __init__(self, root_schema: Any, options: ValidationOptions):
+        from jsonschema_rs_spark.compiler.registry import RefRegistry
+
         self.root = root_schema
         self.options = options
         self._regex_cache: dict[str, str] = {}
         # active (ref_pointer, dtype) pairs — structural-progress cycle guard
         self._active_refs: set[tuple[str, str]] = set()
+        self.registry = RefRegistry(root_schema)
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the
@@ -38,22 +41,10 @@ class CompileContext:
             self._regex_cache[ecma_pattern] = ecma_to_java(ecma_pattern)
         return self._regex_cache[ecma_pattern]
 
-    def resolve_ref(self, ref: str) -> Any:
-        if ref == "#":
-            return self.root
-        if not ref.startswith("#/"):
-            raise SchemaError(
-                f"only local refs supported in v1, got {ref!r}", "$ref")
-        node = self.root
-        for tok in ref[2:].split("/"):
-            tok = tok.replace("~1", "/").replace("~0", "~")
-            if isinstance(node, dict) and tok in node:
-                node = node[tok]
-            elif isinstance(node, list) and tok.isdigit() and int(tok) < len(node):
-                node = node[int(tok)]
-            else:
-                raise SchemaError(f"unresolvable $ref {ref!r}", "$ref")
-        return node
+    def resolve_ref(self, ref: str, referrer: Any = None) -> Any:
+        """$id/$anchor-aware in-document resolution (registry.py)."""
+        return self.registry.resolve(ref, referrer
+                                     if referrer is not None else self.root)
 
 
 def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
@@ -71,9 +62,15 @@ def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
 
     rules: list[Rule] = []
 
-    if "$ref" in schema:
-        ref = schema["$ref"]
-        key = (ref, dt.simpleString())
+    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, schema)),
+                         ("$dynamicRef",
+                          lambda r: ctx.registry.resolve_dynamic(r, schema)),
+                         ("$recursiveRef",
+                          lambda r: ctx.registry.resolve_recursive())):
+        if kw not in schema:
+            continue
+        ref = schema[kw]
+        key = (kw + ":" + ref, dt.simpleString())
         if key in ctx._active_refs:
             # cycle without structural progress: infinitely-recursive schema
             # over a finite dtype — vacuously satisfiable; stop unrolling
@@ -81,8 +78,8 @@ def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
         else:
             ctx._active_refs.add(key)
             try:
-                target = ctx.resolve_ref(ref)
-                sub = compile_node(target, dt, ctx, sp + "/$ref")
+                target = resolver(ref)
+                sub = compile_node(target, dt, ctx, sp + "/" + kw)
                 rules.extend(sub.rules)
             finally:
                 ctx._active_refs.discard(key)

@@ -1,0 +1,134 @@
+"""In-document reference registry: `$id` base URIs, `$anchor`,
+`$dynamicAnchor`, `$recursiveAnchor`.
+
+The Spark analog of the reference's referencing crate
+(jsonschema-referencing/src/anchors.rs — exported lib.rs:4,18 — and
+resolver.rs:65): one pre-order walk of the schema document collects
+
+- every embedded resource root declared by `$id` (absolute or relative,
+  resolved against the enclosing base URI),
+- every `(base_uri, anchor)` pair from `$anchor` / `$dynamicAnchor`,
+- the OUTERMOST `$dynamicAnchor` per name and the outermost
+  `$recursiveAnchor: true` schema — the static approximation used when
+  compiling `$dynamicRef` / `$recursiveRef` (see compile sites): the
+  dynamic scope of a depth-unrolled compilation always starts at the
+  document root, so the first-in-pre-order dynamic anchor IS the one a
+  runtime resolver would find for the metaschema-style recursive tree.
+  Documents whose dynamic scope would legitimately re-bind mid-instance
+  (two same-named $dynamicAnchors on sibling branches) are a documented
+  deviation.
+
+Remote retrievers stay a non-goal (reference retriever.rs); every URI
+must resolve to a resource embedded in THIS document.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+from urllib.parse import urldefrag, urljoin
+
+from jsonschema_rs_spark.errors import SchemaError
+
+# keys whose values are data, not schema locations — never walked, so a
+# '$anchor' key inside an enum literal can't poison the registry
+_DATA_KEYS = frozenset(["enum", "const", "default", "examples"])
+
+
+class RefRegistry:
+    def __init__(self, root: Any):
+        self.root = root
+        self.base_by_oid: dict[int, str] = {}
+        self.by_uri: dict[str, Any] = {}
+        self.anchors: dict[tuple[str, str], Any] = {}
+        self.dynamic_anchors: dict[str, Any] = {}
+        self.recursive_root: Any = None
+        root_base = ""
+        if isinstance(root, dict) and isinstance(root.get("$id"), str):
+            root_base = urldefrag(root["$id"]).url
+        self.root_base = root_base
+        self.by_uri[root_base] = root
+        self._walk(root, root_base, is_root=True)
+
+    # -- collection --------------------------------------------------------
+
+    def _walk(self, node: Any, base: str, is_root: bool = False) -> None:
+        if isinstance(node, list):
+            for v in node:
+                self._walk(v, base)
+            return
+        if not isinstance(node, dict):
+            return
+        if not is_root and isinstance(node.get("$id"), str):
+            base = urljoin(base, urldefrag(node["$id"]).url)
+            self.by_uri[base] = node
+        self.base_by_oid[id(node)] = base
+        a = node.get("$anchor")
+        if isinstance(a, str):
+            self.anchors[(base, a)] = node
+        da = node.get("$dynamicAnchor")
+        if isinstance(da, str):
+            self.anchors[(base, da)] = node
+            # pre-order walk → first occurrence is the outermost
+            self.dynamic_anchors.setdefault(da, node)
+        if node.get("$recursiveAnchor") is True and self.recursive_root is None:
+            self.recursive_root = node
+        for k, v in node.items():
+            if k not in _DATA_KEYS:
+                self._walk(v, base)
+
+    # -- resolution --------------------------------------------------------
+
+    def base_of(self, referrer: Any) -> str:
+        return self.base_by_oid.get(id(referrer), self.root_base)
+
+    def resolve(self, ref: str, referrer: Any) -> Any:
+        """Resolve `ref` (URI-reference with optional fragment) against
+        the referring schema's base URI to an in-document subschema."""
+        base = self.base_of(referrer)
+        uri, frag = urldefrag(ref)
+        doc = self.by_uri.get(urljoin(base, uri) if uri else base)
+        if doc is None:
+            raise SchemaError(
+                f"unresolvable $ref {ref!r}: no embedded resource for "
+                f"{urljoin(base, uri)!r} (remote refs are a non-goal)",
+                "$ref")
+        if not frag:
+            return doc
+        if frag.startswith("/"):
+            return self._pointer(doc, frag, ref)
+        target = self.anchors.get((urljoin(base, uri) if uri else base, frag))
+        if target is None:
+            raise SchemaError(f"unresolvable anchor in $ref {ref!r}", "$ref")
+        return target
+
+    def resolve_dynamic(self, ref: str, referrer: Any) -> Any:
+        """`$dynamicRef`: the outermost same-named `$dynamicAnchor` in the
+        document if one exists (static approximation of the runtime
+        dynamic-scope search, keywords/ref_.rs:293 compile_dynamic_ref);
+        otherwise behaves exactly like `$ref` (per spec, when the initial
+        target has no matching $dynamicAnchor)."""
+        _, frag = urldefrag(ref)
+        if frag and not frag.startswith("/") \
+                and frag in self.dynamic_anchors:
+            return self.dynamic_anchors[frag]
+        return self.resolve(ref, referrer)
+
+    def resolve_recursive(self) -> Any:
+        """`$recursiveRef: "#"` (2019-09): the outermost schema carrying
+        `$recursiveAnchor: true`, else the document root
+        (keywords/ref_.rs:214-278)."""
+        return self.recursive_root if self.recursive_root is not None \
+            else self.root
+
+    def _pointer(self, doc: Any, frag: str, ref: str) -> Any:
+        node = doc
+        for tok in frag[1:].split("/"):
+            tok = tok.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, dict) and tok in node:
+                node = node[tok]
+            elif isinstance(node, list) and tok.isdigit() \
+                    and int(tok) < len(node):
+                node = node[int(tok)]
+            else:
+                raise SchemaError(f"unresolvable $ref {ref!r}", "$ref")
+        return node

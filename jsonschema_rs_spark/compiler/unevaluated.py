@@ -62,7 +62,7 @@ def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
     ref_cov = None
     if "$ref" in schema:
         try:
-            target = ctx.resolve_ref(schema["$ref"])
+            target = ctx.resolve_ref(schema["$ref"], schema)
             ref_cov = struct_key_coverage(target, dt, ctx, compile_node)
         except Exception:
             ref_cov = None

@@ -158,28 +158,22 @@ def _const_pred(value: Any, v: Column) -> Column:
 
 class VariantCompileContext:
     def __init__(self, root: Any, options: ValidationOptions):
+        from jsonschema_rs_spark.compiler.registry import RefRegistry
+
         self.root = root
         self.options = options
         self._ref_depth: dict[str, int] = {}
+        self.registry = RefRegistry(root)
 
     def regex(self, pattern: str) -> str:
         return ecma_to_java(pattern)
 
-    def resolve_ref(self, ref: str) -> Any:
-        if ref == "#":
-            return self.root
-        if not ref.startswith("#/"):
-            raise SchemaError(f"only local refs supported, got {ref!r}", "$ref")
-        node = self.root
-        for tok in ref[2:].split("/"):
-            tok = tok.replace("~1", "/").replace("~0", "~")
-            if isinstance(node, dict) and tok in node:
-                node = node[tok]
-            elif isinstance(node, list) and tok.isdigit():
-                node = node[int(tok)]
-            else:
-                raise SchemaError(f"unresolvable $ref {ref!r}", "$ref")
-        return node
+    def resolve_ref(self, ref: str, referrer: Any = None) -> Any:
+        """$id/$anchor-aware resolution (registry.py); `referrer` is the
+        schema object containing the $ref — its position decides the
+        base URI the reference resolves against."""
+        return self.registry.resolve(ref, referrer
+                                     if referrer is not None else self.root)
 
 
 def compile_variant(schema: Any, ctx: VariantCompileContext,
@@ -195,16 +189,21 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
     rules: list[Rule] = []
     add = rules.append
 
-    if "$ref" in schema:
-        ref = schema["$ref"]
-        depth = ctx._ref_depth.get(ref, 0)
-        if depth < ctx.options.max_ref_depth:
-            ctx._ref_depth[ref] = depth + 1
-            try:
-                sub = compile_variant(ctx.resolve_ref(ref), ctx, sp + "/$ref")
-                rules.extend(sub.rules)
-            finally:
-                ctx._ref_depth[ref] = depth
+    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, schema)),
+                         ("$dynamicRef",
+                          lambda r: ctx.registry.resolve_dynamic(r, schema)),
+                         ("$recursiveRef",
+                          lambda r: ctx.registry.resolve_recursive())):
+        if kw in schema:
+            ref = schema[kw]
+            depth = ctx._ref_depth.get(kw + ":" + ref, 0)
+            if depth < ctx.options.max_ref_depth:
+                ctx._ref_depth[kw + ":" + ref] = depth + 1
+                try:
+                    sub = compile_variant(resolver(ref), ctx, sp + "/" + kw)
+                    rules.extend(sub.rules)
+                finally:
+                    ctx._ref_depth[kw + ":" + ref] = depth
 
     if "type" in schema:
         ts = schema["type"]
@@ -573,10 +572,20 @@ def _key_coverage(schema: Any, ctx):
         if depth < ctx.options.max_ref_depth:
             ctx._ref_depth["cov:" + ref] = depth + 1
             try:
-                cov = _key_coverage(ctx.resolve_ref(ref), ctx)
+                cov = _key_coverage(ctx.resolve_ref(ref, schema), ctx)
                 parts.append(cov)
             finally:
                 ctx._ref_depth["cov:" + ref] = depth
+    if "$dynamicRef" in schema:
+        ref = schema["$dynamicRef"]
+        depth = ctx._ref_depth.get("covd:" + ref, 0)
+        if depth < ctx.options.max_ref_depth:
+            ctx._ref_depth["covd:" + ref] = depth + 1
+            try:
+                parts.append(_key_coverage(
+                    ctx.registry.resolve_dynamic(ref, schema), ctx))
+            finally:
+                ctx._ref_depth["covd:" + ref] = depth
     if "if" in schema:
         if_node = compile_variant(schema["if"], ctx, "/__cov")
         if_cov = _key_coverage(schema["if"], ctx)
@@ -636,9 +645,20 @@ def _index_coverage(schema: Any, ctx):
         if depth < ctx.options.max_ref_depth:
             ctx._ref_depth["icov:" + ref] = depth + 1
             try:
-                parts.append(_index_coverage(ctx.resolve_ref(ref), ctx))
+                parts.append(_index_coverage(ctx.resolve_ref(ref, schema),
+                                             ctx))
             finally:
                 ctx._ref_depth["icov:" + ref] = depth
+    if "$dynamicRef" in schema:
+        ref = schema["$dynamicRef"]
+        depth = ctx._ref_depth.get("icovd:" + ref, 0)
+        if depth < ctx.options.max_ref_depth:
+            ctx._ref_depth["icovd:" + ref] = depth + 1
+            try:
+                parts.append(_index_coverage(
+                    ctx.registry.resolve_dynamic(ref, schema), ctx))
+            finally:
+                ctx._ref_depth["icovd:" + ref] = depth
     if "if" in schema:
         if_node = compile_variant(schema["if"], ctx, "/__cov")
         if_cov = _index_coverage(schema["if"], ctx)

@@ -110,5 +110,11 @@ def meta_validate(schema: Any, path: str = "") -> None:
         ):
             raise SchemaError("dependentRequired must map to string arrays",
                               path + "/dependentRequired")
-    if "$ref" in schema and not isinstance(schema["$ref"], str):
-        raise SchemaError("$ref must be a string", path + "/$ref")
+    for kw in ("$ref", "$dynamicRef", "$recursiveRef", "$id", "$anchor",
+               "$dynamicAnchor"):
+        if kw in schema and not isinstance(schema[kw], str):
+            raise SchemaError(f"{kw} must be a string", f"{path}/{kw}")
+    if "$recursiveAnchor" in schema \
+            and not isinstance(schema["$recursiveAnchor"], bool):
+        raise SchemaError("$recursiveAnchor must be a boolean",
+                          path + "/$recursiveAnchor")

@@ -1,0 +1,208 @@
+"""$id / $anchor / $dynamicRef / $recursiveRef resolution
+(reference: jsonschema-referencing anchors.rs + resolver.rs:65,
+keywords/ref_.rs:214-278,293). Differential where python-jsonschema
+supports the construct; structural otherwise."""
+
+import pytest
+
+from jsonschema_rs_spark.compiler.registry import RefRegistry
+from jsonschema_rs_spark.compiler.variant import compile_json_schema
+from jsonschema_rs_spark.errors import SchemaError
+
+
+def check(spark, schema, cases):
+    plan = compile_json_schema(schema)
+    df = spark.createDataFrame([(doc,) for doc, _ in cases], "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    want = [v for _, v in cases]
+    assert got == want, list(zip([d for d, _ in cases], got, want))
+
+
+# -- registry unit ----------------------------------------------------------
+
+
+def test_registry_anchor_and_id():
+    schema = {
+        "$id": "https://example.com/root.json",
+        "$defs": {
+            "a": {"$anchor": "positive", "type": "integer", "minimum": 1},
+            "b": {"$id": "other.json",
+                  "$defs": {"c": {"$anchor": "name", "type": "string"}}},
+        },
+    }
+    reg = RefRegistry(schema)
+    assert reg.resolve("#positive", schema)["minimum"] == 1
+    # relative $id resolves against the root base
+    assert "https://example.com/other.json" in reg.by_uri
+    # anchor inside the embedded resource binds to ITS base
+    inner = reg.resolve("other.json#name", schema)
+    assert inner["type"] == "string"
+    # pointer fragment into an embedded resource
+    assert reg.resolve("other.json#/$defs/c", schema)["type"] == "string"
+
+
+def test_registry_anchor_in_enum_ignored():
+    reg = RefRegistry({"enum": [{"$anchor": "fake"}],
+                       "$defs": {"real": {"$anchor": "real"}}})
+    assert reg.resolve("#real", {}) == {"$anchor": "real"}
+    with pytest.raises(SchemaError):
+        reg.resolve("#fake", {})
+
+
+def test_registry_unresolvable_remote():
+    reg = RefRegistry({"type": "object"})
+    with pytest.raises(SchemaError):
+        reg.resolve("https://elsewhere.com/s.json#/a", {})
+
+
+# -- $anchor / $id end-to-end ----------------------------------------------
+
+
+def test_anchor_ref(spark):
+    schema = {
+        "type": "object",
+        "properties": {"count": {"$ref": "#positiveInt"}},
+        "$defs": {"pi": {"$anchor": "positiveInt",
+                         "type": "integer", "minimum": 1}},
+    }
+    check(spark, schema, [
+        ('{"count": 3}', True),
+        ('{"count": 0}', False),
+        ('{"count": "x"}', False),
+        ('{}', True),
+    ])
+
+
+def test_embedded_resource_id_ref(spark):
+    schema = {
+        "$id": "https://example.com/main.json",
+        "type": "object",
+        "properties": {"addr": {"$ref": "address.json"}},
+        "$defs": {
+            "address": {
+                "$id": "address.json",
+                "type": "object",
+                "required": ["street"],
+                "properties": {"street": {"type": "string",
+                                          "minLength": 2}},
+            },
+        },
+    }
+    check(spark, schema, [
+        ('{"addr": {"street": "elm"}}', True),
+        ('{"addr": {"street": "e"}}', False),
+        ('{"addr": {}}', False),
+        ('{"addr": 5}', False),
+    ])
+
+
+def test_base_uri_change_scopes_pointer(spark):
+    # a $ref INSIDE an embedded resource resolves against that resource
+    schema = {
+        "$id": "https://example.com/root.json",
+        "type": "object",
+        "properties": {"x": {"$ref": "sub.json"}},
+        "$defs": {
+            "sub": {
+                "$id": "sub.json",
+                "type": "object",
+                "properties": {"y": {"$ref": "#inner"}},
+                "$defs": {"i": {"$anchor": "inner", "type": "integer"}},
+            },
+        },
+    }
+    check(spark, schema, [
+        ('{"x": {"y": 1}}', True),
+        ('{"x": {"y": "s"}}', False),
+    ])
+
+
+# -- $dynamicRef / $recursiveRef -------------------------------------------
+
+
+def test_dynamic_ref_metaschema_style_tree(spark):
+    # the canonical recursive-tree shape ($dynamicAnchor at the root,
+    # $dynamicRef in the leaves) — reference's flagship recursive bench
+    schema = {
+        "$id": "https://example.com/tree",
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "properties": {
+            "data": {"type": "integer"},
+            "children": {"type": "array",
+                         "items": {"$dynamicRef": "#node"}},
+        },
+        "required": ["data"],
+    }
+    check(spark, schema, [
+        ('{"data": 1}', True),
+        ('{"data": 1, "children": [{"data": 2}]}', True),
+        ('{"data": 1, "children": [{"data": 2, '
+         '"children": [{"data": "x"}]}]}', False),
+        ('{"data": 1, "children": [{}]}', False),
+        ('{"children": []}', False),
+    ])
+
+
+def test_dynamic_ref_falls_back_to_anchor(spark):
+    # no $dynamicAnchor anywhere → $dynamicRef behaves like $ref
+    schema = {
+        "type": "object",
+        "properties": {"v": {"$dynamicRef": "#plain"}},
+        "$defs": {"p": {"$anchor": "plain", "type": "boolean"}},
+    }
+    check(spark, schema, [
+        ('{"v": true}', True),
+        ('{"v": 1}', False),
+    ])
+
+
+def test_recursive_ref_2019_style(spark):
+    schema = {
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "child": {"$recursiveRef": "#"},
+        },
+    }
+    check(spark, schema, [
+        ('{"name": "a"}', True),
+        ('{"name": "a", "child": {"name": "b"}}', True),
+        ('{"name": "a", "child": {"name": 3}}', False),
+        ('{"child": {"child": {"name": 1}}}', False),
+    ])
+
+
+def test_typed_path_anchor_ref(spark):
+    from jsonschema_rs_spark import compile_schema
+    df = spark.createDataFrame([(1, 5), (2, -1)], "id long, n long")
+    schema = {
+        "type": "object",
+        "properties": {"n": {"$ref": "#pos"}},
+        "$defs": {"p": {"$anchor": "pos", "type": "integer", "minimum": 0}},
+    }
+    plan = compile_schema(schema, df.schema)
+    got = {r["id"]: r["valid"]
+           for r in plan.with_validation(df).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_differential_defs_anchor_vs_jsonschema(spark):
+    jsonschema = pytest.importorskip("jsonschema")
+    schema = {
+        "$defs": {
+            "name": {"$anchor": "s", "type": "string", "minLength": 2},
+            "row": {"type": "object",
+                    "properties": {"a": {"$ref": "#s"},
+                                   "b": {"$ref": "#/$defs/name"}}},
+        },
+        "$ref": "#/$defs/row",
+    }
+    docs = ['{"a": "xy", "b": "zw"}', '{"a": "x"}', '{"b": 1}',
+            '{"a": "xy", "b": "z"}', '{}', '[1]', '"s"']
+    import json
+    v = jsonschema.Draft202012Validator(schema)
+    want = [v.is_valid(json.loads(d)) for d in docs]
+    check(spark, schema, list(zip(docs, want)))
