@@ -224,15 +224,24 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         mi = int(m)
         return [_num_rule("multipleOf", sp, msg, lambda c, mi=mi: c % F.lit(mi) == 0)]
     # float path: exactness parity with the reference's BigFraction kernel
-    # (ext/numeric.rs:62-110) via a relative-tolerance ratio check; the
-    # dynamic-JSON pUDF path uses exact Fraction arithmetic instead.
+    # (ext/numeric.rs:62-110) via DECIMAL arithmetic — a double's
+    # shortest-decimal form is the number its JSON literal denoted, so
+    # pmod over decimal(38,15) is exact for every in-range value (0.0075
+    # IS a multiple of 0.0001). Relative-tolerance ratio check only as
+    # the out-of-decimal-range fallback.
+    from decimal import Decimal
+
+    mdec = Decimal(str(m))
     tol = ctx.options.float_multiple_rel_tol
 
-    def pred(c: Column) -> Column:
+    def pred(c: Column, mdec=mdec, tol=tol) -> Column:
+        dv = c.cast("double").try_cast("decimal(38,15)")
+        exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
         q = c.cast("double") / F.lit(float(m))
-        return F.abs(q - F.round(q, 0)) <= F.lit(tol) * F.greatest(
+        approx = F.abs(q - F.round(q, 0)) <= F.lit(tol) * F.greatest(
             F.abs(q), F.lit(1.0)
         )
+        return F.when(dv.isNotNull(), exact).otherwise(approx)
 
     return [_num_rule("multipleOf", sp, msg, pred)]
 

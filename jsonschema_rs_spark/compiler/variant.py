@@ -79,6 +79,15 @@ def _as_double(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
 
 
+def _as_decimal(v: Column) -> Column:
+    """Exact numeric view: decimal(38,15) covers every int64 and every
+    double whose shortest decimal form fits 23 integer + 15 fraction
+    digits (Spark's double→decimal cast goes through the shortest
+    decimal representation, i.e. the number the JSON literal denoted).
+    NULL when out of range → callers fall back to the double path."""
+    return F.try_variant_get(v, "$", "decimal(38,15)")
+
+
 def _as_string(v: Column) -> Column:
     return F.try_variant_get(v, "$", "string")
 
@@ -133,6 +142,18 @@ def _const_pred(value: Any, v: Column) -> Column:
         return _is_boolean(v) & (F.try_variant_get(v, "$", "boolean")
                                  == F.lit(value))
     if isinstance(value, (int, float)):
+        if isinstance(value, int):
+            # decimal-first: exact for every int64 INSTANCE too (a 2^53+1
+            # instance must not collapse onto a 2^53 literal via the
+            # double path — reference ext/numeric.rs:12-60 exact
+            # cross-type compare); double fallback only for instances
+            # outside decimal(38,15) range, where equality with an int
+            # literal is decided correctly by magnitude anyway
+            from decimal import Decimal
+            d = _as_decimal(v)
+            return _is_number(v) & F.when(
+                d.isNotNull(), d == F.lit(Decimal(value))) \
+                .otherwise(_as_double(v) == F.lit(float(value)))
         return _is_number(v) & (_as_double(v) == F.lit(float(value)))
     if isinstance(value, str):
         return _is_string(v) & (_as_string(v) == F.lit(value))
@@ -243,19 +264,45 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
                    ("exclusiveMinimum", lambda d, lim: d > lim),
                    ("exclusiveMaximum", lambda d, lim: d < lim)]:
         if kw in schema:
-            lim = float(schema[kw])
+            lim_raw = schema[kw]
+            if isinstance(lim_raw, int) and abs(lim_raw) >= 2 ** 53:
+                # big-int limit: decimal compare where the instance fits,
+                # double compare (monotone, safe far from the boundary)
+                # where it doesn't
+                from decimal import Decimal
+                ld = Decimal(lim_raw)
 
-            def num_pred(v: Column, op=op, lim=lim) -> Column:
-                return ~_is_number(v) | op(_as_double(v), F.lit(lim))
+                def num_pred(v: Column, op=op, ld=ld,
+                             lim=float(lim_raw)) -> Column:
+                    dv = _as_decimal(v)
+                    return ~_is_number(v) | F.when(
+                        dv.isNotNull(), op(dv, F.lit(ld))) \
+                        .otherwise(op(_as_double(v), F.lit(lim)))
+            else:
+                lim = float(lim_raw)
 
-            add(Rule(kw, f"{sp}/{kw}", f"violates {kw} {lim}", num_pred,
-                     priority=3))
+                def num_pred(v: Column, op=op, lim=lim) -> Column:
+                    return ~_is_number(v) | op(_as_double(v), F.lit(lim))
+
+            add(Rule(kw, f"{sp}/{kw}", f"violates {kw} {schema[kw]}",
+                     num_pred, priority=3))
     if "multipleOf" in schema:
-        m = float(schema["multipleOf"])
+        from decimal import Decimal
+        mraw = schema["multipleOf"]
+        m = float(mraw)
+        mdec = Decimal(str(mraw))
 
-        def mult_pred(v: Column, m=m) -> Column:
+        def mult_pred(v: Column, m=m, mdec=mdec) -> Column:
+            # EXACT path (reference BigFraction kernel,
+            # ext/numeric.rs:62-110): both operands as decimals — a JSON
+            # number's decimal meaning — so 0.0075 IS a multiple of
+            # 0.0001. Double fallback only when the value exceeds
+            # decimal(38,15) range.
+            dv = _as_decimal(v)
+            exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
             q = _as_double(v) / m
-            return ~_is_number(v) | (q == F.floor(q))
+            return ~_is_number(v) | F.when(dv.isNotNull(), exact) \
+                .otherwise(q == F.floor(q))
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
                  mult_pred, priority=3))

@@ -20,7 +20,8 @@ def gen_value(rng: random.Random, depth: int = 0):
         kinds += ["arr", "obj", "arr", "obj"]
     k = rng.choice(kinds)
     if k == "int":
-        return rng.choice([0, 1, -1, 5, 7, 10, 42, 100, -100])
+        return rng.choice([0, 1, -1, 5, 7, 10, 42, 100, -100,
+                           2 ** 53, 2 ** 53 + 1, -(2 ** 53) - 1])
     if k == "float":
         return rng.choice([0.0, 1.0, 2.5, -1.5, 10.0, 3.14, 1e3])
     if k == "str":
@@ -70,21 +71,53 @@ SCHEMAS = [
     {"allOf": [{"minProperties": 1}, {"propertyNames": {"minLength": 1}}],
      "unevaluatedProperties": False,
      "properties": {"a": {"type": "integer"}}},
+    # big-int (>2^53) exactness: const/enum/bounds must not collapse to
+    # double equality (reference ext/numeric.rs:12-60)
+    {"anyOf": [{"const": 2 ** 53 + 1},
+               {"type": "integer", "minimum": 2 ** 53 + 1}]},
+    {"enum": [2 ** 53, -(2 ** 53) - 1, "big"]},
 ]
 
 N_DOCS = 300
 
 
-@pytest.mark.parametrize("schema_idx", range(len(SCHEMAS)))
-def test_fuzz_schema(spark, schema_idx):
+def oracle_validator(schema):
+    """python-jsonschema with multipleOf swapped for a DECIMAL-exact
+    check: the library's float-division test is approximate (says
+    2^53+1 IS a multiple of 2.5, and 0.3 is NOT a multiple of 0.1); the
+    reference's fraction kernel and this engine are decimal-exact, which
+    is also what the official suite requires (0.0075 multipleOf 0.0001
+    is valid)."""
+    from decimal import Decimal, InvalidOperation
+
     import jsonschema
 
+    def exact_multiple_of(validator, db, instance, schema_):
+        if isinstance(instance, bool) or \
+                not isinstance(instance, (int, float)):
+            return
+        try:
+            failed = Decimal(str(instance)) % Decimal(str(db)) != 0
+        except (InvalidOperation, OverflowError):  # inf / nan etc.
+            failed = True
+        if failed:
+            yield jsonschema.exceptions.ValidationError(
+                f"{instance} is not a multiple of {db}")
+
+    cls = jsonschema.validators.extend(
+        jsonschema.Draft202012Validator,
+        {"multipleOf": exact_multiple_of})
+    return cls(schema)
+
+
+@pytest.mark.parametrize("schema_idx", range(len(SCHEMAS)))
+def test_fuzz_schema(spark, schema_idx):
     schema = SCHEMAS[schema_idx]
     rng = random.Random(1000 + schema_idx)
     values = [gen_value(rng) for _ in range(N_DOCS)]
     docs = [json.dumps(v) for v in values]
 
-    oracle = jsonschema.Draft202012Validator(schema)
+    oracle = oracle_validator(schema)
     want = [oracle.is_valid(v) for v in values]
 
     df = spark.createDataFrame([(d,) for d in docs], "j string")

@@ -1,0 +1,91 @@
+"""Exact numeric semantics (reference ext/numeric.rs:12-110): decimal
+multipleOf (BigFraction parity for decimal-representable numbers) and
+big-int (>2^53) const/enum/bounds exactness on both compiler paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark import compile_schema
+from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+BIG = 9007199254740993  # 2^53 + 1: not representable as a double
+
+
+def vcheck(spark, schema, cases):
+    plan = compile_json_schema(schema)
+    df = spark.createDataFrame([(doc,) for doc, _ in cases], "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [v for _, v in cases], \
+        list(zip([d for d, _ in cases], got))
+
+
+# -- multipleOf: decimal exactness (variant path) ---------------------------
+
+
+@pytest.mark.parametrize("m,doc,valid", [
+    (0.0001, "0.0075", True),    # float division says 74.999...
+    (0.0001, "0.00751", False),
+    (0.01, "19.99", True),
+    (0.01, "19.999", False),
+    (0.1, "0.3", True),          # 0.3/0.1 = 2.9999... in doubles
+    (2.5, "7.5", True),
+    (2.5, "7.6", False),
+    (3, "9", True),
+    (3, "9.0", True),
+    (3, "10", False),
+    (0.5, "-2.5", True),
+    (0.5, "-2.6", False),
+])
+def test_variant_multiple_of_exact(spark, m, doc, valid):
+    vcheck(spark, {"multipleOf": m}, [(doc, valid)])
+
+
+def test_typed_multiple_of_exact(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0075), (2, 0.00751), (3, 19.99), (4, 0.3)],
+        "id long, x double")
+    plan = compile_schema({"type": "object",
+                           "properties": {"x": {"multipleOf": 0.0001}}},
+                          df.schema)
+    got = {r["id"]: r["valid"] for r in plan.with_validation(df).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+# -- big-int const / enum / bounds (variant path) ---------------------------
+
+
+def test_big_int_const_exact(spark):
+    vcheck(spark, {"const": BIG}, [
+        (str(BIG), True),
+        (str(BIG - 1), False),    # double compare would say equal
+        (str(BIG + 1), False),
+        (str(float(BIG)), False),  # 9007199254740992.0 ≠ 2^53+1
+    ])
+
+
+def test_big_int_enum_exact(spark):
+    vcheck(spark, {"enum": [BIG, "x"]}, [
+        (str(BIG), True),
+        (str(BIG - 1), False),
+        ('"x"', True),
+    ])
+
+
+def test_big_int_bounds_exact(spark):
+    vcheck(spark, {"minimum": BIG}, [
+        (str(BIG), True),
+        (str(BIG - 1), False),    # double rounds both to 2^53 → would pass
+        (str(BIG + 2), True),
+    ])
+    vcheck(spark, {"exclusiveMaximum": BIG}, [
+        (str(BIG - 1), True),
+        (str(BIG), False),
+    ])
+
+
+def test_small_numbers_unchanged(spark):
+    vcheck(spark, {"minimum": 0, "maximum": 10.5}, [
+        ("0", True), ("10.5", True), ("10.6", False), ("-0.1", False),
+        ('"s"', True), ("null", True),
+    ])
