@@ -49,3 +49,9 @@ class ValidationOptions:
     float_multiple_rel_tol: float = 1e-9
     custom_keywords: dict = field(default_factory=dict)
     custom_formats: dict = field(default_factory=dict)
+    # str -> bool callables keyed by encoding/media-type name, batched
+    # through Arrow pandas UDFs — the analog of the reference's
+    # with_content_encoding / with_content_media_type
+    # (options.rs:138-243); custom entries override the built-ins
+    custom_content_encodings: dict = field(default_factory=dict)
+    custom_content_media_types: dict = field(default_factory=dict)

@@ -98,36 +98,23 @@ _COLUMN_FORMATS = {
 def _regex_format_udf():
     """`format: regex` needs a regex-compile check — not expressible as a
     Column; one shared Arrow-batched pandas UDF (never per-row Python)."""
-    import pandas as pd
-
-    @F.pandas_udf(T.BooleanType())
-    def is_valid_regex(s: pd.Series) -> pd.Series:
+    def ok(v):
         import re
 
-        def ok(v):
-            if v is None:
-                return True
-            try:
-                re.compile(v)
-                return True
-            except re.error:
-                return False
+        try:
+            re.compile(v)
+            return True
+        except re.error:
+            return False
 
-        return s.map(ok)
-
-    return is_valid_regex
+    return _str_pred_pandas_udf(ok)
 
 
 def format_rule(name: str, ctx, sp: str) -> Rule | None:
     if name in ctx.options.custom_formats:
         fn = ctx.options.custom_formats[name]
         # custom format: a Python str->bool callable batched through Arrow
-        import pandas as pd
-
-        @F.pandas_udf(T.BooleanType())
-        def _custom(s: pd.Series) -> pd.Series:
-            return s.map(lambda v: True if v is None else bool(fn(v)))
-
+        _custom = _str_pred_pandas_udf(fn)
         return Rule("format", sp + "/format", f"invalid {name!r} format",
                     lambda c: _custom(c), priority=10)
     if name == "regex":
@@ -141,33 +128,134 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
                 builder, priority=10)
 
 
+# RFC 4648 canonical-form regexes (content_encoding.rs:27-79 mirrors —
+# the reference's data_encoding crate is STRICT: canonical padding AND
+# zero trailing bits, so the final partial group's last symbol is
+# constrained to the values whose unused low bits are 0).
+_B64_LAST2 = "[AQgw]"              # 2 pad chars: low 4 bits zero
+_B64_LAST3 = "[AEIMQUYcgkosw048]"  # 1 pad char: low 2 bits zero
+_B64_RE = (r"^([A-Za-z0-9+/]{4})*"
+           r"([A-Za-z0-9+/]" + _B64_LAST2 + r"==|"
+           r"[A-Za-z0-9+/]{2}" + _B64_LAST3 + r"=)?$")
+_B64URL_RE = (r"^([A-Za-z0-9_-]{4})*"
+              r"([A-Za-z0-9_-]" + _B64_LAST2 + r"==|"
+              r"[A-Za-z0-9_-]{2}" + _B64_LAST3 + r"=)?$")
+_B32_RE = (r"^([A-Z2-7]{8})*"
+           r"([A-Z2-7][AEIMQUY4]={6}|"
+           r"[A-Z2-7]{3}[AQ]={4}|"
+           r"[A-Z2-7]{4}[ACEGIKMOQSUWY246]={3}|"
+           r"[A-Z2-7]{6}[AIQY]=)?$")
+_B32HEX_RE = (r"^([0-9A-V]{8})*"
+              r"([0-9A-V][048CGKOS]={6}|"
+              r"[0-9A-V]{3}[0G]={4}|"
+              r"[0-9A-V]{4}[02468ACEGIKMOQSU]={3}|"
+              r"[0-9A-V]{6}[08GO]=)?$")
+_B16_RE = r"^([0-9A-Fa-f][0-9A-Fa-f])*$"  # case-insensitive per the reference
+
+_CONTENT_ENCODINGS = {
+    "base64": lambda c: c.rlike(_B64_RE),
+    "base64url": lambda c: c.rlike(_B64URL_RE),
+    "base32": lambda c: c.rlike(_B32_RE),
+    "base32hex": lambda c: c.rlike(_B32HEX_RE),
+    "base16": lambda c: c.rlike(_B16_RE),
+}
+
+# encoding → Column expr producing the decoded BINARY (NULL on failure);
+# base32 variants have no JVM decoder, so media-type checks on them fall
+# back to an Arrow pandas UDF
+_CONTENT_DECODERS = {
+    "base64": lambda c: F.try_to_binary(c, F.lit("base64")),
+    "base64url": lambda c: F.try_to_binary(
+        F.translate(c, "-_", "+/"), F.lit("base64")),
+    "base16": lambda c: F.try_to_binary(c, F.lit("hex")),
+    None: lambda c: c.cast("binary"),
+}
+
+
+def _str_pred_pandas_udf(per_value):
+    """bool-per-string predicate as an Arrow-batched pandas UDF.
+    Annotations are attached as REAL types (the module's
+    `from __future__ import annotations` would stringify inline hints,
+    which pyspark's type-hint inference can't resolve)."""
+    import pandas as pd
+
+    def _check(s):
+        return s.map(lambda v: True if v is None else bool(per_value(v)))
+
+    _check.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_check, T.BooleanType())
+
+
+def _b32_decode_json_udf(hex_alphabet: bool):
+    def ok(v):
+        import base64
+        import json
+
+        try:
+            raw = base64.b32hexdecode(v) if hex_alphabet \
+                else base64.b32decode(v)
+            json.loads(raw.decode("utf-8"))
+            return True
+        except Exception:
+            return False
+
+    return _str_pred_pandas_udf(ok)
+
+
+def _custom_str_pred_udf(fn):
+    return _str_pred_pandas_udf(fn)
+
+
 def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     rules: list[Rule] = []
     enc = schema.get("contentEncoding")
     mt = schema.get("contentMediaType")
-    if enc == "base64":
-        # RFC 4648 alphabet + padding shape; try_to_binary rejects bad padding
-        b64 = r"^[A-Za-z0-9+/]*={0,2}$"
+
+    if enc in ctx.options.custom_content_encodings:
+        udf = _custom_str_pred_udf(ctx.options.custom_content_encodings[enc])
         rules.append(Rule(
-            "contentEncoding", sp + "/contentEncoding", "not valid base64",
-            lambda c: c.rlike(b64) & (F.length(c) % 4 == 0)
-            & F.try_to_binary(c, F.lit("base64")).isNotNull(),
-            priority=15,
-        ))
-    if mt == "application/json":
-        if enc == "base64":
+            "contentEncoding", sp + "/contentEncoding",
+            f"not valid {enc}", lambda c, udf=udf: udf(c), priority=15))
+    elif enc in _CONTENT_ENCODINGS:
+        pred = _CONTENT_ENCODINGS[enc]
+        rules.append(Rule(
+            "contentEncoding", sp + "/contentEncoding",
+            f"not valid {enc}", pred, priority=15))
+    # unknown encoding = annotation only (2020-12 semantics)
+
+    if mt is None:
+        return rules
+    if mt in ctx.options.custom_content_media_types:
+        # custom media-type check runs on the DECODED text when the
+        # encoding has a JVM decoder, else on the raw string
+        fn = ctx.options.custom_content_media_types[mt]
+        udf = _custom_str_pred_udf(fn)
+        dec = _CONTENT_DECODERS.get(enc)
+        if dec is not None:
+            rules.append(Rule(
+                "contentMediaType", sp + "/contentMediaType",
+                f"decoded content is not {mt}",
+                lambda c, udf=udf, dec=dec:
+                udf(dec(c).cast("string")), priority=16))
+        else:
+            rules.append(Rule(
+                "contentMediaType", sp + "/contentMediaType",
+                f"content is not {mt}",
+                lambda c, udf=udf: udf(c), priority=16))
+    elif mt == "application/json":
+        if enc in ("base32", "base32hex"):
+            udf = _b32_decode_json_udf(enc == "base32hex")
             rules.append(Rule(
                 "contentMediaType", sp + "/contentMediaType",
                 "decoded content is not JSON",
-                lambda c: F.try_parse_json(
-                    F.try_to_binary(c, F.lit("base64")).cast("string")
-                ).isNotNull(),
-                priority=16,
-            ))
+                lambda c, udf=udf: udf(c), priority=16))
         else:
+            dec = _CONTENT_DECODERS.get(enc, _CONTENT_DECODERS[None])
             rules.append(Rule(
-                "contentMediaType", sp + "/contentMediaType", "not JSON",
-                lambda c: F.try_parse_json(c).isNotNull(),
-                priority=16,
-            ))
+                "contentMediaType", sp + "/contentMediaType",
+                "decoded content is not JSON",
+                lambda c, dec=dec:
+                F.try_parse_json(dec(c).cast("string")).isNotNull(),
+                priority=16))
+    # unknown media type = annotation only
     return rules
