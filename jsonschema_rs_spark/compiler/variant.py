@@ -126,8 +126,9 @@ def _canonical(v: Column) -> Column:
     (draft 2020-12 typed equality, reference ext/cmp.rs). Composite
     equality is serialization-based — exact for identical documents,
     which is the uniqueItems case that matters."""
-    return F.when(_is_number(v), F.concat(F.lit("n:"),
-                                          _as_double(v).cast("string"))) \
+    num = F.coalesce(_as_decimal(v).cast("string"),
+                     _as_double(v).cast("string"))
+    return F.when(_is_number(v), F.concat(F.lit("n:"), num)) \
         .otherwise(F.concat(F.substring(_vtype(v), 1, 3), F.lit(":"),
                             F.coalesce(_as_string(v), F.lit("\x00"))))
 
@@ -483,6 +484,39 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                               f"dependentSchemas for {dk!r} failed", ds_pred,
                               priority=20))
 
+    if "dependencies" in schema:
+        # draft 4-7 combined form: array value = dependentRequired,
+        # schema value = dependentSchemas (keywords.py:487 typed analog)
+        for dk, dep in schema["dependencies"].items():
+            if isinstance(dep, list):
+                def dep_arr_pred(v: Column, dk=dk,
+                                 needs=tuple(dep)) -> Column:
+                    m = _as_map(v)
+                    present = F.try_element_at(m, F.lit(dk)).isNotNull()
+                    out = F.lit(True)
+                    for nm in needs:
+                        out = out & F.try_element_at(m,
+                                                     F.lit(nm)).isNotNull()
+                    return ~_is_object(v) | ~present | out
+
+                rules.append(Rule("dependencies",
+                                  f"{sp}/dependencies/{dk}",
+                                  f"dependencies for {dk!r} unmet",
+                                  dep_arr_pred, priority=6))
+            else:
+                node = compile_variant(dep, ctx, f"{sp}/dependencies/{dk}")
+
+                def dep_sch_pred(v: Column, dk=dk, node=node) -> Column:
+                    present = F.try_element_at(_as_map(v),
+                                               F.lit(dk)).isNotNull()
+                    return ~_is_object(v) | ~present \
+                        | F.coalesce(node.valid(v), F.lit(False))
+
+                rules.append(Rule("dependencies",
+                                  f"{sp}/dependencies/{dk}",
+                                  f"dependencies schema for {dk!r} failed",
+                                  dep_sch_pred, priority=20))
+
     if "dependentRequired" in schema:
         for k, needs in schema["dependentRequired"].items():
             def dep_pred(v: Column, k=k, needs=tuple(needs)) -> Column:
@@ -502,6 +536,16 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
 
 def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     rules: list[Rule] = []
+
+    # draft 4-7 array-form `items` + `additionalItems` normalize to the
+    # 2020-12 prefixItems/items shape (keywords.py:315-358 typed analog)
+    if isinstance(schema.get("items"), list):
+        schema = dict(schema)
+        schema["prefixItems"] = schema["items"]
+        if "additionalItems" in schema:
+            schema["items"] = schema["additionalItems"]
+        else:
+            del schema["items"]
 
     if "minItems" in schema:
         n = int(schema["minItems"])

@@ -41,7 +41,8 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.StringType()),
     T.StructField("media_type", T.StringType()),
     T.StructField("n_bytes", T.IntegerType()),
-    T.StructField("sha1", T.StringType()),
+    # md5 (not sha1): reproducible by ANY engine incl. the DuckDB oracle
+    T.StructField("content_md5", T.StringType()),
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("duration_ms", T.IntegerType()),
@@ -106,8 +107,8 @@ def extract_media_features(df: DataFrame,
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf[content_col].map(
                     lambda b: len(b) if b is not None else 0).astype("int32"),
-                "sha1": pdf[content_col].map(
-                    lambda b: hashlib.sha1(b).hexdigest() if b is not None
+                "content_md5": pdf[content_col].map(
+                    lambda b: hashlib.md5(b).hexdigest() if b is not None
                     else None),
             })
             dims = [

@@ -497,10 +497,89 @@ FROM events GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
+# previously rows-only queries, now value-level (VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 8,
+                       threshold: float = 0.5) -> str:
+    """Full banded-LSH pipeline re-derived in SQL: md5 minhash sigs →
+    band keys → bucket pairs → exact-Jaccard verify. Mirrors
+    queries.minhash_pairs exactly (no oversized buckets exist at oracle
+    scale, so the star-pair path never fires on either side)."""
+    from jsonschema_rs_spark.operators.dedup import (MINHASH_PRIME,
+                                                     minhash_params)
+    rpb = num_hashes // bands
+    sigs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({a} * h + {b}) % {MINHASH_PRIME}), 'min')"
+        for a, b in minhash_params(num_hashes))
+    key_selects = " UNION ALL ".join(
+        "SELECT doc_id, md5('{b}#' || {parts}) AS bk FROM sg".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"sig[{b * rpb + j + 1}]::VARCHAR" for j in range(rpb)))
+        for b in range(bands))
+    common = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+    return f"""
+WITH tk AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+shx AS (SELECT doc_id, {_SHINGLES} AS sh FROM tk),
+hh AS (SELECT doc_id, sh,
+         list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs FROM shx),
+sg AS (SELECT doc_id, sh, [{sigs}] AS sig FROM hh),
+keys AS ({key_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         FROM keys a JOIN keys b USING (bk) WHERE a.doc_id < b.doc_id)
+SELECT ia AS id_a, ib AS id_b,
+       round({common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE),
+             6) AS jaccard
+FROM cand
+JOIN shx sa ON sa.doc_id = ia JOIN shx sb ON sb.doc_id = ib
+WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
+      >= {threshold}
+"""
+
+
+MINHASH_PAIRS = _minhash_pairs_sql()
+
+# deterministic-stub formulas from multimodal.py re-derived: the content
+# blob is the utf-8 bytes of md5(text), so md5-of-bytes == md5(md5(text))
+MM_FEATURES = """
+WITH m AS (
+  SELECT 'asset-' || substr(md5(doc_id::VARCHAR), 1, 8) AS asset_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         md5(md5(text)) AS mh
+  FROM documents),
+f AS (SELECT asset_id, media_type, mh,
+        ('0x' || substr(mh, 1, 8))::BIGINT AS h1,
+        ('0x' || substr(mh, 9, 8))::BIGINT AS h2
+      FROM m)
+SELECT asset_id, media_type, CAST(32 AS INT) AS n_bytes, mh AS content_md5,
+  CASE WHEN media_type = 'image'
+       THEN CAST(64 + h1 % 1024 AS INT) END AS width,
+  CASE WHEN media_type = 'image'
+       THEN CAST(64 + (h1 >> 10) % 1024 AS INT) END AS height,
+  CASE WHEN media_type IN ('audio', 'video')
+       THEN CAST(500 + h2 % 600000 AS INT) END AS duration_ms,
+  CASE WHEN media_type IN ('audio', 'video')
+       THEN CAST(greatest((500 + h2 % 600000) // 40, 1) AS INT)
+       END AS frame_count
+FROM f
+"""
+
+# ---------------------------------------------------------------------------
 # registry — keys must match queries.QUERIES; missing key → rows-only check
 # ---------------------------------------------------------------------------
 
+def _suite_oracles():
+    from jsonschema_rs_spark.suite import suite_oracles
+
+    return suite_oracles()
+
+
 ORACLES = {
+    **_suite_oracles(),
     "val_events_flag": VAL_EVENTS_FLAG,
     "val_events_violations": VAL_EVENTS_VIOLATIONS,
     "val_docs_flag": VAL_DOCS_FLAG,
@@ -523,10 +602,10 @@ ORACLES = {
     "minhash_sigs": MINHASH_SIGS,
     "simhash_vals": SIMHASH_VALS,
     "curate_docs": CURATE_DOCS,
-    # minhash_pairs: rows-only (banded LSH pipeline, not ANSI-SQL)
+    "minhash_pairs": MINHASH_PAIRS,
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,
     "ndcos_pairs": NDCOS_PAIRS,
     "rollup_events": ROLLUP_EVENTS,
-    # mm_features: rows-only (mapInPandas feature extraction)
+    "mm_features": MM_FEATURES,
 }

@@ -373,8 +373,10 @@ def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # media blobs derived deterministically from documents.text; the decode
-    # is the stubbed step (multimodal.py) — driver records rows-only check
+    """Media blobs derived deterministically from documents.text (utf-8
+    bytes of the md5 hex, so the DuckDB oracle can recompute every
+    feature of the deterministic stub formula); the decode itself stays
+    the stubbed step (multimodal.py)."""
     docs = _read_wide(spark, sf_dir, "documents")
     media = docs.select(
         F.concat(F.lit("asset-"),
@@ -383,7 +385,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
         .alias("media_type"),
-        F.to_binary(F.md5(F.col("text")), F.lit("hex")).alias("content"),
+        F.to_binary(F.md5(F.col("text")), F.lit("utf-8")).alias("content"),
     )
     return mm.extract_media_features(media)
 
@@ -392,7 +394,14 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # ---------------------------------------------------------------------------
 
+def _suite_queries():
+    from jsonschema_rs_spark.suite import suite_queries
+
+    return suite_queries()
+
+
 QUERIES = {
+    **_suite_queries(),
     "val_events_flag": val_events_flag,
     "val_events_violations": val_events_violations,
     "val_docs_flag": val_docs_flag,

@@ -1,0 +1,105 @@
+"""Suite-vector driver queries: one query per keyword family, each with a
+DuckDB VALUES oracle.
+
+The vendored corpus (spec/vectors_2020_12.json, built + python-jsonschema-
+validated by scripts/build_vectors.py) is the engine's analog of the
+reference's generated official-suite tests (crates/jsonschema-testsuite,
+suite.rs:11-24 runs everything). Each family becomes a driver CORRECTNESS
+entry: the Spark side compiles every schema in the family through the
+VARIANT (dynamic JSON) compiler and validates all of its instances in one
+job; the oracle side is the vendored `valid` expectations as a VALUES
+list — expectations that the pytest suite independently re-validates
+against python-jsonschema, so a wrong pin fails loudly in two places.
+
+Scale note: the corpus is driver-embedded (hundreds of rows) — the point
+is verdict parity per keyword, not throughput; the 10^12-row paths are
+the table queries in queries.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.errors import ValidationOptions
+
+_VECTORS_PATH = os.path.join(os.path.dirname(__file__), "spec",
+                             "vectors_2020_12.json")
+
+
+def load_vectors() -> list[dict[str, Any]]:
+    with open(_VECTORS_PATH) as f:
+        return json.load(f)
+
+
+def families() -> list[str]:
+    seen: dict[str, None] = {}
+    for grp in load_vectors():
+        seen.setdefault(grp["family"], None)
+    return list(seen)
+
+
+def _family_rows(family: str):
+    """[(vid, schema_idx, doc_json, expected)] + the compiled plans."""
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+    groups = [grp for grp in load_vectors() if grp["family"] == family]
+    plans, rows, vid = [], [], 0
+    for si, grp in enumerate(groups):
+        opts = ValidationOptions(**grp.get("options", {}))
+        plans.append(compile_json_schema(grp["schema"], opts))
+        for t in grp["tests"]:
+            rows.append((vid, si, json.dumps(t["data"]), bool(t["valid"])))
+            vid += 1
+    return rows, plans
+
+
+def suite_query(family: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        rows, plans = _family_rows(family)
+        df = spark.createDataFrame(
+            [(r[0], r[1], r[2]) for r in rows],
+            "vid long, sid int, doc string")
+        valid = F.lit(None).cast("boolean")
+        for si, plan in enumerate(plans):
+            # CaseWhen evaluates the matching branch only; each branch is
+            # that schema's full compiled Column plan over `doc`
+            valid = F.when(F.col("sid") == si,
+                           plan.valid_column(F.col("doc"))).otherwise(valid)
+        return df.select("vid", valid.alias("valid"))
+
+    q.__name__ = f"suite_{family}"
+    q.__doc__ = (f"Vendored suite vectors, family {family!r}: verdict "
+                 "parity against the corpus expectations "
+                 "(reference suite.rs:11-24).")
+    return q
+
+
+def _family_expectations(family: str):
+    """(vid, expected) pairs — the oracle side never compiles plans."""
+    groups = [grp for grp in load_vectors() if grp["family"] == family]
+    rows, vid = [], 0
+    for grp in groups:
+        for t in grp["tests"]:
+            rows.append((vid, bool(t["valid"])))
+            vid += 1
+    return rows
+
+
+def suite_oracle(family: str) -> str:
+    vals = ", ".join(f"({vid}, {'true' if exp else 'false'})"
+                     for vid, exp in _family_expectations(family))
+    return (f"SELECT CAST(vid AS BIGINT) AS vid, valid "
+            f"FROM (VALUES {vals}) AS t(vid, valid)")
+
+
+def suite_queries() -> dict:
+    return {f"suite_{fam}": suite_query(fam) for fam in families()}
+
+
+def suite_oracles() -> dict:
+    return {f"suite_{fam}": suite_oracle(fam) for fam in families()}

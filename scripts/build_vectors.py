@@ -1,0 +1,591 @@
+"""Build the vendored draft-2020-12 suite-vector corpus.
+
+Writes jsonschema_rs_spark/spec/vectors_2020_12.json: a curated corpus in
+the official JSON-Schema-Test-Suite shape ([{description, family, schema,
+tests: [{data, valid}]}] — the suite submodule is absent from the
+reference snapshot, so the corpus is authored here and VALIDATED inline
+against python-jsonschema before writing; groups python-jsonschema can't
+oracle (format checkers needing absent packages, content assertions,
+known float-division approximations) carry "oracle": false and are
+hand-verified + pinned by the engine's own driver oracle.
+
+Per-group keys:
+  family   — driver-query grouping (suite_<family> in queries())
+  draft    — python oracle class ("2020-12" default, "2019-09", "7")
+  options  — ValidationOptions kwargs for the engine (e.g. formats on)
+  oracle   — false to skip the python-jsonschema sanity check
+
+Usage: python scripts/build_vectors.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+BIG = 2 ** 53 + 1
+
+V = []
+
+
+def g(family: str, description: str, schema, tests, **extra):
+    V.append({"description": description, "family": family,
+              "schema": schema,
+              "tests": [{"data": d, "valid": v} for d, v in tests],
+              **extra})
+
+
+# ---------------------------------------------------------------------------
+# type
+# ---------------------------------------------------------------------------
+
+g("type", "type integer accepts zero-fraction floats",
+  {"type": "integer"},
+  [(1, True), (1.0, True), (1.5, False), ("1", False), (True, False),
+   (None, False), (-0.0, True), (1e10, True)])
+g("type", "type list is a union",
+  {"type": ["integer", "string"]},
+  [(1, True), ("s", True), (1.5, False), (None, False), ([], False),
+   ({}, False), (True, False)])
+g("type", "type null",
+  {"type": "null"},
+  [(None, True), (0, False), (False, False), ("", False)])
+g("type", "type boolean is not 0/1",
+  {"type": "boolean"},
+  [(True, True), (False, True), (0, False), (1, False), ("true", False)])
+g("type", "type number",
+  {"type": "number"},
+  [(1, True), (1.5, True), ("1", False), (True, False), (None, False)])
+g("type", "type object",
+  {"type": "object"},
+  [({}, True), ({"a": 1}, True), ([], False), (None, False),
+   ("{}", False)])
+g("type", "type array",
+  {"type": "array"},
+  [([], True), ([1, "a"], True), ({}, False), ("[]", False)])
+
+# ---------------------------------------------------------------------------
+# const
+# ---------------------------------------------------------------------------
+
+g("const", "const with numeric cross-type equality",
+  {"const": 2},
+  [(2, True), (2.0, True), (2.00001, False), ("2", False)])
+g("const", "const null",
+  {"const": None},
+  [(None, True), (0, False), (False, False), ("", False)])
+g("const", "const false is not 0",
+  {"const": False},
+  [(False, True), (0, False), (None, False), ("", False)])
+g("const", "const empty string",
+  {"const": ""},
+  [("", True), (" ", False), (0, False), (None, False)])
+g("const", "const array with numeric members",
+  {"const": [1, 2.0]},
+  [([1, 2], True), ([1.0, 2], True), ([2, 1], False), ([1], False),
+   ([1, 2, 3], False), ({}, False), (1, False)])
+g("const", "const nested object",
+  {"const": {"a": [True], "b": "x"}},
+  [({"a": [True], "b": "x"}, True), ({"b": "x", "a": [True]}, True),
+   ({"a": [True]}, False), ({"a": [1], "b": "x"}, False),
+   ({"a": [True], "b": "x", "c": 1}, False)])
+g("const", "const big integer is exact beyond 2^53",
+  {"const": BIG},
+  [(BIG, True), (BIG - 1, False), (BIG + 1, False), (float(BIG), False)])
+g("const", "const zero equals negative zero",
+  {"const": 0},
+  [(0, True), (-0.0, True), (0.0, True), (1, False)])
+
+# ---------------------------------------------------------------------------
+# enum
+# ---------------------------------------------------------------------------
+
+g("enum", "enum with heterogeneous members",
+  {"enum": [6, "foo", [], True, {"foo": 12}]},
+  [(6, True), (6.0, True), ("foo", True), ([], True), ({"foo": 12}, True),
+   ({"foo": 12, "bar": 1}, False), ([6], False), (False, False)])
+g("enum", "enum of scalars",
+  {"enum": [None, True, 0]},
+  [(None, True), (True, True), (0, True), (0.0, True), (False, False),
+   ("0", False), (1, False)])
+g("enum", "enum big integers exact",
+  {"enum": [2 ** 53, BIG]},
+  [(2 ** 53, True), (BIG, True), (2 ** 53 - 1, False), (BIG + 1, False)])
+g("enum", "enum composites",
+  {"enum": [[], {}, [1, "a"]]},
+  [([], True), ({}, True), ([1, "a"], True), ([{}], False),
+   ([1], False), ({"a": 1}, False)])
+
+# ---------------------------------------------------------------------------
+# numeric
+# ---------------------------------------------------------------------------
+
+g("numeric", "minimum excludes non-numbers",
+  {"minimum": 1.1},
+  [(1.1, True), (1.0, False), ("x", True), ([], True)])
+g("numeric", "multipleOf with decimal divisor",
+  {"multipleOf": 0.0001},
+  [(0.0075, True), (0.00751, False)])
+g("numeric", "exclusive bounds",
+  {"exclusiveMinimum": 1, "exclusiveMaximum": 3},
+  [(1, False), (2, True), (3, False), (2.999, True)])
+g("numeric", "minimum at integer boundary",
+  {"minimum": 3},
+  [(3, True), (3.0, True), (2.9, False), (2, False), (4, True)])
+g("numeric", "maximum with float limit",
+  {"maximum": 3.0},
+  [(3, True), (3.0001, False), (-10, True), (True, True)])
+g("numeric", "multipleOf integer divisor",
+  {"multipleOf": 2},
+  [(4, True), (4.0, True), (5, False), (4.5, False), (0, True),
+   (-6, True), ("x", True)])
+g("numeric", "multipleOf 1.5",
+  {"multipleOf": 1.5},
+  [(0, True), (4.5, True), (35, False), (-3.0, True)])
+g("numeric", "big-int minimum is exact beyond 2^53",
+  {"minimum": BIG},
+  [(BIG, True), (BIG - 1, False), (BIG + 2, True)])
+g("numeric", "combined bounds window",
+  {"minimum": 0, "maximum": 10, "multipleOf": 5},
+  [(0, True), (5, True), (10, True), (15, False), (-5, False),
+   (3, False)])
+
+# ---------------------------------------------------------------------------
+# string
+# ---------------------------------------------------------------------------
+
+g("string", "length counts characters",
+  {"minLength": 2, "maxLength": 3},
+  [("ab", True), ("a", False), ("abcd", False), (100, True)])
+g("string", "pattern is unanchored search",
+  {"pattern": "a+b"},
+  [("xxaab", True), ("b", False), (5, True)])
+g("string", "length counts code points not bytes",
+  {"minLength": 2},
+  [("éa", True), ("é", False), ("中文", True)])
+g("string", "anchored pattern",
+  {"pattern": "^ab$"},
+  [("ab", True), ("xab", False), ("abx", False)])
+g("string", "pattern with digit class",
+  {"pattern": "^[0-9]{3}-[0-9]{2}$"},
+  [("123-45", True), ("12-345", False), ("abc-de", False)])
+g("string", "pattern with escaped dot",
+  {"pattern": "^a\\.b$"},
+  [("a.b", True), ("axb", False)])
+g("string", "zero minLength accepts empty",
+  {"minLength": 0, "maxLength": 0},
+  [("", True), ("a", False)])
+
+# ---------------------------------------------------------------------------
+# object
+# ---------------------------------------------------------------------------
+
+g("object", "required and properties interplay",
+  {"type": "object", "required": ["foo"],
+   "properties": {"foo": {"type": "integer"}, "bar": {"type": "string"}}},
+  [({"foo": 1}, True), ({"foo": 1, "bar": "b"}, True),
+   ({"bar": "b"}, False), ({"foo": "no"}, False), ({"foo": None}, False),
+   ([], False)])
+g("object", "required sees present-but-null members",
+  {"required": ["a"]},
+  [({"a": None}, True), ({}, False), ({"b": 1}, False)])
+g("object", "additionalProperties false with patternProperties",
+  {"properties": {"foo": {}}, "patternProperties": {"^v": {}},
+   "additionalProperties": False},
+  [({"foo": 1}, True), ({"foo": 1, "vroom": 2}, True),
+   ({"foo": 1, "bar": 2}, False)])
+g("object", "additionalProperties schema form",
+  {"properties": {"foo": {}}, "additionalProperties": {"type": "boolean"}},
+  [({"foo": 1}, True), ({"foo": 1, "bar": True}, True),
+   ({"foo": 1, "bar": 1}, False)])
+g("object", "propertyNames",
+  {"propertyNames": {"maxLength": 3}},
+  [({"foo": {}, "bar": {}}, True), ({"foobar": {}}, False),
+   ([1, 2], True)])
+g("object", "min/maxProperties",
+  {"minProperties": 1, "maxProperties": 2},
+  [({}, False), ({"a": 1}, True), ({"a": 1, "b": 2, "c": 3}, False)])
+g("object", "nested object/array recursion",
+  {"type": "object",
+   "properties": {"xs": {"type": "array",
+                         "items": {"type": "object", "required": ["k"],
+                                   "properties": {"k": {"enum": ["a", "b"]}}}}}},
+  [({"xs": [{"k": "a"}, {"k": "b"}]}, True), ({"xs": [{"k": "c"}]}, False),
+   ({"xs": [{}]}, False), ({"xs": []}, True)])
+g("object", "multiple required keys",
+  {"required": ["a", "b", "c"]},
+  [({"a": 1, "b": 2, "c": 3}, True), ({"a": 1, "b": 2}, False),
+   ({}, False), (5, True)])
+g("object", "overlapping patternProperties all apply",
+  {"patternProperties": {"^a": {"type": "integer"},
+                         "a$": {"minimum": 10}}},
+  [({"aba": 12}, True), ({"aba": 5}, False), ({"aba": "x"}, False),
+   ({"ab": 1}, True), ({"ba": 20}, True), ({"ba": 1}, False)])
+g("object", "propertyNames pattern",
+  {"propertyNames": {"pattern": "^[a-z]+$"}},
+  [({"abc": 1}, True), ({"Abc": 1}, False), ({"a1": 1}, False),
+   ({}, True)])
+g("object", "maxProperties zero forces empty object",
+  {"maxProperties": 0},
+  [({}, True), ({"a": 1}, False), ([1, 2, 3], True)])
+g("object", "deep property chain",
+  {"properties": {"a": {"properties": {"b": {"properties": {
+      "c": {"type": "integer"}}, "required": ["c"]}}}},
+  },
+  [({"a": {"b": {"c": 1}}}, True), ({"a": {"b": {"c": "x"}}}, False),
+   ({"a": {"b": 1}}, True), ({"a": {"b": {}}}, False), ({}, True)])
+
+# ---------------------------------------------------------------------------
+# dependent
+# ---------------------------------------------------------------------------
+
+g("dependent", "dependentRequired",
+  {"dependentRequired": {"bar": ["foo"]}},
+  [({"bar": 2, "foo": 1}, True), ({"bar": 2}, False), ({"foo": 1}, True),
+   ({}, True)])
+g("dependent", "dependentSchemas",
+  {"dependentSchemas": {"bar": {"properties": {"foo": {"type": "integer"}},
+                                "required": ["foo"]}}},
+  [({"foo": 1, "bar": 2}, True), ({"bar": 2}, False),
+   ({"foo": "s", "bar": 2}, False), ({"foo": "s"}, True)])
+g("dependent", "draft-7 dependencies array form",
+  {"dependencies": {"bar": ["foo"]}},
+  [({"bar": 2, "foo": 1}, True), ({"bar": 2}, False), ({}, True),
+   ([1], True)], draft="7")
+g("dependent", "draft-7 dependencies schema form",
+  {"dependencies": {"bar": {"required": ["foo"]}}},
+  [({"bar": 2, "foo": 1}, True), ({"bar": 2}, False), ({"foo": 1}, True)],
+  draft="7")
+g("dependent", "dependentRequired multiple triggers",
+  {"dependentRequired": {"a": ["b"], "b": ["c"]}},
+  [({"a": 1, "b": 2, "c": 3}, True), ({"a": 1, "b": 2}, False),
+   ({"b": 2, "c": 3}, True), ({"c": 3}, True)])
+
+# ---------------------------------------------------------------------------
+# array
+# ---------------------------------------------------------------------------
+
+g("array", "items applies to all elements",
+  {"items": {"type": "integer"}},
+  [([1, 2, 3], True), ([1, "x"], False), ([], True), ({"a": 1}, True)])
+g("array", "prefixItems with items for the rest",
+  {"prefixItems": [{"type": "integer"}, {"type": "string"}],
+   "items": {"type": "boolean"}},
+  [([1, "a", True, False], True), ([1, "a", 1], False), ([1], True),
+   (["a"], False)])
+g("array", "items false forbids beyond prefix",
+  {"prefixItems": [{"type": "integer"}], "items": False},
+  [([1], True), ([], True), ([1, 2], False), ("x", True)])
+g("array", "items false alone forbids all items",
+  {"items": False},
+  [([], True), ([1], False)])
+g("array", "prefixItems longer than instance",
+  {"prefixItems": [{"type": "integer"}, {"type": "string"},
+                   {"type": "boolean"}]},
+  [([1], True), ([1, "a"], True), ([1, "a", True], True),
+   (["a"], False), ([1, 2], False)])
+g("array", "min/maxItems window",
+  {"minItems": 1, "maxItems": 3},
+  [([1], True), ([], False), ([1, 2, 3, 4], False), ([1, 2], True)])
+g("array", "nested arrays",
+  {"items": {"type": "array", "items": {"type": "integer"}}},
+  [([[1], [2, 3]], True), ([[1], ["x"]], False), ([[]], True),
+   ([1], False)])
+g("array", "draft-7 array-form items with additionalItems",
+  {"items": [{"type": "integer"}, {"type": "string"}],
+   "additionalItems": {"type": "boolean"}},
+  [([1, "a", True], True), ([1, "a", 1], False), ([1], True),
+   (["a"], False)], draft="7")
+
+# ---------------------------------------------------------------------------
+# contains
+# ---------------------------------------------------------------------------
+
+g("contains", "contains with min/maxContains",
+  {"contains": {"minimum": 5}, "minContains": 2, "maxContains": 3},
+  [([5, 6], True), ([5], False), ([5, 6, 7, 8], False),
+   ([1, 5, 1, 6], True)])
+g("contains", "minContains zero makes contains vacuous",
+  {"contains": {"minimum": 5}, "minContains": 0},
+  [([], True), ([1], True)])
+g("contains", "contains true needs a non-empty array",
+  {"contains": True},
+  [([1], True), ([], False), ([None], True), ({}, True)])
+g("contains", "maxContains without minContains",
+  {"contains": {"type": "string"}, "maxContains": 1},
+  [(["a"], True), (["a", "b"], False), ([1, "a", 2], True),
+   ([1, 2], False)])
+g("contains", "contains on typed elements",
+  {"contains": {"type": "object", "required": ["k"]}},
+  [([{"k": 1}], True), ([{}, {"k": 1}], True), ([{}, 1], False),
+   ([], False)])
+
+# ---------------------------------------------------------------------------
+# unique
+# ---------------------------------------------------------------------------
+
+g("unique", "uniqueItems with numeric cross-type equality",
+  {"uniqueItems": True},
+  [([1, 2], True), ([1, 1.0], False), ([[1], [1]], False),
+   ([{"a": 1}, {"a": 1}], False), ([{"a": 1}, {"a": 2}], True),
+   (["1", 1], True), ([True, 1], True), ([None, None], False)])
+g("unique", "uniqueItems false allows duplicates",
+  {"uniqueItems": False},
+  [([1, 1], True), (["a", "a"], True)])
+g("unique", "uniqueItems type classes never collide",
+  {"uniqueItems": True},
+  [([True, "true"], True), ([None, "null"], True), ([0, False], True),
+   ([[1], "[1]"], True), ([[], {}], True), ([[1, 2], [1, 2]], False),
+   (["a", "a"], False)])
+g("unique", "uniqueItems big integers",
+  {"uniqueItems": True},
+  [([2 ** 53, BIG], True), ([BIG, BIG], False)])
+
+# ---------------------------------------------------------------------------
+# combinator
+# ---------------------------------------------------------------------------
+
+g("combinator", "allOf combines constraints",
+  {"allOf": [{"minimum": 2}, {"maximum": 5}]},
+  [(3, True), (1, False), (6, False)])
+g("combinator", "anyOf short-circuit semantics",
+  {"anyOf": [{"type": "string"}, {"minimum": 10}]},
+  [("s", True), (12, True), (3, False), ([], True)])
+g("combinator", "oneOf exactly one",
+  {"oneOf": [{"type": "integer"}, {"minimum": 2}]},
+  [(1, True), (2.5, True), (3, False), (1.5, False)])
+g("combinator", "not",
+  {"not": {"type": "integer"}},
+  [("x", True), (1, False), (1.5, True)])
+g("combinator", "if-then-else",
+  {"if": {"exclusiveMaximum": 0}, "then": {"minimum": -10},
+   "else": {"multipleOf": 2}},
+  [(-1, True), (-100, False), (4, True), (3, False)])
+g("combinator", "boolean schemas in applicators",
+  {"properties": {"yes": True, "no": False}},
+  [({"yes": 1}, True), ({"no": 1}, False), ({}, True)])
+g("combinator", "allOf with object fragments",
+  {"allOf": [{"properties": {"a": {"type": "integer"}}},
+             {"required": ["a"]}]},
+  [({"a": 1}, True), ({"a": "x"}, False), ({}, False)])
+g("combinator", "oneOf none match",
+  {"oneOf": [{"type": "string"}, {"type": "boolean"}]},
+  [(1, False), ("s", True), (True, True), (None, False)])
+g("combinator", "not true rejects everything",
+  {"not": True},
+  [(1, False), (None, False), ({}, False)])
+g("combinator", "not false accepts everything",
+  {"not": False},
+  [(1, True), (None, True), ({}, True)])
+g("combinator", "if without then/else is annotation-only",
+  {"if": {"type": "integer"}},
+  [(1, True), ("x", True)])
+g("combinator", "then without if is ignored",
+  {"then": {"minimum": 100}},
+  [(1, True), (200, True)])
+g("combinator", "nested conditionals in properties",
+  {"properties": {"kind": {"enum": ["a", "b"]}},
+   "if": {"properties": {"kind": {"const": "a"}}, "required": ["kind"]},
+   "then": {"required": ["size"]},
+   "else": {"required": ["name"]}},
+  [({"kind": "a", "size": 1}, True), ({"kind": "a"}, False),
+   ({"kind": "b", "name": "x"}, True), ({"kind": "b"}, False),
+   ({"kind": "c", "name": "x"}, False)])
+
+# ---------------------------------------------------------------------------
+# unevaluated
+# ---------------------------------------------------------------------------
+
+g("unevaluated", "unevaluatedProperties with nested applicators",
+  {"allOf": [{"properties": {"a": {}}}], "properties": {"b": {}},
+   "unevaluatedProperties": False},
+  [({"a": 1, "b": 2}, True), ({"a": 1, "c": 3}, False)])
+g("unevaluated", "unevaluatedItems beyond contains matches",
+  {"contains": {"type": "string"}, "unevaluatedItems": False},
+  [(["a", "b"], True), (["a", 1], False), ([1], False)])
+g("unevaluated", "anyOf branches only cover when valid",
+  {"anyOf": [{"required": ["a"], "properties": {"a": {}}},
+             {"required": ["b"], "properties": {"b": {}}}],
+   "unevaluatedProperties": False},
+  [({"a": 1}, True), ({"b": 1}, True), ({"a": 1, "b": 2}, True),
+   ({"a": 1, "c": 2}, False)])
+g("unevaluated", "unevaluatedItems with prefixItems",
+  {"prefixItems": [{"type": "integer"}],
+   "unevaluatedItems": {"type": "string"}},
+  [([1, "a"], True), ([1, 2], False), ([1], True), ([], True)])
+g("unevaluated", "unevaluatedProperties schema form",
+  {"properties": {"a": {}}, "unevaluatedProperties": {"type": "integer"}},
+  [({"a": "x", "b": 1}, True), ({"a": "x", "b": "y"}, False),
+   ({"a": "x"}, True)])
+g("unevaluated", "ref contributes coverage",
+  {"$ref": "#/$defs/base", "unevaluatedProperties": False,
+   "$defs": {"base": {"properties": {"a": {}}}}},
+  [({"a": 1}, True), ({"b": 1}, False), ({}, True)])
+g("unevaluated", "if-then coverage is branch-dependent",
+  {"if": {"required": ["a"]},
+   "then": {"properties": {"x": {}}},
+   "else": {"properties": {"y": {}}},
+   "properties": {"a": {}},
+   "unevaluatedProperties": False},
+  [({"a": 1, "x": 2}, True), ({"a": 1, "y": 2}, False),
+   ({"y": 2}, True), ({"x": 2}, False)])
+
+# ---------------------------------------------------------------------------
+# ref
+# ---------------------------------------------------------------------------
+
+g("ref", "$ref to $defs",
+  {"$defs": {"pos": {"minimum": 0}},
+   "properties": {"n": {"$ref": "#/$defs/pos"}}},
+  [({"n": 1}, True), ({"n": -1}, False)])
+g("ref", "$anchor resolution",
+  {"$defs": {"pi": {"$anchor": "positiveInt", "type": "integer",
+                    "minimum": 1}},
+   "properties": {"count": {"$ref": "#positiveInt"}}},
+  [({"count": 3}, True), ({"count": 0}, False), ({"count": "x"}, False),
+   ({}, True)])
+g("ref", "$id embedded resource",
+  {"$id": "https://example.com/main.json",
+   "properties": {"addr": {"$ref": "address.json"}},
+   "$defs": {"address": {"$id": "address.json", "type": "object",
+                         "required": ["street"],
+                         "properties": {"street": {"type": "string",
+                                                   "minLength": 2}}}}},
+  [({"addr": {"street": "elm"}}, True), ({"addr": {"street": "e"}}, False),
+   ({"addr": {}}, False), ({"addr": 5}, False)])
+g("ref", "$ref with sibling keywords both apply",
+  {"$ref": "#/$defs/t", "minimum": 5, "$defs": {"t": {"type": "integer"}}},
+  [(6, True), (4, False), (5.5, False), ("x", False)])
+g("ref", "recursive list via $defs self-ref",
+  {"$ref": "#/$defs/node",
+   "$defs": {"node": {"type": "object", "required": ["v"],
+                      "properties": {"v": {"type": "integer"},
+                                     "next": {"$ref": "#/$defs/node"}}}}},
+  [({"v": 1}, True), ({"v": 1, "next": {"v": 2}}, True),
+   ({"v": 1, "next": {"v": "x"}}, False), ({"v": 1, "next": {}}, False)])
+g("ref", "$dynamicRef recursive tree",
+  {"$id": "https://example.com/tree", "$dynamicAnchor": "node",
+   "type": "object", "required": ["data"],
+   "properties": {"data": {"type": "integer"},
+                  "children": {"type": "array",
+                               "items": {"$dynamicRef": "#node"}}}},
+  [({"data": 1}, True), ({"data": 1, "children": [{"data": 2}]}, True),
+   ({"data": 1, "children": [{}]}, False), ({"children": []}, False)])
+g("ref", "$recursiveRef 2019-09",
+  {"$recursiveAnchor": True, "type": "object",
+   "properties": {"name": {"type": "string"},
+                  "child": {"$recursiveRef": "#"}}},
+  [({"name": "a"}, True), ({"name": "a", "child": {"name": "b"}}, True),
+   ({"name": "a", "child": {"name": 3}}, False)], draft="2019-09")
+
+# ---------------------------------------------------------------------------
+# format (engine options turn assertion on; python oracle via
+# FormatChecker where its checker exists without extra packages)
+# ---------------------------------------------------------------------------
+
+FMT = {"options": {"validate_formats": True}, "oracle": False}
+
+g("format", "format date",
+  {"type": "string", "format": "date"},
+  [("2024-02-29", True), ("2023-02-29", False), ("2024-13-01", False),
+   ("24-01-01", False), ("2024-01-01", True)], **FMT)
+g("format", "format date-time",
+  {"type": "string", "format": "date-time"},
+  [("2024-01-01T10:00:00Z", True), ("2024-01-01t10:00:00z", True),
+   ("2024-01-01T10:00:00+05:30", True), ("2024-01-01 10:00:00Z", False),
+   ("2024-01-01T25:00:00Z", False), ("not-a-date", False)], **FMT)
+g("format", "format uuid",
+  {"type": "string", "format": "uuid"},
+  [("2eb8aa08-aa98-11ea-b4aa-73b441d16380", True),
+   ("2eb8aa08-aa98-11ea-b4aa-73b441d1638", False),
+   ("2eb8aa08aa9811eab4aa73b441d16380", False)], **FMT)
+g("format", "format ipv4",
+  {"type": "string", "format": "ipv4"},
+  [("192.168.0.1", True), ("256.1.1.1", False), ("1.1.1", False),
+   ("01.1.1.1", False)], **FMT)
+g("format", "format email",
+  {"type": "string", "format": "email"},
+  [("a@b.com", True), ("not-an-email", False), ("a @b.com", False)],
+  **FMT)
+g("format", "format json-pointer",
+  {"type": "string", "format": "json-pointer"},
+  [("/a/b", True), ("", True), ("/a~1b", True), ("a/b", False),
+   ("/a~2", False)], **FMT)
+g("format", "format duration",
+  {"type": "string", "format": "duration"},
+  [("P1Y2M3DT4H5M6S", True), ("P4W", True), ("P", False), ("P1YT", False),
+   ("1Y", False)], **FMT)
+g("format", "format regex goes through the pandas UDF",
+  {"type": "string", "format": "regex"},
+  [("^a[bc]+$", True), ("a(b", False), ("", True)], **FMT)
+g("format", "unknown format is annotation-only",
+  {"type": "string", "format": "no-such-format"},
+  [("anything", True)], **FMT)
+
+# ---------------------------------------------------------------------------
+# content (assertions like draft-7; python-jsonschema never asserts
+# content*, so these pin engine behavior only)
+# ---------------------------------------------------------------------------
+
+g("content", "contentEncoding base64",
+  {"contentEncoding": "base64"},
+  [("aGVsbG8=", True), ("aGVsbG8", False), ("ab==", False), (5, True)],
+  oracle=False)
+g("content", "contentEncoding base64url",
+  {"contentEncoding": "base64url"},
+  [("a-_Q", True), ("a+/Q", False)], oracle=False)
+g("content", "contentEncoding base32",
+  {"contentEncoding": "base32"},
+  [("MZXW6===", True), ("mzxw6===", False), ("MZXW6", False)],
+  oracle=False)
+g("content", "contentEncoding base16",
+  {"contentEncoding": "base16"},
+  [("48656C6C6F", True), ("48656c6c6f", True), ("489", False)],
+  oracle=False)
+g("content", "base64 + application/json",
+  {"contentEncoding": "base64", "contentMediaType": "application/json"},
+  [("eyJhIjogMX0=", True), ("bm90IGpzb24=", False)], oracle=False)
+
+# ---------------------------------------------------------------------------
+# validate + write
+# ---------------------------------------------------------------------------
+
+
+def validate():
+    import jsonschema
+
+    classes = {"2020-12": jsonschema.Draft202012Validator,
+               "2019-09": jsonschema.Draft201909Validator,
+               "7": jsonschema.Draft7Validator}
+    n_checked = 0
+    for grp in V:
+        if grp.get("oracle") is False:
+            continue
+        cls = classes[grp.get("draft", "2020-12")]
+        v = cls(grp["schema"])
+        for t in grp["tests"]:
+            got = v.is_valid(t["data"])
+            assert got == t["valid"], \
+                (grp["description"], t, "oracle says", got)
+            n_checked += 1
+    return n_checked
+
+
+def main():
+    n = validate()
+    out = os.path.join(os.path.dirname(__file__), "..",
+                       "jsonschema_rs_spark", "spec",
+                       "vectors_2020_12.json")
+    with open(out, "w") as f:
+        json.dump(V, f, indent=1)
+        f.write("\n")
+    total = sum(len(grp["tests"]) for grp in V)
+    fams = {}
+    for grp in V:
+        fams[grp["family"]] = fams.get(grp["family"], 0) + len(grp["tests"])
+    print(f"{len(V)} groups, {total} cases ({n} oracle-checked): {fams}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

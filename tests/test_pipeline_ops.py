@@ -222,7 +222,7 @@ def test_media_features(spark):
     rows = feats.collect()
     assert len(rows) == 30
     for r in rows:
-        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        assert r["n_bytes"] > 0 and len(r["content_md5"]) == 32
         if r["media_type"] == "image":
             assert r["width"] is not None and r["height"] is not None
             assert r["duration_ms"] is None

@@ -1,41 +1,58 @@
 """Vendored draft-2020-12 suite vectors (SURVEY.md §5: the official
 JSON-Schema-Test-Suite submodule is absent from the reference snapshot,
-so a curated corpus in the SAME shape — [{description, schema, tests:
-[{data, valid}]}] — is vendored here).
+so a curated corpus in the SAME shape — built + validated by
+scripts/build_vectors.py — is vendored in the package).
 
 Triple check per case:
-1. the vendored `valid` expectation is itself validated against the
-   Python `jsonschema` oracle (so a wrong vector fails loudly),
+1. the vendored `valid` expectation is re-validated against the Python
+   `jsonschema` oracle (per-group draft class; groups the library can't
+   oracle — formats, content assertions — carry oracle:false and are
+   pinned by the driver VALUES oracle instead),
 2. the variant (dynamic JSON) path reproduces every verdict,
 3. all (schema, doc) pairs run as ONE Spark job per schema (no
    per-example actions).
+
+The same corpus also backs the per-family DRIVER queries
+(jsonschema_rs_spark/suite.py → suite_<family> in queries()).
 """
 
 import json
-import os
 
 import pytest
 
 from jsonschema_rs_spark.compiler.variant import compile_json_schema
+from jsonschema_rs_spark.errors import ValidationOptions
+from jsonschema_rs_spark.suite import families, load_vectors
 
-VECTORS = json.load(open(os.path.join(os.path.dirname(__file__),
-                                      "vectors_2020_12.json")))
+VECTORS = load_vectors()
+
+
+def test_corpus_size():
+    assert len(VECTORS) >= 100
+    assert sum(len(v["tests"]) for v in VECTORS) >= 400
+    assert len(families()) == 15
 
 
 @pytest.mark.parametrize(
-    "case", VECTORS, ids=[v["description"][:48] for v in VECTORS])
+    "case", VECTORS,
+    ids=[f'{v["family"]}:{v["description"][:40]}' for v in VECTORS])
 def test_vector(spark, case):
     import jsonschema
 
     schema, tests = case["schema"], case["tests"]
-    oracle = jsonschema.Draft202012Validator(schema)
-    for t in tests:
-        assert oracle.is_valid(t["data"]) == t["valid"], \
-            f"vendored expectation wrong: {t}"
+    if case.get("oracle") is not False:
+        classes = {"2020-12": jsonschema.Draft202012Validator,
+                   "2019-09": jsonschema.Draft201909Validator,
+                   "7": jsonschema.Draft7Validator}
+        oracle = classes[case.get("draft", "2020-12")](schema)
+        for t in tests:
+            assert oracle.is_valid(t["data"]) == t["valid"], \
+                f"vendored expectation wrong: {t}"
 
     docs = [json.dumps(t["data"]) for t in tests]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
-    plan = compile_json_schema(schema)
+    plan = compile_json_schema(schema,
+                               ValidationOptions(**case.get("options", {})))
     got = [r["valid"] for r in
            plan.with_validation(df, "j", mode="flag").collect()]
     want = [t["valid"] for t in tests]
