@@ -191,6 +191,39 @@ SELECT keyword, count(*) AS n_violations FROM (
 ) GROUP BY keyword
 """
 
+# hierarchical rollup: violation schema-paths expanded to every prefix
+# (evaluate().hierarchical() analog) — paths mirror the typed compiler's
+# Rule.schema_path values for DOCS_SCHEMA
+VAL_DOCS_HIERARCHY = """
+WITH viol AS (
+  SELECT '/properties/lang/enum' AS p FROM documents
+   WHERE lang IS NOT NULL AND lang NOT IN ('en','es','de','fr')
+  UNION ALL
+  SELECT '/properties/source/pattern' FROM documents
+   WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-4]$')
+  UNION ALL
+  SELECT '/properties/n_chars/minimum' FROM documents
+   WHERE n_chars IS NOT NULL AND n_chars < 50
+  UNION ALL
+  SELECT '/properties/n_chars/maximum' FROM documents
+   WHERE n_chars IS NOT NULL AND n_chars > 500
+  UNION ALL
+  SELECT '/properties/text/minLength' FROM documents
+   WHERE text IS NOT NULL AND length(text) < 20
+  UNION ALL
+  SELECT '/required' FROM documents WHERE doc_id IS NULL
+  UNION ALL
+  SELECT '/required' FROM documents WHERE text IS NULL
+),
+parts AS (SELECT string_split(p, '/') AS sp FROM viol),
+pref AS (
+  SELECT array_to_string(list_slice(sp, 1, i), '/') AS schema_prefix,
+         CAST(i - 1 AS INT) AS depth
+  FROM parts, unnest(range(2, len(sp) + 1)) AS t(i))
+SELECT schema_prefix, depth, count(*) AS n_violations
+FROM pref GROUP BY 1, 2
+"""
+
 UNIQ_RATIO_ORDERS = """
 WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
 SELECT CAST(sum(c) AS BIGINT) AS n_rows,
@@ -589,6 +622,7 @@ ORACLES = {
     "val_spans_flag": VAL_SPANS_FLAG,
     "val_spans_violations": VAL_SPANS_VIOLATIONS,
     "val_docs_keyword_summary": VAL_DOCS_KEYWORD_SUMMARY,
+    "val_docs_hierarchy": VAL_DOCS_HIERARCHY,
     "stats_documents": STATS_DOCUMENTS,
     "uniq_orders_custkey": UNIQ_ORDERS_CUSTKEY,
     "uniq_ratio_orders": UNIQ_RATIO_ORDERS,

@@ -98,6 +98,34 @@ class CompiledSchema:
             (F.count(F.lit(1)) - n_valid).alias("n_invalid"),
         )
 
+    def hierarchy(self, df: DataFrame) -> DataFrame:
+        """Hierarchical violation rollup — the table-scale analog of the
+        reference's hierarchical structured output (evaluation.rs:416):
+        one row per schema-location PREFIX with the violation count
+        aggregated over its whole subtree, so `/properties/spans` carries
+        the sum of everything under it. Output:
+        (schema_prefix, depth, n_violations), depth = segment count.
+
+        Pure Column plan: explode errors → explode each path's prefixes
+        → groupBy prefix (shuffle carries (prefix, partial count) only).
+        """
+        v = self.with_validation(df, mode="verbose")
+        parts = F.split(F.col("err.schema_path"), "/")
+        prefixes = F.when(F.size(parts) >= 2, F.transform(
+            F.sequence(F.lit(2), F.greatest(F.size(parts), F.lit(2))),
+            lambda i: F.struct(
+                F.array_join(F.slice(parts, 1, i), "/").alias("prefix"),
+                (i - 1).cast("int").alias("depth")))) \
+            .otherwise(F.expr(
+                "CAST(array() AS array<struct<prefix:string,depth:int>>)"))
+        return (
+            v.select(F.explode("errors").alias("err"))
+            .select(F.explode(prefixes).alias("p"))
+            .groupBy(F.col("p.prefix").alias("schema_prefix"),
+                     F.col("p.depth").alias("depth"))
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+
     def keyword_summary(self, df: DataFrame) -> DataFrame:
         """Violation counts per (keyword, schema_path) — drift-friendly."""
         v = self.with_validation(df, mode="verbose")

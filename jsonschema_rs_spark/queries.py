@@ -217,6 +217,15 @@ def val_docs_keyword_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("keyword").agg(F.count(F.lit(1)).alias("n_violations")))
 
 
+def val_docs_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical violation rollup (≈ evaluate().hierarchical(),
+    evaluation.rs:416): per schema-location prefix, violations summed
+    over the subtree."""
+    docs = _read(spark, sf_dir, "documents")
+    plan = compile_schema(DOCS_SCHEMA, docs.schema)
+    return plan.hierarchy(docs)
+
+
 def uniq_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     r = tc.assert_unique_ratio(orders, ["o_custkey"])
@@ -411,6 +420,7 @@ QUERIES = {
     "val_spans_flag": val_spans_flag,
     "val_spans_violations": val_spans_violations,
     "val_docs_keyword_summary": val_docs_keyword_summary,
+    "val_docs_hierarchy": val_docs_hierarchy,
     "stats_documents": stats_documents,
     "uniq_orders_custkey": uniq_orders_custkey,
     "uniq_ratio_orders": uniq_ratio_orders,
