@@ -113,6 +113,35 @@ SELECT event_id,
 FROM events
 """
 
+# typed-path composition keywords over events: $ref -> minimum; oneOf
+# over disjoint ranges; not(const); anyOf(const | minLength); if/then
+VAL_EVENTS_COMPOSED = """
+SELECT event_id,
+ ((value IS NULL OR value >= 0)
+  AND (user_id IS NULL OR user_id <= 100 OR user_id >= 900)
+  AND (event_type IS NULL OR event_type <> 'error')
+  AND (props IS NULL OR props = '{}' OR length(props) >= 10)
+  AND (CASE WHEN event_type = 'purchase'
+       THEN (value IS NULL OR value > 0) ELSE TRUE END))
+ AS valid
+FROM events
+"""
+
+VAL_DOCS_UNIQUE_TOKENS = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+ (toks IS NULL OR (len(toks) >= 1
+                   AND len(list_distinct(toks)) = len(toks))) AS valid
+FROM t
+"""
+
+# spans: media_ref is set for every 5th token (i=5,10,...), so a doc has
+# an unevaluated property iff it has >= 5 tokens
+VAL_SPANS_UNEVALUATED = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, (toks IS NULL OR len(toks) < 5) AS valid FROM t
+"""
+
 # spans derived from documents.text: token i (0-based) → span; every 5th is
 # an image. Mirrors queries.derived_spans_df exactly.
 _SPANS_CTE = """
@@ -621,6 +650,9 @@ ORACLES = {
     "val_lineitem_flag": VAL_LINEITEM_FLAG,
     "val_spans_flag": VAL_SPANS_FLAG,
     "val_spans_violations": VAL_SPANS_VIOLATIONS,
+    "val_events_composed": VAL_EVENTS_COMPOSED,
+    "val_docs_unique_tokens": VAL_DOCS_UNIQUE_TOKENS,
+    "val_spans_unevaluated": VAL_SPANS_UNEVALUATED,
     "val_docs_keyword_summary": VAL_DOCS_KEYWORD_SUMMARY,
     "val_docs_hierarchy": VAL_DOCS_HIERARCHY,
     "stats_documents": STATS_DOCUMENTS,

@@ -136,6 +136,56 @@ def val_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "valid")
 
 
+# typed-path composition keywords ($ref / oneOf / not / if-then / const)
+# over a real table — driver-oracle coverage for the keywords the suite
+# queries exercise only on the variant path
+EVENTS_COMPOSED_SCHEMA = {
+    "type": "object",
+    "$defs": {"nonneg": {"minimum": 0}},
+    "properties": {
+        "value": {"$ref": "#/$defs/nonneg"},
+        "user_id": {"oneOf": [{"maximum": 100}, {"minimum": 900}]},
+        "event_type": {"not": {"const": "error"}},
+        "props": {"anyOf": [{"const": "{}"}, {"minLength": 10}]},
+    },
+    "if": {"properties": {"event_type": {"const": "purchase"}},
+           "required": ["event_type"]},
+    "then": {"properties": {"value": {"exclusiveMinimum": 0}}},
+}
+
+
+def val_events_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    plan = compile_schema(EVENTS_COMPOSED_SCHEMA, ev.schema)
+    return plan.with_validation(ev).select("event_id", "valid")
+
+
+def val_docs_unique_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-path uniqueItems + minItems over a derived array<string>."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.split(F.col("text"), " ").alias("toks"))
+    plan = compile_schema({"type": "array", "uniqueItems": True,
+                           "minItems": 1}, toks.schema, column="toks")
+    return plan.with_validation(toks).select("doc_id", "valid")
+
+
+def val_spans_unevaluated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-path unevaluatedProperties with allOf coverage over the
+    interleaved spans structs: media_ref is NOT declared by any
+    applicator, so any span carrying one is an unevaluated property."""
+    df = derived_spans_df(spark, sf_dir)
+    schema = {
+        "type": "array",
+        "items": {"type": "object",
+                  "allOf": [{"properties": {"kind": {}, "text": {}}}],
+                  "properties": {"offset": {}},
+                  "unevaluatedProperties": False},
+    }
+    plan = compile_schema(schema, df.schema, column="spans")
+    return plan.with_validation(df).select("doc_id", "valid")
+
+
 # ---------------------------------------------------------------------------
 # validation: derived interleaved spans (array applicators — the north-rule
 # document shape, derived deterministically from documents.text so the
@@ -419,6 +469,9 @@ QUERIES = {
     "val_json_props": val_json_props,
     "val_spans_flag": val_spans_flag,
     "val_spans_violations": val_spans_violations,
+    "val_events_composed": val_events_composed,
+    "val_docs_unique_tokens": val_docs_unique_tokens,
+    "val_spans_unevaluated": val_spans_unevaluated,
     "val_docs_keyword_summary": val_docs_keyword_summary,
     "val_docs_hierarchy": val_docs_hierarchy,
     "stats_documents": stats_documents,
