@@ -33,11 +33,12 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 BENCH_QUERIES = [
     "val_events_flag", "val_docs_flag", "val_lineitem_flag",
     "val_spans_flag", "val_events_violations", "val_json_props",
+    "val_events_composed", "val_docs_hierarchy", "val_spans_unevaluated",
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
     "ks_events_value", "chisq_events_halves", "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
-    "minhash_pairs", "curate_docs", "sim_topk", "ann_lsh", "rollup_events",
-    "mm_features",
+    "minhash_pairs", "curate_docs", "sim_topk", "ann_lsh", "ndcos_pairs",
+    "rollup_events", "mm_features",
 ]
 
 

@@ -177,7 +177,11 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     if bands is None:
         bands = 16
     # one signature projection: bands * planes_per_band sign bits, banded
-    # into `bands` bucket keys — (band_idx, packed_signs)
+    # into `bands` bucket keys — (band_idx, packed_signs). Candidates are
+    # generated from (bucket, id) pairs ONLY — the 64-dim vectors do NOT
+    # ride through the bucket join (that would shuffle `bands`x the data
+    # volume); after dedup, ONE join per side attaches the vectors for
+    # the exact-cosine verify.
     planes = hyperplane_signs(bands * planes_per_band, dim)
     keys = F.array(*[
         F.concat_ws(
@@ -187,15 +191,19 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
             .cast("string"))
         for bi in range(bands)
     ])
-    bucketed = v.select("id", "v", "n", F.explode(keys).alias("bucket"))
-    a = bucketed.select("bucket", F.col("id").alias("id_a"),
-                        F.col("v").alias("va"), F.col("n").alias("na"))
-    b = bucketed.select("bucket", F.col("id").alias("id_b"),
-                        F.col("v").alias("vb"), F.col("n").alias("nb"))
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+    ids = v.select("id", F.explode(keys).alias("bucket"))
+    cand = (
+        ids.alias("x").join(ids.alias("y"), "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("n").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("n").alias("nb"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b",
                 F.round(dot(F.col("va"), F.col("vb"))
                         / (F.col("na") * F.col("nb")), 6).alias("sim"))
