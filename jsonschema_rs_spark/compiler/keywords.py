@@ -129,14 +129,29 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     if not static:  # exotic dtype — cannot assert, treat as annotation
         return []
     msg = f"expected type {sorted(allowed)}"
+    # draft-4 integer (keywords/legacy/type_draft_4.rs:91-155): a float
+    # is NEVER an integer, regardless of zero fraction — so a FRACTIONAL
+    # dtype can only satisfy "integer" via "number" also being allowed.
+    # (>=draft6: zero-fraction float IS an integer, checked at runtime.
+    # The variant path cannot honor draft-4 here: Spark normalizes the
+    # lexical form away — '1.0' parses to DECIMAL(1,0) — so the option
+    # is typed-path-only; see errors.py.)
+    d4 = getattr(ctx.options, "draft4_integer", False)
     if static <= allowed:
         # integer is only conditionally in static for fractional dtypes
         if isinstance(dt, FRACTIONAL) and "integer" in allowed and "number" not in allowed:
+            if d4:
+                return [Rule("type", sp + "/type", msg,
+                             lambda c: F.lit(False), priority=1)]
             pred = (lambda c: c == F.floor(c))
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []
     if static & allowed:
-        if isinstance(dt, FRACTIONAL) and "integer" in allowed:
+        if isinstance(dt, FRACTIONAL) and "integer" in allowed \
+                and "number" not in allowed:
+            if d4:
+                return [Rule("type", sp + "/type", msg,
+                             lambda c: F.lit(False), priority=1)]
             pred = (lambda c: c == F.floor(c))
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []  # e.g. integral dtype, allowed contains integer or number

@@ -39,7 +39,10 @@ class ValidationOptions:
       time (Spark expressions cannot recurse); documents have bounded depth.
     - draft4_integer: draft-4 `1.0 is not an integer` semantics
       (keywords/legacy/type_draft_4.rs:91-155). Default: 2020-12 (float with
-      zero fraction IS an integer).
+      zero fraction IS an integer). TYPED PATH ONLY: the variant path
+      cannot honor it because Spark's JSON parser normalizes the lexical
+      form away ('1.0' parses to DECIMAL(1,0), indistinguishable from
+      '1').
     """
 
     validate_formats: bool = False

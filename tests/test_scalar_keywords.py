@@ -147,3 +147,24 @@ def test_content_encoding_base64(spark):
     s = {"properties": {"b": {"contentEncoding": "base64"}}}
     rows = [("aGVsbG8=",), ("not base64!!",)]
     assert verdicts(spark, rows, "b string", s) == [True, False]
+
+
+def test_draft4_integer_typed(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    df = spark.createDataFrame([(1, 1.0), (2, 1.5), (3, 3.0)],
+                               "id long, x double")
+    schema = {"properties": {"x": {"type": "integer"}}}
+    from jsonschema_rs_spark import compile_schema
+    modern = compile_schema(schema, df.schema)
+    got = {r["id"]: r["valid"]
+           for r in modern.with_validation(df).collect()}
+    assert got == {1: True, 2: False, 3: True}  # zero fraction IS integer
+    d4 = compile_schema(schema, df.schema,
+                        ValidationOptions(draft4_integer=True))
+    got = {r["id"]: r["valid"] for r in d4.with_validation(df).collect()}
+    assert got == {1: False, 2: False, 3: False}  # a float never is
+    # integral dtype unaffected
+    di = spark.createDataFrame([(1, 5)], "id long, x long")
+    d4i = compile_schema(schema, di.schema,
+                         ValidationOptions(draft4_integer=True))
+    assert d4i.with_validation(di).first()["valid"] is True
