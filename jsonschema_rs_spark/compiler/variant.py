@@ -198,6 +198,10 @@ class VariantCompileContext:
         self.options = options
         self._ref_depth: dict[str, int] = {}
         self.registry = RefRegistry(root)
+        # (schema_path, contains-Node) sites collected during compile —
+        # drives the contains match-index annotations
+        # (reference contains.rs:60-105 evaluate())
+        self.contains_sites: list[tuple[str, Node]] = []
 
     def regex(self, pattern: str) -> str:
         return ecma_to_java(pattern)
@@ -609,6 +613,7 @@ def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
 
     if "contains" in schema:
         node = compile_variant(schema["contains"], ctx, sp + "/contains")
+        ctx.contains_sites.append((sp + "/contains", node))
         lo = int(schema.get("minContains", 1))
         hi = schema.get("maxContains")
 
@@ -912,6 +917,7 @@ class CompiledJsonSchema:
         ctx = VariantCompileContext(schema, options)
         self.node = compile_variant(schema, ctx, "")
         self.options = options
+        self._contains_sites = list(ctx.contains_sites)
 
     def valid_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
@@ -956,6 +962,40 @@ class CompiledJsonSchema:
             return out.withColumn("errors", errs).drop("__v", "__vt")
         finally:
             _VT_STAGE.pop()
+
+
+    def with_contains_annotations(self, df: DataFrame,
+                                  json_col: str) -> DataFrame:
+        """Append `annotations`: map<schema_path, array<int>> of the
+        0-based indices each top-level `contains` site matched — the
+        analog of the reference's contains annotations
+        (contains.rs:60-105: EvaluationResult::Valid { annotations:
+        indices }). Nested (per-sub-instance) annotation trees are out
+        of scope; top-level contains covers the span/array shapes the
+        engine validates. Non-arrays annotate an empty list, mirroring
+        the reference's empty-annotation branch."""
+        if not self._contains_sites:
+            return df.withColumn(
+                "annotations",
+                F.expr("CAST(map() AS map<string,array<int>>)"))
+        v = F.try_parse_json(F.col(json_col))
+
+        def match_idx(node):
+            # closure factory, not a default-arg lambda: PySpark derives
+            # HOF arity from the Python signature
+            return lambda x, i: F.when(
+                F.coalesce(node.valid(x), F.lit(False)), i) \
+                .otherwise(F.lit(-1))
+
+        entries = []
+        for sp_, node in self._contains_sites:
+            arr = _as_array(v)
+            idx = F.filter(F.transform(arr, match_idx(node)),
+                           lambda i: i >= 0)
+            entries.append(F.lit(sp_))
+            entries.append(F.when(_is_array(v), idx.cast("array<int>"))
+                           .otherwise(F.expr("CAST(array() AS array<int>)")))
+        return df.withColumn("annotations", F.create_map(*entries))
 
 
 def compile_json_schema(schema: Any,

@@ -88,9 +88,16 @@ v.write.format("noop").mode("overwrite").save()   # warmup
 open(barrier + f".ready{{w}}", "w").close()
 while not os.path.exists(barrier):                # start together
     time.sleep(0.05)
-t0 = time.perf_counter()
-v.write.format("noop").mode("overwrite").save()
-print("ELAPSED", time.perf_counter() - t0)
+# 3 timed rounds inside ONE JVM (amortizes the ~30s JVM+warmup cost a
+# per-trial subprocess would pay 3x); report the BEST — on a
+# time-shared box a co-tenant burst can only slow a round
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    v.write.format("noop").mode("overwrite").save()
+    el = time.perf_counter() - t0
+    best = el if best is None or el < best else best
+print("ELAPSED", best)
 """
 
 
@@ -177,9 +184,13 @@ def measure(n_docs: int = 2_000_000, n: int = 8, trials: int = 2) -> dict:
 
 
 def measure_executors_unsat(n_docs: int, cores: int = 4,
-                            trials: int = 3) -> dict:
+                            trials: int = 2) -> dict:
     """1 vs 4 concurrent executors at `cores` threads each, below the
-    box's memory-bandwidth ceiling."""
+    box's memory-bandwidth ceiling. Each trial's JVMs run best-of-3
+    timed rounds internally, and the min over trials is taken: this VM
+    is time-shared and a co-tenant burst can only SLOW a round, so the
+    minimum over 6 effective samples measures the engine, not the
+    neighbors (observed 4x4 spread on an idle-looking box: ~25%)."""
     import bench as bench_mod
     from jsonschema_rs_spark.session import get_spark
     spark = get_spark(app_name="scalegen", cores=8)

@@ -272,3 +272,28 @@ def test_format_keyword_variant(spark):
                                 ValidationOptions(validate_formats=True))
     got2 = [r["valid"] for r in plan2.with_validation(df, "j").collect()]
     assert got2 == [False, False, False, True, True, True]
+
+
+def test_contains_annotations(spark):
+    """Matched-index annotations for contains sites (contains.rs:60-105
+    evaluate(): annotations = array of matching indices)."""
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    plan = compile_json_schema(
+        {"type": "array", "contains": {"type": "integer", "minimum": 5}})
+    df = spark.createDataFrame(
+        [(1, "[1, 5, 2, 9]"), (2, "[1, 2]"), (3, "[]"), (4, '"s"')],
+        "id long, j string")
+    out = {r["id"]: r["annotations"]
+           for r in plan.with_contains_annotations(df, "j").collect()}
+    assert out[1]["/contains"] == [1, 3]
+    assert out[2]["/contains"] == []
+    assert out[3]["/contains"] == []
+    assert out[4]["/contains"] == []  # non-array: empty annotation
+
+
+def test_contains_annotations_no_sites(spark):
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    plan = compile_json_schema({"type": "object"})
+    df = spark.createDataFrame([(1, "{}")], "id long, j string")
+    r = plan.with_contains_annotations(df, "j").first()
+    assert r["annotations"] == {}
