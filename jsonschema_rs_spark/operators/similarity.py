@@ -141,6 +141,115 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + probed re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 0) -> DataFrame:
+    """Coarse quantizer centroids (centroid_id, cvec).
+
+    Deterministic seeding: the `n_centroids` corpus vectors with the
+    smallest md5(id) — reproducible by any engine (incl. the DuckDB
+    oracle), no RNG. lloyd_iters>0 refines them with standard k-means
+    steps (assign → mean), each iteration one broadcast-join + one
+    groupBy shuffle of partial sums; the refined quantizer is for real
+    pipelines, the seed quantizer for oracle parity.
+    """
+    seeds = (corpus
+             .select(F.col(id_col).cast("string").alias("__sid"),
+                     F.col(vec_col).alias("cvec"))
+             .withColumn("__h", F.md5(F.col("__sid")))
+             .orderBy("__h")
+             .limit(n_centroids)
+             .select(F.row_number().over(
+                 Window.orderBy("__h")).alias("centroid_id"), "cvec"))
+    cents = seeds
+    if lloyd_iters > 0:
+        dim = _dim_of(corpus, vec_col)
+        for _ in range(lloyd_iters):
+            assigned = _assign_to_centroid(corpus, cents, id_col, vec_col)
+            cents = (
+                assigned.join(corpus.select(F.col(id_col).alias("__aid"),
+                                            F.col(vec_col).alias("__v")),
+                              assigned[id_col] == F.col("__aid"))
+                .groupBy("centroid_id")
+                .agg(F.array(*[
+                    F.avg(F.element_at(F.col("__v"), i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]).alias("cvec"))
+            )
+    return cents
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def _assign_to_centroid(corpus: DataFrame, cents: DataFrame,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """(id, centroid_id): nearest centroid by cosine, ties broken by
+    centroid id. Centroids are broadcast; one scan, no shuffle."""
+    scored = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                           norm(F.col(vec_col)).alias("__n")) \
+        .crossJoin(F.broadcast(
+            cents.select("centroid_id", F.col("cvec").alias("__c"),
+                         norm(F.col("cvec")).alias("__cn"))))
+    sim = dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(),
+                                           F.col("centroid_id"))
+    return (scored.withColumn("__sim", F.round(sim, 9))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(id_col, "centroid_id"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             lloyd_iters: int = 0) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in inverted lists
+    keyed by nearest centroid; each query probes its `n_probe` nearest
+    centroids and re-ranks exactly within those lists only — the scan
+    per query drops from N to ~N*n_probe/n_centroids. The 100 TB shape:
+    the assignment is ONE broadcast-join scan (write it as a bucketed
+    table), the query side joins on centroid_id.
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col,
+                          lloyd_iters)
+    inv = _assign_to_centroid(corpus, cents, id_col, vec_col) \
+        .join(corpus.select(F.col(id_col),
+                            F.col(vec_col).alias("__cv"),
+                            norm(F.col(vec_col)).alias("__cn2")), id_col) \
+        .select(F.col(id_col).alias("neighbor_id"), "centroid_id",
+                "__cv", "__cn2")
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       norm(F.col(vec_col)).alias("__qn")) \
+        .crossJoin(F.broadcast(
+            cents.select("centroid_id", F.col("cvec").alias("__c"),
+                         norm(F.col("cvec")).alias("__ccn"))))
+    qsim = dot(F.col("__qv"), F.col("__c")) / (F.col("__qn") * F.col("__ccn"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__qs").desc(),
+                                                F.col("centroid_id"))
+    probes = (q.withColumn("__qs", F.round(qsim, 9))
+              .withColumn("__r", F.row_number().over(wq))
+              .where(F.col("__r") <= n_probe)
+              .select("query_id", "centroid_id", "__qv", "__qn"))
+    scored = probes.join(inv, "centroid_id").select(
+        "query_id", "neighbor_id",
+        F.round(dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn2") * F.col("__qn")), 6).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
+
+
 def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
                               n_planes: int = 12, dim: int = 64,
                               id_col: str = "vec_id",

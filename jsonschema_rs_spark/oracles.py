@@ -543,6 +543,42 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 WHERE rank <= 5
 """
 
+# IVF-flat ANN re-derived: hash-seeded centroids → nearest-centroid
+# assignment (9dp-rounded sim, centroid-id tiebreak — identical float
+# fold order on both engines) → per-query n_probe lists → exact re-rank
+ANN_IVF = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(id::VARCHAR)) AS INT)
+           AS centroid_id, e AS c
+  FROM (SELECT id, e FROM v ORDER BY md5(id::VARCHAR) LIMIT 16)),
+assign AS (
+  SELECT id, centroid_id FROM (
+    SELECT v.id, s.centroid_id,
+           row_number() OVER (PARTITION BY v.id
+             ORDER BY round({_COS.format(a='v.e', b='s.c')}, 9) DESC,
+                      s.centroid_id) AS r
+    FROM v CROSS JOIN seeds s) WHERE r = 1),
+q AS (SELECT id AS query_id, e AS qv FROM v WHERE id < 8),
+probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, s.centroid_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_COS.format(a='q.qv', b='s.c')}, 9) DESC,
+                      s.centroid_id) AS r
+    FROM q CROSS JOIN seeds s) WHERE r <= 4),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round({_COS.format(a='cv.e', b='p.qv')}, 6) AS sim
+  FROM probes p JOIN assign a USING (centroid_id)
+  JOIN v cv ON cv.id = a.id)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
 NDCOS_PAIRS = f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.id AS id_a, b.id AS id_b,
@@ -671,6 +707,7 @@ ORACLES = {
     "minhash_pairs": MINHASH_PAIRS,
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,
+    "ann_ivf": ANN_IVF,
     "ndcos_pairs": NDCOS_PAIRS,
     "rollup_events": ROLLUP_EVENTS,
     "mm_features": MM_FEATURES,

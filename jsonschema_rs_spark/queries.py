@@ -408,6 +408,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_lsh(emb, q, k=5, n_planes=8, dim=64)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: hash-seeded coarse quantizer (deterministic, so the
+    DuckDB oracle re-derives the identical index), n_probe inverted
+    lists re-ranked exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4)
+
+
 def ndcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH path (the scale default — linear shuffle, no crossJoin);
     the DuckDB oracle stays the exact O(N^2) self-join, so a green row
@@ -490,6 +500,7 @@ QUERIES = {
     "curate_docs": curate_docs,
     "sim_topk": sim_topk,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "ndcos_pairs": ndcos_pairs,
     "rollup_events": rollup_events,
     "mm_features": mm_features,
