@@ -143,7 +143,9 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
             if d4:
                 return [Rule("type", sp + "/type", msg,
                              lambda c: F.lit(False), priority=1)]
-            pred = (lambda c: c == F.floor(c))
+            # pmod-1, not floor: floor(double) is LONG and overflows to
+            # NULL at |x| >= 2^63 (1e100 IS a zero-fraction integer)
+            pred = (lambda c: F.pmod(c.cast("double"), F.lit(1.0)) == 0)
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []
     if static & allowed:
@@ -152,7 +154,7 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
             if d4:
                 return [Rule("type", sp + "/type", msg,
                              lambda c: F.lit(False), priority=1)]
-            pred = (lambda c: c == F.floor(c))
+            pred = (lambda c: F.pmod(c.cast("double"), F.lit(1.0)) == 0)
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []  # e.g. integral dtype, allowed contains integer or number
     # statically impossible: every non-null value fails

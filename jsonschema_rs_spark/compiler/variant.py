@@ -113,9 +113,12 @@ def _as_array(v: Column) -> Column:
 
 
 def _is_integer(v: Column) -> Column:
-    # draft 2020-12: integer == number with zero fraction (types.rs:186-204)
+    # draft 2020-12: integer == number with zero fraction
+    # (types.rs:186-204). pmod-1, NOT floor: Spark's floor(double)
+    # returns LONG and overflows to NULL at |x| >= 2^63, which would
+    # wrongly reject huge zero-fraction floats like 1e100.
     d = _as_double(v)
-    return _is_number(v) & (d == F.floor(d))
+    return _is_number(v) & (F.pmod(d, F.lit(1.0)) == 0)
 
 
 _TYPE_PREDS = {
@@ -319,7 +322,7 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
             exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
             q = _as_double(v) / m
             return ~_is_number(v) | F.when(dv.isNotNull(), exact) \
-                .otherwise(q == F.floor(q))
+                .otherwise(F.pmod(q, F.lit(1.0)) == 0)
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
                  mult_pred, priority=3))

@@ -548,6 +548,167 @@ g("content", "base64 + application/json",
   [("eyJhIjogMX0=", True), ("bm90IGpzb24=", False)], oracle=False)
 
 # ---------------------------------------------------------------------------
+# depth round: interaction and edge cases per family
+# ---------------------------------------------------------------------------
+
+g("type", "huge zero-fraction float is an integer",
+  {"type": "integer"},
+  [(1e100, True), (1.23e4, True), (1.23e-4, False)])
+g("const", "const unicode string",
+  {"const": "héllo 中"},
+  [("héllo 中", True), ("hello 中", False), ("héllo中", False)])
+g("const", "const float with many places",
+  {"const": 3.141592653589793},
+  [(3.141592653589793, True), (3.14159265358979, False)])
+g("enum", "enum distinguishes 0 / false / -0.0",
+  {"enum": [0]},
+  [(0, True), (-0.0, True), (False, False), (None, False)])
+g("enum", "enum nested depth 2",
+  {"enum": [[[1], [2]], {"a": {"b": 1}}]},
+  [([[1], [2]], True), ({"a": {"b": 1}}, True), ([[1], [3]], False),
+   ({"a": {"b": 2}}, False)])
+g("numeric", "multipleOf with big-int instance and int divisor",
+  {"multipleOf": 2},
+  [(2 ** 53, True), (BIG, False), (BIG + 1, True)])
+g("numeric", "exclusive float boundary",
+  {"exclusiveMinimum": 2.5},
+  [(2.5, False), (2.5000001, True), (2.49, False), ("x", True)])
+g("numeric", "multipleOf large divisor",
+  {"multipleOf": 1000000},
+  [(3000000, True), (3000001, False), (0, True)])
+g("string", "astral-plane char counts once",
+  {"maxLength": 1},
+  [("💩", True), ("💩a", False), ("", True)])
+g("string", "pattern alternation and quantifiers",
+  {"pattern": "^(ab|cd){2,3}$"},
+  [("abab", True), ("abcdab", True), ("ab", False), ("ababababab", False)])
+g("object", "properties with additionalProperties schema both apply",
+  {"properties": {"a": {"type": "integer"}},
+   "additionalProperties": {"type": "string"}},
+  [({"a": 1, "b": "x"}, True), ({"a": "x"}, False), ({"b": 1}, False),
+   ({}, True)])
+g("object", "empty required accepts everything",
+  {"required": []},
+  [({}, True), ({"a": 1}, True), (5, True)])
+g("object", "propertyNames with enum",
+  {"propertyNames": {"enum": ["a", "b"]}},
+  [({"a": 1, "b": 2}, True), ({"c": 1}, False), ({}, True)])
+g("object", "patternProperties with additionalProperties schema",
+  {"patternProperties": {"^n_": {"type": "integer"}},
+   "additionalProperties": {"type": "boolean"}},
+  [({"n_x": 1, "flag": True}, True), ({"n_x": "s"}, False),
+   ({"flag": 1}, False)])
+g("dependent", "dependentSchemas false forbids the trigger",
+  {"dependentSchemas": {"debt": False}},
+  [({"debt": 1}, False), ({"credit": 1}, True), ({}, True)])
+g("dependent", "draft-7 dependencies mixed forms",
+  {"dependencies": {"a": ["b"], "c": {"minProperties": 2}}},
+  [({"a": 1, "b": 2}, True), ({"a": 1}, False), ({"c": 1}, False),
+   ({"c": 1, "d": 2}, True)], draft="7")
+g("array", "contains and items interact",
+  {"items": {"type": "integer"}, "contains": {"minimum": 10}},
+  [([1, 12], True), ([1, 2], False), ([12, "x"], False), ([], False)])
+g("array", "minItems zero accepts empty",
+  {"minItems": 0, "items": {"type": "string"}},
+  [([], True), (["a"], True), ([1], False)])
+g("contains", "contains objects with required",
+  {"contains": {"type": "object", "required": ["k"],
+                "properties": {"k": {"const": "hit"}}}},
+  [([{"k": "hit"}], True), ([{"k": "miss"}], False),
+   ([1, {"k": "hit"}, "x"], True), ([{}], False)])
+g("contains", "nested contains (array of arrays)",
+  {"contains": {"type": "array", "contains": {"const": 1}}},
+  [([[2, 1]], True), ([[2], [3]], False), ([[1], [2]], True),
+   ([1], False)])
+g("unique", "uniqueItems nested arrays depth 2",
+  {"uniqueItems": True},
+  [([[[1]], [[2]]], True), ([[[1]], [[1]]], False)])
+g("unique", "uniqueItems mixed int/float forms",
+  {"uniqueItems": True},
+  [([2, 2.0], False), ([2, 2.5], True), ([0.5, 0.5], False)])
+g("unique", "uniqueItems case-sensitive strings",
+  {"uniqueItems": True},
+  [(["a", "A"], True), (["a", "a"], False)])
+g("combinator", "anyOf of objects with required",
+  {"anyOf": [{"required": ["a"]}, {"required": ["b"]}]},
+  [({"a": 1}, True), ({"b": 1}, True), ({"c": 1}, False), (5, True)])
+g("combinator", "oneOf overlapping ranges boundary",
+  {"oneOf": [{"minimum": 0, "maximum": 10},
+             {"minimum": 5, "maximum": 15}]},
+  [(3, True), (12, True), (7, False), (20, False), ("x", False)])
+g("combinator", "nested allOf(anyOf)",
+  {"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+             {"anyOf": [{"type": "integer", "minimum": 5},
+                        {"const": "ok"}]}]},
+  [(7, True), (1, False), ("ok", True), ("abc", False), (None, False)])
+g("combinator", "if/then chained via allOf",
+  {"allOf": [
+      {"if": {"required": ["a"]}, "then": {"required": ["b"]}},
+      {"if": {"required": ["c"]}, "then": {"required": ["d"]}}]},
+  [({"a": 1, "b": 2}, True), ({"a": 1}, False),
+   ({"c": 1, "d": 2}, True), ({"a": 1, "b": 2, "c": 3}, False),
+   ({}, True)])
+g("unevaluated", "unevaluatedProperties true is annotation-like",
+  {"properties": {"a": {}}, "unevaluatedProperties": True},
+  [({"a": 1, "b": 2}, True), ({}, True)])
+g("unevaluated", "prefixItems + contains + unevaluatedItems",
+  {"prefixItems": [{"type": "integer"}],
+   "contains": {"type": "string"},
+   "unevaluatedItems": False},
+  [([1, "a"], True), ([1, "a", 2], False), ([1], False),
+   (["a", "b"], False)])  # prefix item 0 must be an integer
+g("unevaluated", "oneOf branch coverage",
+  {"oneOf": [{"required": ["a"], "properties": {"a": {}}},
+             {"required": ["b"], "properties": {"b": {}}}],
+   "unevaluatedProperties": False},
+  [({"a": 1}, True), ({"b": 1}, True), ({"a": 1, "c": 2}, False)])
+g("ref", "$ref chain a->b->c",
+  {"$ref": "#/$defs/a",
+   "$defs": {"a": {"$ref": "#/$defs/b"},
+             "b": {"$ref": "#/$defs/c"},
+             "c": {"type": "integer", "minimum": 3}}},
+  [(5, True), (1, False), ("x", False)])
+g("ref", "$ref inside prefixItems element",
+  {"prefixItems": [{"$ref": "#/$defs/s"}],
+   "$defs": {"s": {"type": "string", "minLength": 2}}},
+  [(["ab", 9], True), (["a"], False), ([1], False), ([], True)])
+g("ref", "same anchor name in two embedded resources",
+  {"$id": "https://example.com/root",
+   "properties": {
+       "x": {"$ref": "one#item"},
+       "y": {"$ref": "two#item"}},
+   "$defs": {
+       "r1": {"$id": "one",
+              "$defs": {"i": {"$anchor": "item", "type": "integer"}}},
+       "r2": {"$id": "two",
+              "$defs": {"i": {"$anchor": "item", "type": "string"}}}}},
+  [({"x": 1, "y": "s"}, True), ({"x": "s"}, False), ({"y": 1}, False)])
+g("ref", "$defs nested in $defs",
+  {"$ref": "#/$defs/outer/$defs/inner",
+   "$defs": {"outer": {"$defs": {"inner": {"const": 42}}}}},
+  [(42, True), (41, False)])
+g("format", "format time",
+  {"type": "string", "format": "time"},
+  [("12:00:00Z", True), ("23:59:60Z", True), ("12:00:00+01:00", True),
+   ("12:00:00", False), ("24:00:00Z", False)], **FMT)
+g("format", "format ipv6",
+  {"type": "string", "format": "ipv6"},
+  [("::1", True), ("1:2:3:4:5:6:7:8", True), ("12345::", False),
+   ("1:2:3:4:5:6:7:8:9", False), ("fe80::1", True)], **FMT)
+g("format", "format uri",
+  {"type": "string", "format": "uri"},
+  [("https://example.com/a?b=c", True), ("mailto:x@y.z", True),
+   ("not a uri", False), ("//missing.scheme", False)], **FMT)
+g("format", "format hostname",
+  {"type": "string", "format": "hostname"},
+  [("example.com", True), ("a-b.c-d.e", True), ("-bad.com", False),
+   ("a..b", False)], **FMT)
+g("format", "format relative-json-pointer",
+  {"type": "string", "format": "relative-json-pointer"},
+  [("0", True), ("1/foo", True), ("0#", True), ("-1", False),
+   ("#/", False)], **FMT)
+
+# ---------------------------------------------------------------------------
 # validate + write
 # ---------------------------------------------------------------------------
 
