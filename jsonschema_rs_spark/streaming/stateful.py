@@ -58,3 +58,76 @@ def streaming_dedup_first_seen(stream_df: DataFrame,
 
     return with_fp.groupBy(fp_col).applyInPandasWithState(
         dedup, out_schema, STATE_SCHEMA, "append", timeout)
+
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.DoubleType()),
+    T.StructField("end", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("session_start", T.DoubleType()),
+    T.StructField("session_end", T.DoubleType()),
+    T.StructField("n_violations", T.LongType()),
+])
+
+
+def violation_sessions(stream_df: DataFrame, plan, key_col: str,
+                       ts_col: str, gap_s: float = 60.0,
+                       ttl_ms: int | None = 600_000) -> DataFrame:
+    """Per-key violation SESSIONS (custom stateful operator the task
+    brief calls for): consecutive INVALID rows for a key whose event
+    times are within `gap_s` of each other form one session; a session
+    CLOSES when a later violation for the same key arrives more than
+    `gap_s` after its end, emitting (key, session_start, session_end,
+    n_violations). State per key is (start, end, count) — three scalars,
+    so the store stays tiny at any key cardinality; the processing-time
+    TTL reaps keys that simply stop sending.
+
+    Validation runs JVM-side (the compiled Column plan); only invalid
+    rows' (key, ts) pairs cross into Python as Arrow batches. Sessions
+    still open when the stream pauses remain in state (they close on the
+    next violation or get reaped by the TTL) — the streaming analog of a
+    windowed GROUP BY that can't see the future.
+    """
+    v = plan.with_validation(stream_df, mode="flag")
+    bad = v.where(~F.col("valid")).select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("__ts"))
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms \
+        else GroupStateTimeout.NoTimeout
+
+    def track(key: Any, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"key": key[0], "session_start": s,
+                                 "session_end": e, "n_violations": n}])
+            return
+        ts = sorted(t for pdf in pdfs for t in pdf["__ts"].dropna())
+        if not ts:
+            return
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s, e, n = ts[0], ts[0], 0
+        closed = []
+        for t in ts:
+            if t - e > gap_s and n > 0:
+                closed.append({"key": key[0], "session_start": s,
+                               "session_end": e, "n_violations": n})
+                s, e, n = t, t, 1
+            else:
+                e = max(e, t)
+                n += 1
+        state.update((s, e, n))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return bad.groupBy("key").applyInPandasWithState(
+        track, SESSION_OUT_SCHEMA, SESSION_STATE_SCHEMA, "append", timeout)

@@ -217,3 +217,43 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     # one survivor per distinct fingerprint; d2 (in-batch) and d4
     # (cross-batch, normalized dup of d1) are dropped
     assert kept == ["d1", "d3", "d5"]
+
+
+def test_streaming_violation_sessions(spark, tmp_path):
+    """Event-time gap sessions over INVALID rows: a later violation for
+    the same key beyond the gap closes and emits the prior session."""
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.streaming.stateful import violation_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    schema = "user string, value double, ts timestamp"
+    base = "2024-01-01 00:0{m}:{s:02d}"
+
+    def t(m, s):
+        from datetime import datetime
+        return datetime(2024, 1, 1, 0, m, s)
+
+    # u1: burst of 3 violations within 10s, then one 5 min later
+    # (closes the burst); u2: valid rows only (never enters state)
+    b1 = [("u1", -1.0, t(0, 1)), ("u1", -2.0, t(0, 5)),
+          ("u1", -3.0, t(0, 9)), ("u2", 5.0, t(0, 2))]
+    b2 = [("u1", -4.0, t(5, 0)), ("u2", 7.0, t(5, 1))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/f2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    plan = compile_schema(
+        {"type": "object", "properties": {"value": {"minimum": 0}}},
+        spark.createDataFrame([], schema).schema)
+    out = violation_sessions(stream, plan, "user", "ts", gap_s=60.0)
+    q = (out.writeStream.format("memory").queryName("t_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from t_sess").collect()
+    # exactly one CLOSED session: u1's 3-violation burst (u1's later
+    # violation stays open in state; u2 never violated)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "u1" and r["n_violations"] == 3
+    assert r["session_end"] - r["session_start"] == 8.0
