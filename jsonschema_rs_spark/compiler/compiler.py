@@ -32,7 +32,7 @@ class CompileContext:
         self._regex_cache: dict[str, str] = {}
         # active (ref_pointer, dtype) pairs — structural-progress cycle guard
         self._active_refs: set[tuple[str, str]] = set()
-        self.registry = RefRegistry(root_schema)
+        self.registry = RefRegistry(root_schema, options.resources)
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the

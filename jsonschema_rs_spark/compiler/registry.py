@@ -35,7 +35,13 @@ _DATA_KEYS = frozenset(["enum", "const", "default", "examples"])
 
 
 class RefRegistry:
-    def __init__(self, root: Any):
+    def __init__(self, root: Any, resources: dict[str, Any] | None = None):
+        """`resources`: extra documents keyed by absolute URI — the
+        offline analog of the reference's referencing::Registry /
+        ValidationOptions::with_retriever (retriever.rs), letting
+        schemas $ref across documents without any network. Each
+        resource is walked like an embedded $id resource (its own
+        anchors, nested $ids, dynamic anchors all register)."""
         self.root = root
         self.base_by_oid: dict[int, str] = {}
         self.by_uri: dict[str, Any] = {}
@@ -48,6 +54,15 @@ class RefRegistry:
         self.root_base = root_base
         self.by_uri[root_base] = root
         self._walk(root, root_base, is_root=True)
+        for uri, doc in (resources or {}).items():
+            base = urldefrag(uri).url
+            self.by_uri.setdefault(base, doc)
+            if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+                # registered under its retrieval URI AND its declared $id
+                declared = urljoin(base, urldefrag(doc["$id"]).url)
+                self.by_uri.setdefault(declared, doc)
+                base = declared
+            self._walk(doc, base, is_root=True)
 
     # -- collection --------------------------------------------------------
 
@@ -89,9 +104,10 @@ class RefRegistry:
         doc = self.by_uri.get(urljoin(base, uri) if uri else base)
         if doc is None:
             raise SchemaError(
-                f"unresolvable $ref {ref!r}: no embedded resource for "
-                f"{urljoin(base, uri)!r} (remote refs are a non-goal)",
-                "$ref")
+                f"unresolvable $ref {ref!r}: no embedded or registered "
+                f"resource for {urljoin(base, uri)!r} (supply it via "
+                f"ValidationOptions.resources; network retrieval is a "
+                f"non-goal)", "$ref")
         if not frag:
             return doc
         if frag.startswith("/"):

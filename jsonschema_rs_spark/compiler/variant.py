@@ -200,7 +200,7 @@ class VariantCompileContext:
         self.root = root
         self.options = options
         self._ref_depth: dict[str, int] = {}
-        self.registry = RefRegistry(root)
+        self.registry = RefRegistry(root, options.resources)
         # (schema_path, contains-Node) sites collected during compile —
         # drives the contains match-index annotations
         # (reference contains.rs:60-105 evaluate())

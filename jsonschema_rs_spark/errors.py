@@ -58,3 +58,8 @@ class ValidationOptions:
     # (options.rs:138-243); custom entries override the built-ins
     custom_content_encodings: dict = field(default_factory=dict)
     custom_content_media_types: dict = field(default_factory=dict)
+    # absolute URI -> schema document: extra documents $ref can target —
+    # the OFFLINE analog of the reference's referencing::Registry /
+    # with_retriever (retriever.rs). No network is ever touched; a URI
+    # not present here (or embedded via $id) fails compilation.
+    resources: dict = field(default_factory=dict)

@@ -206,3 +206,75 @@ def test_differential_defs_anchor_vs_jsonschema(spark):
     v = jsonschema.Draft202012Validator(schema)
     want = [v.is_valid(json.loads(d)) for d in docs]
     check(spark, schema, list(zip(docs, want)))
+
+
+# -- multi-document registry (offline retriever analog) ---------------------
+
+
+def test_resources_registry_cross_document(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    common = {"$defs": {"pos": {"type": "integer", "minimum": 1}},
+              "$anchor": "top", "type": "object"}
+    opts = ValidationOptions(resources={
+        "https://example.com/common.json": common})
+    schema = {
+        "$id": "https://example.com/main.json",
+        "type": "object",
+        "properties": {
+            "n": {"$ref": "common.json#/$defs/pos"},   # relative URI
+            "o": {"$ref": "https://example.com/common.json#top"},
+        },
+    }
+    plan = compile_json_schema(schema, opts)
+    df = spark.createDataFrame(
+        [('{"n": 2, "o": {}}',), ('{"n": 0}',), ('{"n": "x"}',),
+         ('{"o": 5}',), ('{}',)], "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False, False, False, True]
+
+
+def test_resources_declared_id_wins(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    doc = {"$id": "https://example.com/v2/item.json", "type": "string"}
+    opts = ValidationOptions(resources={"https://example.com/item": doc})
+    schema = {"properties": {
+        "a": {"$ref": "https://example.com/item"},           # retrieval uri
+        "b": {"$ref": "https://example.com/v2/item.json"}}}  # declared $id
+    plan = compile_json_schema(schema, opts)
+    df = spark.createDataFrame(
+        [('{"a": "s", "b": "t"}',), ('{"a": 1}',), ('{"b": 1}',)],
+        "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False, False]
+
+
+def test_unregistered_remote_ref_fails_compilation(spark):
+    with pytest.raises(SchemaError, match="resources"):
+        compile_json_schema({"$ref": "https://nowhere.test/s.json"})
+
+
+def test_resources_differential_vs_jsonschema(spark):
+    referencing = pytest.importorskip("referencing")
+    import json
+
+    import jsonschema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    common = {"$defs": {"name": {"type": "string", "minLength": 2}}}
+    schema = {"$id": "https://example.com/root.json",
+              "properties": {"x": {"$ref": "lib.json#/$defs/name"}}}
+    reg = referencing.Registry().with_resource(
+        "https://example.com/lib.json",
+        referencing.Resource.from_contents(
+            common, default_specification=referencing.jsonschema.DRAFT202012))
+    oracle = jsonschema.Draft202012Validator(schema, registry=reg)
+    docs = ['{"x": "ab"}', '{"x": "a"}', '{"x": 1}', '{}', '5']
+    want = [oracle.is_valid(json.loads(d)) for d in docs]
+    plan = compile_json_schema(schema, ValidationOptions(resources={
+        "https://example.com/lib.json": common}))
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    assert got == want
