@@ -49,11 +49,19 @@ _NUMERIC_PREFIXES = ("BIGINT", "DECIMAL", "DOUBLE", "FLOAT", "INT",
 # rule (VERDICT r1: the heaviest validation query re-ran it inside every
 # type predicate). Sub-values inside HOF lambdas are fresh Column
 # objects and fall through to the direct call.
-_VT_STAGE: list[tuple[Column, Column]] = []
+_VT_LOCAL = __import__("threading").local()
+
+
+def _vt_stage() -> list:
+    # thread-local: concurrent plan builds on one driver (e.g. parallel
+    # query compilation in tests) must not see each other's stack
+    if not hasattr(_VT_LOCAL, "stack"):
+        _VT_LOCAL.stack = []
+    return _VT_LOCAL.stack
 
 
 def _vtype(v: Column) -> Column:
-    for col, vt in _VT_STAGE:
+    for col, vt in _vt_stage():
         if v is col:
             return vt
     return F.schema_of_variant(v)
@@ -944,7 +952,7 @@ class CompiledJsonSchema:
         staged = df.withColumn("__v", F.try_parse_json(F.col(json_col))) \
             .withColumn("__vt", F.schema_of_variant(F.col("__v")))
         jc, v = F.col(json_col), F.col("__v")
-        _VT_STAGE.append((v, F.col("__vt")))
+        _vt_stage().append((v, F.col("__vt")))
         try:
             if mode == "flag":
                 valid = F.when(jc.isNull(), F.lit(True)) \
@@ -964,7 +972,7 @@ class CompiledJsonSchema:
                 .otherwise(self.node.errors(v, F.lit("")))
             return out.withColumn("errors", errs).drop("__v", "__vt")
         finally:
-            _VT_STAGE.pop()
+            _vt_stage().pop()
 
 
     def with_contains_annotations(self, df: DataFrame,

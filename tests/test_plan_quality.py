@@ -139,3 +139,22 @@ def test_whole_stage_codegen_on_scalar_validation(spark):
     p = physical(plan.with_validation(ev))
     # '*(n)' prefix marks whole-stage-codegen'd operators in toString()
     assert "*(1) Project" in p or "*(1) Range" in p
+
+
+def test_hierarchy_single_scan_one_shuffle(spark, docs):
+    from jsonschema_rs_spark.docspec import DOC_SPEC_FULL, default_options
+    plan = compile_schema(DOC_SPEC_FULL, docs.schema, default_options())
+    p = physical(plan.hierarchy(docs))
+    assert p.count("FileScan") == 1
+    # one aggregation shuffle of (prefix, partial count) — plus AQE's
+    # possible coalesce, but never a second scan-sized exchange
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_no_cartesian_and_broadcast_centroids(spark):
+    from jsonschema_rs_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = physical(sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2))
+    assert "CartesianProduct" not in p           # only broadcast NLJ
+    assert "BroadcastNestedLoopJoin" in p        # tiny centroid table
