@@ -286,7 +286,22 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
         add(Rule("enum", sp + "/enum", "value not in enum", enum_pred,
                  priority=2))
 
-    # numeric keywords: non-numbers pass (minmax.rs semantics)
+    # numeric keywords: non-numbers pass (minmax.rs semantics).
+    # draft-4 BOOLEAN form first (bool is an int subclass — without this
+    # normalization `exclusiveMinimum: true` would be read as limit 1.0):
+    # exclusiveMinimum/Maximum: true tightens the paired minimum/maximum
+    # (legacy draft-4 semantics, as on the typed path); false is a no-op.
+    if isinstance(schema.get("exclusiveMinimum"), bool) \
+            or isinstance(schema.get("exclusiveMaximum"), bool):
+        schema = dict(schema)
+        if schema.get("exclusiveMinimum") is True and "minimum" in schema:
+            schema["exclusiveMinimum"] = schema.pop("minimum")
+        elif isinstance(schema.get("exclusiveMinimum"), bool):
+            schema.pop("exclusiveMinimum")
+        if schema.get("exclusiveMaximum") is True and "maximum" in schema:
+            schema["exclusiveMaximum"] = schema.pop("maximum")
+        elif isinstance(schema.get("exclusiveMaximum"), bool):
+            schema.pop("exclusiveMaximum")
     for kw, op in [("minimum", lambda d, lim: d >= lim),
                    ("maximum", lambda d, lim: d <= lim),
                    ("exclusiveMinimum", lambda d, lim: d > lim),

@@ -89,3 +89,20 @@ def test_small_numbers_unchanged(spark):
         ("0", True), ("10.5", True), ("10.6", False), ("-0.1", False),
         ('"s"', True), ("null", True),
     ])
+
+
+def test_variant_draft4_boolean_exclusive(spark):
+    # draft-4 boolean form: exclusiveMinimum: true tightens minimum;
+    # bool must NOT be read as the numeric limit 1.0
+    vcheck(spark, {"minimum": 5, "exclusiveMinimum": True}, [
+        ("5", False), ("5.1", True), ("6", True), ("4", False),
+        ('"x"', True),
+    ])
+    vcheck(spark, {"maximum": 5, "exclusiveMaximum": True}, [
+        ("5", False), ("4.9", True), ("6", False),
+    ])
+    vcheck(spark, {"minimum": 5, "exclusiveMinimum": False}, [
+        ("5", True), ("4", False),
+    ])
+    # bare boolean exclusive* without the paired keyword is a no-op
+    vcheck(spark, {"exclusiveMinimum": True}, [("0", True), ("-9", True)])
