@@ -262,13 +262,17 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     tol = ctx.options.float_multiple_rel_tol
 
     def pred(c: Column, mdec=mdec, tol=tol) -> Column:
-        dv = c.cast("double").try_cast("decimal(38,15)")
+        d = c.cast("double")
+        dv = d.try_cast("decimal(38,15)")
         exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
-        q = c.cast("double") / F.lit(float(m))
+        q = d / F.lit(float(m))
         approx = F.abs(q - F.round(q, 0)) <= F.lit(tol) * F.greatest(
             F.abs(q), F.lit(1.0)
         )
-        return F.when(dv.isNotNull(), exact).otherwise(approx)
+        # denormal underflow guard: a non-zero double that rounds to
+        # decimal 0 must take the ratio path, not pass as a multiple
+        use_exact = dv.isNotNull() & ((dv != F.lit(0)) | (d == 0))
+        return F.when(use_exact, exact).otherwise(approx)
 
     return [_num_rule("multipleOf", sp, msg, pred)]
 

@@ -339,12 +339,16 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
             # EXACT path (reference BigFraction kernel,
             # ext/numeric.rs:62-110): both operands as decimals — a JSON
             # number's decimal meaning — so 0.0075 IS a multiple of
-            # 0.0001. Double fallback only when the value exceeds
-            # decimal(38,15) range.
+            # 0.0001. Double-quotient fallback when the value exceeds
+            # decimal(38,15) range OR underflows it to zero (denormals
+            # like 5e-324 round to decimal 0 and must not pass as
+            # multiples).
+            d = _as_double(v)
             dv = _as_decimal(v)
             exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
-            q = _as_double(v) / m
-            return ~_is_number(v) | F.when(dv.isNotNull(), exact) \
+            q = d / m
+            use_exact = dv.isNotNull() & ((dv != 0) | (d == 0))
+            return ~_is_number(v) | F.when(use_exact, exact) \
                 .otherwise(F.pmod(q, F.lit(1.0)) == 0)
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",

@@ -23,7 +23,9 @@ def gen_value(rng: random.Random, depth: int = 0):
         return rng.choice([0, 1, -1, 5, 7, 10, 42, 100, -100,
                            2 ** 53, 2 ** 53 + 1, -(2 ** 53) - 1])
     if k == "float":
-        return rng.choice([0.0, 1.0, 2.5, -1.5, 10.0, 3.14, 1e3])
+        return rng.choice([0.0, 1.0, 2.5, -1.5, 10.0, 3.14, 1e3,
+                           1e100, -1e100, 0.1, 0.3, 1e-3, 2.5e300,
+                           -0.0, 4.9e-324])
     if k == "str":
         n = rng.randint(0, 12)
         return "".join(rng.choice("abcXYZ019 _-") for _ in range(n))
@@ -76,6 +78,26 @@ SCHEMAS = [
     {"anyOf": [{"const": 2 ** 53 + 1},
                {"type": "integer", "minimum": 2 ** 53 + 1}]},
     {"enum": [2 ** 53, -(2 ** 53) - 1, "big"]},
+    # interaction stress
+    {"patternProperties": {"^a": {"type": "integer"}},
+     "propertyNames": {"pattern": "^[a-zA-Z_-]*$"},
+     "additionalProperties": {"type": ["boolean", "null"]}},
+    {"contains": {"type": "object", "minProperties": 1},
+     "unevaluatedItems": {"type": ["integer", "string"]},
+     "prefixItems": [{"type": ["array", "object", "null"]}]},
+    {"$defs": {"n": {"$anchor": "num", "type": "number",
+                     "exclusiveMaximum": 100}},
+     "items": {"anyOf": [{"$ref": "#num"}, {"type": "string"}]},
+     "minItems": 1},
+    {"if": {"type": "array"}, "then": {"contains": {"const": 1}},
+     "else": {"if": {"type": "object"},
+              "then": {"required": ["a"]},
+              "else": {"type": ["string", "number", "boolean", "null"]}}},
+    {"not": {"anyOf": [{"type": "object", "maxProperties": 1},
+                       {"type": "array", "maxItems": 1}]}},
+    {"dependentSchemas": {"a": {"properties": {"b": {"const": 1}}}},
+     "unevaluatedProperties": {"type": ["integer", "boolean"]},
+     "properties": {"a": True}},
 ]
 
 N_DOCS = 300
@@ -88,7 +110,7 @@ def oracle_validator(schema):
     reference's fraction kernel and this engine are decimal-exact, which
     is also what the official suite requires (0.0075 multipleOf 0.0001
     is valid)."""
-    from decimal import Decimal, InvalidOperation
+    from decimal import Decimal, InvalidOperation, localcontext
 
     import jsonschema
 
@@ -97,7 +119,24 @@ def oracle_validator(schema):
                 not isinstance(instance, (int, float)):
             return
         try:
-            failed = Decimal(str(instance)) % Decimal(str(db)) != 0
+            # high precision so huge-magnitude quotients (1e100 / 2.5)
+            # don't raise; engine parity: values whose decimal(38,15)
+            # rendering is out of range or underflows to 0 take the
+            # engine's double-quotient fallback — mirror that here
+            dec = Decimal(str(instance))
+            in_decimal_range = (instance == 0 or
+                                (abs(dec.adjusted()) < 23 and
+                                 -Decimal("1e23") < dec < Decimal("1e23") and
+                                 abs(dec) >= Decimal("1e-15")))
+            if in_decimal_range:
+                q15 = dec.quantize(Decimal("1e-15"))
+                with localcontext() as ctx_:
+                    ctx_.prec = 500
+                    failed = q15 % Decimal(str(db)) != 0
+            else:
+                q = instance / db
+                failed = q != int(q) if abs(q) < 2 ** 63 else \
+                    (q % 1.0) != 0
         except (InvalidOperation, OverflowError):  # inf / nan etc.
             failed = True
         if failed:
