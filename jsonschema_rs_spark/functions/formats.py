@@ -110,6 +110,27 @@ def _regex_format_udf():
     return _str_pred_pandas_udf(ok)
 
 
+def _idn_hostname_udf():
+    """RFC 5890 IDN hostname via the `idna` package (import-gated at
+    compile time; callers fall back to the approximate Column check when
+    the package is absent). Accepts both U-labels (köln.de) and
+    A-labels (xn--kln-sna.de); rejects bad punycode, bidi violations,
+    and oversized labels — the corners a regex can't express."""
+    def ok(v):
+        import idna
+
+        if v == "":
+            return False
+        h = v[:-1] if v.endswith(".") else v
+        try:
+            idna.encode(h, uts46=False, std3_rules=True)
+            return True
+        except idna.IDNAError:
+            return False
+
+    return _str_pred_pandas_udf(ok)
+
+
 def format_rule(name: str, ctx, sp: str) -> Rule | None:
     if name in ctx.options.custom_formats:
         fn = ctx.options.custom_formats[name]
@@ -121,6 +142,14 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
         udf = _regex_format_udf()
         return Rule("format", sp + "/format", "invalid regex",
                     lambda c: udf(c), priority=10)
+    if name == "idn-hostname":
+        try:
+            import idna  # noqa: F401 — compile-time availability probe
+            udf = _idn_hostname_udf()
+            return Rule("format", sp + "/format", "invalid idn-hostname",
+                        lambda c: udf(c), priority=10)
+        except ImportError:
+            pass  # approximate Column fallback below
     builder = _COLUMN_FORMATS.get(name)
     if builder is None:
         return None  # unknown format = annotation (2020-12 semantics)
