@@ -709,6 +709,57 @@ g("format", "format relative-json-pointer",
    ("#/", False)], **FMT)
 
 # ---------------------------------------------------------------------------
+# generated family: every keyword × the canonical instance set
+# (expectations COMPUTED from python-jsonschema at build time, then
+# re-checked by validate() like everything else — covers the keyword
+# vacuity matrix: which instance types each keyword ignores)
+# ---------------------------------------------------------------------------
+
+CANONICAL_INSTANCES = [None, True, False, 0, 5, 2.5, -1, "", "abc",
+                       [], [1, "a"], {}, {"a": 1}, [1, 1], {"a": None}]
+
+CANONICAL_SCHEMAS = [
+    {"type": "string"}, {"type": ["integer", "null"]},
+    {"const": 5}, {"enum": [0, "abc", []]},
+    {"minimum": 1}, {"maximum": 1}, {"exclusiveMinimum": 0},
+    {"exclusiveMaximum": 0}, {"multipleOf": 5},
+    {"minLength": 1}, {"maxLength": 2}, {"pattern": "^a"},
+    {"required": ["a"]}, {"properties": {"a": {"type": "integer"}}},
+    {"additionalProperties": False}, {"propertyNames": {"minLength": 2}},
+    {"minProperties": 1}, {"maxProperties": 0},
+    {"dependentRequired": {"a": ["b"]}},
+    {"dependentSchemas": {"a": {"minProperties": 2}}},
+    {"items": {"type": "integer"}}, {"prefixItems": [{"const": 1}]},
+    {"contains": {"type": "integer"}}, {"minContains": 2,
+                                        "contains": {"type": "integer"}},
+    {"minItems": 1}, {"maxItems": 1}, {"uniqueItems": True},
+    {"allOf": [{"minItems": 1}, {"maxItems": 1}]},
+    {"anyOf": [{"type": "null"}, {"minimum": 3}]},
+    {"oneOf": [{"type": "boolean"}, {"const": True}]},
+    {"not": {"type": "object"}},
+    {"if": {"type": "array"}, "then": {"minItems": 1},
+     "else": {"type": ["number", "boolean", "null", "string"]}},
+    {"unevaluatedProperties": False},
+    {"unevaluatedItems": False},
+    {"properties": {"a": {}}, "unevaluatedProperties": False},
+    {"$ref": "#/$defs/t", "$defs": {"t": {"type": ["array", "object"]}}},
+]
+
+
+def build_canonical():
+    import jsonschema
+
+    for i, schema in enumerate(CANONICAL_SCHEMAS):
+        v = jsonschema.Draft202012Validator(schema)
+        kw = next(k for k in schema if not k.startswith("$")) \
+            if any(not k.startswith("$") for k in schema) else "$ref"
+        g("canonical", f"canonical matrix {i}: {kw}", schema,
+          [(inst, v.is_valid(inst)) for inst in CANONICAL_INSTANCES])
+
+
+build_canonical()
+
+# ---------------------------------------------------------------------------
 # validate + write
 # ---------------------------------------------------------------------------
 

@@ -30,7 +30,7 @@ VECTORS = load_vectors()
 def test_corpus_size():
     assert len(VECTORS) >= 100
     assert sum(len(v["tests"]) for v in VECTORS) >= 400
-    assert len(families()) == 15
+    assert len(families()) == 16
 
 
 @pytest.mark.parametrize(
