@@ -158,3 +158,45 @@ def test_ivf_no_cartesian_and_broadcast_centroids(spark):
     p = physical(sim.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2))
     assert "CartesianProduct" not in p           # only broadcast NLJ
     assert "BroadcastNestedLoopJoin" in p        # tiny centroid table
+
+
+def test_ivf_assignment_shuffles_scalars_not_vectors(spark):
+    """VERDICT r2 #2: the centroid-assignment exchange must carry only
+    (id, centroid_id, sim) scalars with a map-side partial max_by — not
+    n_centroids copies of every embedding under a per-id Window rank."""
+    from jsonschema_rs_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    p = physical(sim._assign_to_centroid(cents=cents, corpus=emb,
+                                         id_col="vec_id",
+                                         vec_col="embedding"))
+    # no per-id rank (the centroid SEEDING's tiny global row_number over
+    # n_centroids rows is fine; a window partitioned by vec_id is not)
+    assert "windowspecdefinition(vec_id" not in p
+    assert "partial_max_by" in p                 # map-side combine
+    # the aggregation exchange's input is the partial aggregate (Sort-
+    # Aggregate: struct-ordered max_by isn't hash-aggregable), whose
+    # output schema is scalars only — no array column rides the shuffle
+    agg_lines = [ln for ln in p.splitlines()
+                 if "Aggregate(" in ln and "max_by" in ln]
+    assert agg_lines and all("embedding" not in ln and "__v" not in ln
+                             for ln in agg_lines)
+
+
+def test_banded_cosine_single_pass_signature(spark):
+    """VERDICT r2 #1: the banded-LSH signature must be ONE vectorized
+    pass (Arrow-batched matmul), not one interpreted zip_with+aggregate
+    traversal per plane (48 with the defaults)."""
+    from jsonschema_rs_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = physical(sim.near_duplicates_by_cosine(emb, threshold=0.5))
+    # the signature matmul runs once per self-join side (no common-
+    # subexpression reuse across join sides in Spark), and the pair
+    # verify runs exactly ONCE — the threshold filter must not duplicate
+    # the Arrow round-trip (pair_cosine_udf is asNondeterministic to
+    # stop Catalyst pushing the filter through the projection)
+    assert p.count("pair_cos") == 1
+    assert p.count("ArrowEvalPython") == 3
+    # and no per-plane interpreted HOF traversals of the vector
+    assert "zip_with" not in p and "aggregate(" not in p
+    assert "CartesianProduct" not in p
