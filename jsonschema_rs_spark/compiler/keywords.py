@@ -240,12 +240,16 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     if isinstance(m, float) and m.is_integer() and isinstance(dt, INTEGRAL):
         mi = int(m)
         return [_num_rule("multipleOf", sp, msg, lambda c, mi=mi: c % F.lit(mi) == 0)]
-    if float(m).is_integer() and not isinstance(dt, T.DecimalType):
+    if (float(m).is_integer() and not isinstance(dt, T.DecimalType)
+            and (not isinstance(m, int)
+                 or (abs(m) < 2 ** 53 and m == int(float(m))))):
         # integer divisor over a float/double column: IEEE fmod of
         # doubles is EXACT (no rounding step), so plain double pmod
         # decides multiple-ness correctly for every double value — no
         # BigDecimal cost (measured 1.6x on val_lineitem_flag).
-        # Decimal columns keep the decimal path below (exact natively).
+        # Decimal columns keep the decimal path below (exact natively);
+        # int divisors at/above 2^53 would silently round in float(m)
+        # (ADVICE r2) so they fall through to the decimal path too.
         mf = float(m)
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mf=mf:

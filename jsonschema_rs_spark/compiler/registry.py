@@ -30,8 +30,19 @@ from urllib.parse import urldefrag, urljoin
 from jsonschema_rs_spark.errors import SchemaError
 
 # keys whose values are data, not schema locations — never walked, so a
-# '$anchor' key inside an enum literal can't poison the registry
+# '$anchor' key inside an enum literal can't poison the registry. Applied
+# only in SCHEMA position (ADVICE r2): inside a map-of-schemas container
+# a property literally NAMED 'enum'/'const'/... still holds a schema.
 _DATA_KEYS = frozenset(["enum", "const", "default", "examples"])
+
+# keys whose value is a MAP whose values are schemas (the map's keys are
+# data — property names, pattern strings, definition names). The map
+# itself is NOT a schema node: its keys must not register $id/$anchor,
+# and _DATA_KEYS does not apply to them.
+_MAP_OF_SCHEMAS_KEYS = frozenset([
+    "properties", "patternProperties", "$defs", "definitions",
+    "dependentSchemas", "dependencies",
+])
 
 
 class RefRegistry:
@@ -74,8 +85,27 @@ class RefRegistry:
         if not isinstance(node, dict):
             return
         if not is_root and isinstance(node.get("$id"), str):
-            base = urljoin(base, urldefrag(node["$id"]).url)
-            self.by_uri[base] = node
+            id_val = node["$id"]
+            if id_val.startswith("#"):
+                # legacy draft-4/7 fragment-only $id ("$id": "#foo") is an
+                # ANCHOR registration, not a new resource — urljoining it
+                # would resolve back to the enclosing base and clobber the
+                # parent in by_uri (ADVICE r2, medium)
+                if len(id_val) > 1:
+                    self.anchors[(base, id_val[1:])] = node
+            elif urldefrag(id_val).url == "":
+                # empty $id (or "#" alone) also urljoins to the enclosing
+                # base — ignore rather than overwrite the parent resource
+                pass
+            else:
+                new_base = urljoin(base, urldefrag(id_val).url)
+                prev = self.by_uri.get(new_base)
+                if prev is not None and prev is not node:
+                    raise SchemaError(
+                        f"duplicate $id {new_base!r}: two distinct schema "
+                        f"resources declare the same URI", "$id")
+                base = new_base
+                self.by_uri[base] = node
         self.base_by_oid[id(node)] = base
         a = node.get("$anchor")
         if isinstance(a, str):
@@ -88,7 +118,14 @@ class RefRegistry:
         if node.get("$recursiveAnchor") is True and self.recursive_root is None:
             self.recursive_root = node
         for k, v in node.items():
-            if k not in _DATA_KEYS:
+            if k in _MAP_OF_SCHEMAS_KEYS and isinstance(v, dict):
+                # the container map is NOT a schema node: walk its VALUES
+                # as schemas (so a property literally named 'enum' or
+                # '$anchor' is just a name, while $id/$anchor inside its
+                # SCHEMA still register — ADVICE r2, low)
+                for sub in v.values():
+                    self._walk(sub, base)
+            elif k not in _DATA_KEYS:
                 self._walk(v, base)
 
     # -- resolution --------------------------------------------------------

@@ -11,11 +11,20 @@ Surface:
 - violation_counts_stream(...)        → watermarked tumbling-window
                                         per-keyword violation counts
                                         (late data handled by watermark)
-- run_to_metrics(...)                 → foreachBatch sink appending the
-                                        same per-partition metrics rows a
-                                        batch ValidationRun writes, so
-                                        streaming jobs checkpoint into
-                                        the same _validation_runs table
+- run_to_metrics(...)                 → foreachBatch sink writing the
+                                        same per-partition metrics row
+                                        SHAPE a batch ValidationRun
+                                        writes, into a DEDICATED
+                                        (run_id, part_id)-partitioned
+                                        dynamic-overwrite path — do NOT
+                                        point it at a batch-append
+                                        _validation_runs table (the
+                                        layouts are incompatible), and
+                                        keep run_id STABLE across
+                                        restarts of the same logical run
+                                        (a fresh run_id re-creates each
+                                        batch's metrics under a new
+                                        partition) — see its docstring
 """
 
 from __future__ import annotations
@@ -70,7 +79,11 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
     overwrites its own partition instead of appending a duplicate row
     (a plain parquet append is NOT idempotent). Use a dedicated
     runs_path for streaming metrics — the layout is partitioned, unlike
-    the batch runner's append table."""
+    the batch runner's append table. run_id must be STABLE across
+    restarts of the same logical run: the partition-overwrite idempotence
+    keys on (run_id, part_id), so restarting with a fresh run_id would
+    re-create each replayed batch's metrics under a new partition,
+    duplicating part_id rows across run_ids (ADVICE r2)."""
     import time as _time
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

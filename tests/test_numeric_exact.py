@@ -106,3 +106,16 @@ def test_variant_draft4_boolean_exclusive(spark):
     ])
     # bare boolean exclusive* without the paired keyword is a no-op
     vcheck(spark, {"exclusiveMinimum": True}, [("0", True), ("-9", True)])
+
+
+def test_typed_multiple_of_big_int_divisor(spark):
+    """ADVICE r2: an int divisor above 2^53 must not take the float fast
+    path (float(2^53+1) rounds to 2^53, wrongly accepting 2^53)."""
+    df = spark.createDataFrame(
+        [(1, float(2 ** 53)), (2, float(BIG) * 0)], "id long, x double")
+    plan = compile_schema({"type": "object",
+                           "properties": {"x": {"multipleOf": BIG}}},
+                          df.schema)
+    got = {r["id"]: r["valid"] for r in plan.with_validation(df).collect()}
+    # 2^53 is NOT a multiple of 2^53+1; 0 is a multiple of anything
+    assert got == {1: False, 2: True}

@@ -278,3 +278,65 @@ def test_resources_differential_vs_jsonschema(spark):
     got = [r["valid"]
            for r in plan.with_validation(df, "j").select("valid").collect()]
     assert got == want
+
+
+# -- round-3 registry fixes (ADVICE r2) -------------------------------------
+
+
+def test_fragment_only_id_is_anchor_not_resource():
+    """Legacy draft-7 '$id': '#foo' registers an anchor and must NOT
+    overwrite the enclosing resource, so '$ref': '#' still resolves to
+    the document root (ADVICE r2, medium)."""
+    schema = {
+        "$id": "https://example.com/root.json",
+        "type": "object",
+        "$defs": {"leaf": {"$id": "#leaf", "type": "integer"}},
+    }
+    reg = RefRegistry(schema)
+    assert reg.resolve("#", schema) is schema
+    assert reg.resolve("#leaf", schema)["type"] == "integer"
+
+
+def test_empty_id_does_not_clobber_root():
+    schema = {
+        "$id": "https://example.com/root.json",
+        "type": "object",
+        "$defs": {"odd": {"$id": "", "type": "string"}},
+    }
+    reg = RefRegistry(schema)
+    assert reg.resolve("#", schema) is schema
+
+
+def test_duplicate_id_raises():
+    schema = {
+        "$id": "https://example.com/root.json",
+        "$defs": {
+            "a": {"$id": "dup.json", "type": "integer"},
+            "b": {"$id": "dup.json", "type": "string"},
+        },
+    }
+    with pytest.raises(SchemaError, match="duplicate"):
+        RefRegistry(schema)
+
+
+def test_property_named_enum_is_walked():
+    """A property literally NAMED 'enum' under properties is schema
+    position — its $anchor must register and $refs inside it must
+    resolve (ADVICE r2: _DATA_KEYS was skipped by key name regardless
+    of position)."""
+    schema = {
+        "$id": "https://example.com/r.json",
+        "type": "object",
+        "properties": {
+            "enum": {"$anchor": "enumprop", "type": "integer"},
+            "const": {"$ref": "#enumprop"},
+        },
+    }
+    reg = RefRegistry(schema)
+    assert reg.resolve("#enumprop", schema)["type"] == "integer"
+
+
+def test_enum_values_still_not_walked():
+    reg = RefRegistry({"$defs": {"x": {"enum": [{"$anchor": "fake"}]}}})
+    with pytest.raises(SchemaError):
+        reg.resolve("#fake", {})
