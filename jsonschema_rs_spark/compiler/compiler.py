@@ -25,14 +25,22 @@ from jsonschema_rs_spark.spec.model import meta_validate
 
 class CompileContext:
     def __init__(self, root_schema: Any, options: ValidationOptions):
+        from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.compiler.registry import RefRegistry
 
         self.root = root_schema
+        self.dialect = detect_dialect(root_schema, options.dialect)
+        if self.dialect.draft4_numbers and not options.draft4_integer:
+            # draft-4 dialect implies draft-4 integer semantics on the
+            # typed path (keywords/legacy/type_draft_4.rs:91-155)
+            import dataclasses
+            options = dataclasses.replace(options, draft4_integer=True)
         self.options = options
         self._regex_cache: dict[str, str] = {}
         # active (ref_pointer, dtype) pairs — structural-progress cycle guard
         self._active_refs: set[tuple[str, str]] = set()
-        self.registry = RefRegistry(root_schema, options.resources)
+        self.registry = RefRegistry(root_schema, options.resources,
+                                    legacy_id=self.dialect.legacy_id)
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the
@@ -60,11 +68,17 @@ def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
     if not isinstance(schema, dict):
         raise SchemaError(f"schema must be bool or object, got {type(schema)}", sp)
 
+    # dialect gating (dialects.py): inapplicable keywords are dropped,
+    # $ref siblings removed in exclusive-$ref drafts; refs resolve
+    # against the ORIGINAL node (identity keys the base-URI scope)
+    orig = schema
+    schema = ctx.dialect.effective(schema)
+
     rules: list[Rule] = []
 
-    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, schema)),
+    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, orig)),
                          ("$dynamicRef",
-                          lambda r: ctx.registry.resolve_dynamic(r, schema)),
+                          lambda r: ctx.registry.resolve_dynamic(r, orig)),
                          ("$recursiveRef",
                           lambda r: ctx.registry.resolve_recursive())):
         if kw not in schema:

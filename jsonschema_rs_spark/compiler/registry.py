@@ -46,31 +46,40 @@ _MAP_OF_SCHEMAS_KEYS = frozenset([
 
 
 class RefRegistry:
-    def __init__(self, root: Any, resources: dict[str, Any] | None = None):
+    def __init__(self, root: Any, resources: dict[str, Any] | None = None,
+                 legacy_id: bool = False):
         """`resources`: extra documents keyed by absolute URI — the
         offline analog of the reference's referencing::Registry /
         ValidationOptions::with_retriever (retriever.rs), letting
         schemas $ref across documents without any network. Each
         resource is walked like an embedded $id resource (its own
-        anchors, nested $ids, dynamic anchors all register)."""
+        anchors, nested $ids, dynamic anchors all register).
+
+        `legacy_id`: draft-4 dialect — the base-URI keyword is `id`
+        (specification/mod.rs draft-4 id_of); `$id` in a draft-4
+        document is just an unknown property."""
+        self.legacy_id = legacy_id
         self.root = root
         self.base_by_oid: dict[int, str] = {}
         self.by_uri: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[str, Any] = {}
         self.recursive_root: Any = None
+        self._id_key = "id" if legacy_id else "$id"
         root_base = ""
-        if isinstance(root, dict) and isinstance(root.get("$id"), str):
-            root_base = urldefrag(root["$id"]).url
+        if isinstance(root, dict) \
+                and isinstance(root.get(self._id_key), str):
+            root_base = urldefrag(root[self._id_key]).url
         self.root_base = root_base
         self.by_uri[root_base] = root
         self._walk(root, root_base, is_root=True)
         for uri, doc in (resources or {}).items():
             base = urldefrag(uri).url
             self.by_uri.setdefault(base, doc)
-            if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+            if isinstance(doc, dict) \
+                    and isinstance(doc.get(self._id_key), str):
                 # registered under its retrieval URI AND its declared $id
-                declared = urljoin(base, urldefrag(doc["$id"]).url)
+                declared = urljoin(base, urldefrag(doc[self._id_key]).url)
                 self.by_uri.setdefault(declared, doc)
                 base = declared
             self._walk(doc, base, is_root=True)
@@ -84,8 +93,8 @@ class RefRegistry:
             return
         if not isinstance(node, dict):
             return
-        if not is_root and isinstance(node.get("$id"), str):
-            id_val = node["$id"]
+        if not is_root and isinstance(node.get(self._id_key), str):
+            id_val = node[self._id_key]
             if id_val.startswith("#"):
                 # legacy draft-4/7 fragment-only $id ("$id": "#foo") is an
                 # ANCHOR registration, not a new resource — urljoining it

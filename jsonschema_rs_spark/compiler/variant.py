@@ -203,12 +203,15 @@ def _const_pred(value: Any, v: Column) -> Column:
 
 class VariantCompileContext:
     def __init__(self, root: Any, options: ValidationOptions):
+        from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.compiler.registry import RefRegistry
 
         self.root = root
         self.options = options
+        self.dialect = detect_dialect(root, options.dialect)
         self._ref_depth: dict[str, int] = {}
-        self.registry = RefRegistry(root, options.resources)
+        self.registry = RefRegistry(root, options.resources,
+                                    legacy_id=self.dialect.legacy_id)
         # (schema_path, contains-Node) sites collected during compile —
         # drives the contains match-index annotations
         # (reference contains.rs:60-105 evaluate())
@@ -235,12 +238,19 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
     if not isinstance(schema, dict):
         raise SchemaError("schema must be bool or object", sp)
 
+    # dialect gating: drop keywords this draft doesn't define ($ref
+    # siblings in exclusive-$ref drafts, post-draft keywords in older
+    # ones — dialects.py). Refs keep resolving against the ORIGINAL node
+    # (its identity keys the registry's base-URI scope).
+    orig = schema
+    schema = ctx.dialect.effective(schema)
+
     rules: list[Rule] = []
     add = rules.append
 
-    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, schema)),
+    for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, orig)),
                          ("$dynamicRef",
-                          lambda r: ctx.registry.resolve_dynamic(r, schema)),
+                          lambda r: ctx.registry.resolve_dynamic(r, orig)),
                          ("$recursiveRef",
                           lambda r: ctx.registry.resolve_recursive())):
         if kw in schema:

@@ -46,6 +46,13 @@ class ValidationOptions:
     """
 
     validate_formats: bool = False
+    # JSON Schema draft dialect: "4" | "6" | "7" | "2019-09" | "2020-12"
+    # | "permissive" | None. None → auto-detect from the root `$schema`
+    # URI, falling back to "permissive" (the historical default: the
+    # 2020-12 keyword set plus legacy compat forms all active). See
+    # compiler/dialects.py (reference keywords/mod.rs:254-510
+    # get_for_draft; referencing specification/mod.rs:54 detection).
+    dialect: str | None = None
     mask: str | None = None
     max_ref_depth: int = 8
     draft4_integer: bool = False

@@ -50,7 +50,13 @@ def _family_rows(family: str):
     groups = [grp for grp in load_vectors() if grp["family"] == family]
     plans, rows, vid = [], [], 0
     for si, grp in enumerate(groups):
-        opts = ValidationOptions(**grp.get("options", {}))
+        opts_kw = dict(grp.get("options", {}))
+        if "dialect" not in opts_kw and "draft" in grp:
+            # a group pinned to a draft compiles under that DIALECT, so
+            # per-draft keyword applicability (dialects.py) is what the
+            # vendored python-jsonschema expectations certify
+            opts_kw["dialect"] = grp["draft"]
+        opts = ValidationOptions(**opts_kw)
         plans.append(compile_json_schema(grp["schema"], opts))
         for t in grp["tests"]:
             rows.append((vid, si, json.dumps(t["data"]), bool(t["valid"])))

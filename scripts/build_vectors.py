@@ -760,6 +760,104 @@ def build_canonical():
 build_canonical()
 
 # ---------------------------------------------------------------------------
+# draft dialects: per-draft keyword applicability (dialects.py; reference
+# keywords/mod.rs:254-510 get_for_draft). Each family compiles under the
+# group's draft DIALECT in suite.py, and every expectation is validated
+# against the matching python-jsonschema Draft*Validator below — so a
+# keyword wrongly asserted (or wrongly ignored) in a draft fails both the
+# build and the driver oracle.
+# ---------------------------------------------------------------------------
+
+g("draft7", "post-draft-7 keywords are annotations in draft 7",
+  {"prefixItems": [{"type": "integer"}],
+   "dependentRequired": {"a": ["b"]},
+   "minContains": 2},
+  [(["s"], True), ({"a": 1}, True), ([1, "s"], True)], draft="7")
+g("draft7", "draft-7 unevaluatedProperties is ignored",
+  {"properties": {"a": {"type": "integer"}},
+   "unevaluatedProperties": False},
+  [({"a": 1, "extra": "x"}, True), ({"a": "s"}, False)], draft="7")
+g("draft7", "draft-7 $ref siblings are ignored",
+  {"definitions": {"t": {"type": "integer"}},
+   "$ref": "#/definitions/t", "minimum": 100},
+  [(5, True), ("s", False), (200, True)], draft="7")
+g("draft7", "draft-7 if/then/else still applies",
+  {"if": {"type": "integer"}, "then": {"minimum": 5},
+   "else": {"type": "string"}},
+  [(3, False), (7, True), ("s", True), ([], False)], draft="7")
+g("draft7", "draft-7 const and contains still apply",
+  {"const": 3},
+  [(3, True), (4, False)], draft="7")
+g("draft7", "draft-7 contains asserts without minContains gating",
+  {"contains": {"type": "integer"}, "minContains": 3},
+  [([1], True), (["s"], False), ([], False)], draft="7")
+g("draft7", "draft-7 dependentSchemas is ignored (dependencies is not)",
+  {"dependentSchemas": {"a": {"required": ["b"]}},
+   "dependencies": {"c": ["d"]}},
+  [({"a": 1}, True), ({"c": 1}, False), ({"c": 1, "d": 2}, True)],
+  draft="7")
+
+g("draft6", "draft-6 gains const/contains/propertyNames",
+  {"contains": {"const": 5}, "propertyNames": {"maxLength": 2}},
+  [([1, 5], True), ([1, 2], False), ({"ab": 1}, True),
+   ({"abc": 1}, False)], draft="6")
+g("draft6", "draft-6 numeric exclusiveMinimum applies",
+  {"exclusiveMinimum": 5},
+  [(5, False), (6, True), ("s", True)], draft="6")
+g("draft6", "if/then is an annotation in draft 6",
+  {"if": {"type": "integer"}, "then": {"minimum": 5}},
+  [(3, True), (7, True)], draft="6")
+g("draft6", "draft-6 $ref siblings are ignored",
+  {"definitions": {"t": {"type": "string"}},
+   "$ref": "#/definitions/t", "maxLength": 1},
+  [("long-string", True), (3, False)], draft="6")
+
+g("draft4", "const/contains/propertyNames are annotations in draft 4",
+  {"const": 3, "contains": {"type": "integer"},
+   "propertyNames": {"maxLength": 1}},
+  [(4, True), (["s"], True), ({"long": 1}, True)], draft="4")
+g("draft4", "draft-4 numeric exclusiveMinimum is an annotation",
+  {"exclusiveMinimum": 5},
+  [(3, True), (5, True)], draft="4")
+g("draft4", "draft-4 boolean exclusiveMinimum tightens minimum",
+  {"minimum": 5, "exclusiveMinimum": True},
+  [(5, False), (6, True)], draft="4")
+g("draft4", "draft-4 boolean exclusiveMaximum tightens maximum",
+  {"maximum": 5, "exclusiveMaximum": True},
+  [(5, False), (4, True)], draft="4")
+g("draft4", "draft-4 dependencies and array items still apply",
+  {"dependencies": {"a": ["b"]},
+   "items": [{"type": "integer"}], "additionalItems": False},
+  [({"a": 1}, False), ({"a": 1, "b": 2}, True), ([1], True),
+   ([1, 2], False), (["s"], False)], draft="4")
+g("draft4", "draft-4 id-scoped refs (fragment-only id is an anchor)",
+  {"id": "http://example.com/r.json",
+   "definitions": {"t": {"id": "#leaf", "type": "integer"}},
+   "$ref": "#leaf"},
+  [(3, True), ("s", False)], draft="4")
+g("draft4", "if/then is an annotation in draft 4",
+  {"if": {"type": "integer"}, "then": {"minimum": 5}},
+  [(3, True)], draft="4")
+
+g("draft2019", "prefixItems and $dynamicRef are annotations in 2019-09",
+  {"prefixItems": [{"type": "integer"}]},
+  [(["s"], True)], draft="2019-09")
+g("draft2019", "2019-09 $ref composes with siblings",
+  {"$defs": {"t": {"type": "integer"}},
+   "$ref": "#/$defs/t", "minimum": 100},
+  [(5, False), (200, True), ("s", False)], draft="2019-09")
+g("draft2019", "2019-09 dependentRequired/minContains apply",
+  {"dependentRequired": {"a": ["b"]},
+   "contains": {"type": "integer"}, "minContains": 2},
+  [({"a": 1}, False), ({"a": 1, "b": 2}, True), ([1], False),
+   ([1, 2], True)], draft="2019-09")
+g("draft2019", "2019-09 unevaluatedProperties applies",
+  {"properties": {"a": {"type": "integer"}},
+   "unevaluatedProperties": False},
+  [({"a": 1, "extra": "x"}, False), ({"a": 1}, True)],
+  draft="2019-09")
+
+# ---------------------------------------------------------------------------
 # validate + write
 # ---------------------------------------------------------------------------
 
@@ -769,7 +867,9 @@ def validate():
 
     classes = {"2020-12": jsonschema.Draft202012Validator,
                "2019-09": jsonschema.Draft201909Validator,
-               "7": jsonschema.Draft7Validator}
+               "7": jsonschema.Draft7Validator,
+               "6": jsonschema.Draft6Validator,
+               "4": jsonschema.Draft4Validator}
     n_checked = 0
     for grp in V:
         if grp.get("oracle") is False:
