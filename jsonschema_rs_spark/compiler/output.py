@@ -1,0 +1,462 @@
+"""Structured Output v1: `list` and `hierarchical` formats with
+annotations — the analog of the reference's Evaluation tree
+(crates/jsonschema/src/evaluation.rs:209-526: list() :252,
+hierarchical() :416, iter_annotations() :458) re-expressed as ONE Column
+expression producing the serialized output JSON per row.
+
+Design: the schema's structure is known at compile time, so the nested
+unit tree has STATIC depth — each evaluation unit is a compile-time JSON
+template (evaluationPath / schemaLocation literals) whose dynamic parts
+(valid, instanceLocation, annotations, details for array elements) are
+Column expressions concatenated into the template. Arrays use
+`transform` to emit one child-unit JSON per element, so row size stays
+proportional to the instance. No UDF, no shuffle: the whole output is
+one projection, embarrassingly parallel at any scale.
+
+Unit semantics matched to the reference:
+- every keyword evaluated gets a unit; subschema roots get a unit whose
+  `details` are their keyword units
+- annotations on success: `properties` → matched property names,
+  `prefixItems` → largest applied index (or true for the whole array),
+  `items` → true when it applied to ≥1 element, `contains` → matched
+  indices; an invalid unit that would have annotated emits
+  `droppedAnnotations: true` instead (evaluation.rs droppedAnnotations)
+- `$ref` adds `/$ref` to the evaluationPath while the schemaLocation
+  jumps to the target's canonical `base#pointer` (registry.location_of)
+- failing ASSERTION units carry `errors: {keyword: message}` with this
+  engine's static message templates (masking-safe; the spec does not pin
+  message text)
+
+Documented deviations (COVERAGE.md): `patternProperties` /
+`additionalProperties` / `propertyNames` / `unevaluated*` emit one
+aggregate unit (validity, no per-name recursion); `not` / `if` emit
+aggregate units without branch detail trees.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.compiler.variant import (
+    VariantCompileContext,
+    _as_array,
+    _as_map,
+    _is_array,
+    _is_object,
+    compile_variant,
+)
+from jsonschema_rs_spark.errors import ValidationOptions
+
+# assertion keywords compiled as single-keyword micro-schemas; the listed
+# companions ride along (their semantics are coupled)
+_ASSERTIONS: list[tuple[str, tuple[str, ...]]] = [
+    ("type", ()),
+    ("const", ()),
+    ("enum", ()),
+    ("minimum", ("exclusiveMinimum",)),
+    ("maximum", ("exclusiveMaximum",)),
+    ("exclusiveMinimum", ("minimum",)),
+    ("exclusiveMaximum", ("maximum",)),
+    ("multipleOf", ()),
+    ("minLength", ()),
+    ("maxLength", ()),
+    ("pattern", ()),
+    ("format", ()),
+    ("required", ()),
+    ("minProperties", ()),
+    ("maxProperties", ()),
+    ("minItems", ()),
+    ("maxItems", ()),
+    ("uniqueItems", ()),
+    ("dependentRequired", ()),
+    ("contentEncoding", ()),
+    ("contentMediaType", ()),
+]
+
+# keywords given one AGGREGATE unit (validity only — documented)
+_AGGREGATES = ["patternProperties", "additionalProperties",
+               "propertyNames", "unevaluatedProperties",
+               "unevaluatedItems", "not", "if", "dependentSchemas",
+               "minContains", "maxContains"]
+
+
+def _j(s: str) -> str:
+    """JSON-escape a compile-time string WITHOUT the surrounding quotes."""
+    return json.dumps(s)[1:-1]
+
+
+def _jbool(c: Column) -> Column:
+    return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+
+
+class OutputPlan:
+    """Compiles a JSON Schema into `list` / `hierarchical` Output v1
+    JSON-string Columns over a JSON-string instance column."""
+
+    def __init__(self, schema: Any,
+                 options: ValidationOptions | None = None):
+        self.options = options or ValidationOptions()
+        self.ctx = VariantCompileContext(schema, self.options)
+        self.schema = schema
+        root_loc = self.ctx.registry.location_of(schema)
+        self._root_loc = root_loc if root_loc is not None else ""
+        # (hierarchical_json(v), flat_units(v) array<string>, valid(v))
+        self._built = None
+
+    # -- public -------------------------------------------------------------
+
+    def hierarchical_column(self, json_col: Column) -> Column:
+        v = F.try_parse_json(json_col)
+        hier, _, _ = self._build(v)
+        return hier
+
+    def list_column(self, json_col: Column) -> Column:
+        v = F.try_parse_json(json_col)
+        _, units, valid = self._build(v)
+        return F.concat(F.lit('{"valid":'), _jbool(valid),
+                        F.lit(',"details":['),
+                        F.array_join(units, ","), F.lit("]}"))
+
+    # -- unit assembly ------------------------------------------------------
+
+    def _build(self, v: Column):
+        return self._schema_unit(self.schema, "", v, F.lit(""))
+
+    def _valid_of(self, schema: Any, sp: str, v: Column) -> Column:
+        node = compile_variant(schema, self.ctx, sp)
+        return F.coalesce(node.valid(v), F.lit(False)) \
+            if node.rules else F.lit(True)
+
+    def _loc(self, schema: Any, fallback_ep: str) -> str:
+        loc = self.ctx.registry.location_of(schema)
+        if loc is not None:
+            return loc
+        base = self._root_loc
+        return (base + fallback_ep) if base.endswith("#") or base == "" \
+            else base + fallback_ep
+
+    def _unit(self, valid: Column, ep: str, sl: str, ip: Column,
+              annotations: Column | None = None,
+              annotates: bool = False,
+              errors: Column | None = None,
+              details: Column | None = None) -> Column:
+        """One evaluation unit as a JSON string Column. `annotations` is
+        a pre-serialized JSON Column shown only when valid (an invalid
+        annotating unit emits droppedAnnotations instead). `details` is
+        a pre-joined comma-separated children string (empty → omitted).
+        """
+        parts: list[Column] = [
+            F.lit('{"valid":'), _jbool(valid),
+            F.lit(f',"evaluationPath":"{_j(ep)}"'
+                  f',"schemaLocation":"{_j(sl)}"'
+                  f',"instanceLocation":"'), ip, F.lit('"'),
+        ]
+        if annotations is not None:
+            parts.append(F.when(
+                valid & annotations.isNotNull(),
+                F.concat(F.lit(',"annotations":'), annotations))
+                .when(~valid, F.lit(',"droppedAnnotations":true'))
+                .otherwise(F.lit("")))
+        elif annotates:
+            parts.append(F.when(valid, F.lit(""))
+                         .otherwise(F.lit(',"droppedAnnotations":true')))
+        if errors is not None:
+            parts.append(F.when(valid, F.lit(""))
+                         .otherwise(F.concat(F.lit(',"errors":{'), errors,
+                                             F.lit("}"))))
+        if details is not None:
+            d = F.coalesce(details, F.lit(""))
+            parts.append(F.when(d == "", F.lit(""))
+                         .otherwise(F.concat(F.lit(',"details":['),
+                                             d, F.lit("]"))))
+        parts.append(F.lit("}"))
+        return F.concat(*parts)
+
+    def _schema_unit(self, schema: Any, ep: str, v: Column,
+                     ip: Column):
+        """(hierarchical_json, flat_units array<string>, valid) for one
+        subschema applied to value `v` at instance location `ip`."""
+        sl = self._loc(schema, ep)
+        if schema is True or schema == {}:
+            u = self._unit(F.lit(True), ep, sl, ip)
+            return u, F.array(u), F.lit(True)
+        if schema is False:
+            err = F.lit('"false":"schema is false: nothing is valid"')
+            u = self._unit(F.lit(False), ep, sl, ip, errors=err)
+            return u, F.array(u), F.lit(False)
+
+        eff = self.ctx.dialect.effective(schema)
+        valid = self._valid_of(schema, ep, v)
+
+        child_hier: list[Column] = []     # children's hierarchical JSON
+        child_flat: list[Column] = []     # children's flat unit arrays
+
+        def emit(h: Column, flat: Column):
+            child_hier.append(h)
+            child_flat.append(flat)
+
+        # $ref / $dynamicRef / $recursiveRef: one unit whose location
+        # jumps to the target
+        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+            if kw not in eff:
+                continue
+            ref = eff[kw]
+            key = kw + ":" + str(ref)
+            depth = self.ctx._ref_depth.get(key, 0)
+            if depth >= min(self.options.max_ref_depth, 3):
+                continue  # output tree is depth-capped like the compiler
+            self.ctx._ref_depth[key] = depth + 1
+            try:
+                if kw == "$ref":
+                    target = self.ctx.resolve_ref(ref, schema)
+                elif kw == "$dynamicRef":
+                    target = self.ctx.registry.resolve_dynamic(ref, schema)
+                else:
+                    target = self.ctx.registry.resolve_recursive()
+                h, fl, _ = self._schema_unit(target, f"{ep}/{kw}", v, ip)
+                emit(h, fl)
+            finally:
+                self.ctx._ref_depth[key] = depth
+
+        # plain assertions: micro-schema per keyword (+ coupled partners)
+        for kw, partners in _ASSERTIONS:
+            if kw not in eff:
+                continue
+            if kw in ("exclusiveMinimum", "exclusiveMaximum") \
+                    and isinstance(eff[kw], bool):
+                continue  # draft-4 bool form folds into minimum/maximum
+            micro = {kw: eff[kw]}
+            for p in partners:
+                if p in eff:
+                    micro[p] = eff[p]
+            kv = self._valid_of(micro, f"{ep}/{kw}", v)
+            msg = _j(f"violates {kw}")
+            emit(self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                            errors=F.lit(f'"{_j(kw)}":"{msg}"')),
+                 F.array(self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                                    errors=F.lit(f'"{_j(kw)}":"{msg}"'))))
+
+        # aggregate-only units (documented deviation: no per-name tree)
+        for kw in _AGGREGATES:
+            if kw not in eff:
+                continue
+            if kw == "if":
+                micro = {k: eff[k] for k in ("if", "then", "else")
+                         if k in eff}
+            elif kw in ("minContains", "maxContains"):
+                continue  # folded into the contains unit below
+            elif kw in ("unevaluatedProperties", "unevaluatedItems"):
+                micro = dict(eff)  # needs full sibling context
+            else:
+                micro = {kw: eff[kw]}
+            kv = self._valid_of(micro, f"{ep}/{kw}", v)
+            msg = _j(f"violates {kw}")
+            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                           errors=F.lit(f'"{_j(kw)}":"{msg}"'))
+            emit(u, F.array(u))
+
+        # properties: per-present-property subschema units + annotation
+        if "properties" in eff and isinstance(eff["properties"], dict):
+            props = eff["properties"]
+            m = _as_map(v)
+            present = [(name, sub) for name, sub in props.items()]
+            sub_valid_all = F.lit(True)
+            ann_items: list[Column] = []
+            prop_hier: list[Column] = []
+            prop_flat: list[Column] = []
+            for name, sub in present:
+                pv = F.try_element_at(m, F.lit(name))
+                has = _is_object(v) & pv.isNotNull()
+                ne = name.replace("~", "~0").replace("/", "~1")
+                h, fl, sv = self._schema_unit(
+                    sub, f"{ep}/properties/{ne}", pv,
+                    F.concat(ip, F.lit("/" + _j(name))))
+                prop_hier.append(F.when(has, h).otherwise(F.lit(None)))
+                prop_flat.append(F.when(has, fl).otherwise(
+                    F.expr("CAST(array() AS array<string>)")))
+                sub_valid_all = sub_valid_all & (~has | sv)
+                ann_items.append(F.when(has, F.lit(json.dumps(name)))
+                                 .otherwise(F.lit(None)))
+            pvalid = ~_is_object(v) | sub_valid_all
+            ann = F.when(_is_object(v),
+                         F.concat(F.lit("["),
+                                  F.concat_ws(",", *ann_items),
+                                  F.lit("]")))
+            details = F.concat_ws(",", *prop_hier)
+            u = self._unit(pvalid, f"{ep}/properties",
+                           sl + "/properties", ip,
+                           annotations=ann, details=details)
+            flat_self = self._unit(pvalid, f"{ep}/properties",
+                                   sl + "/properties", ip, annotations=ann)
+            emit(u, F.concat(F.array(flat_self), *prop_flat)
+                 if prop_flat else F.array(flat_self))
+
+        # prefixItems / array-form items: per-index units + annotation
+        prefix = None
+        if "prefixItems" in eff and isinstance(eff["prefixItems"], list):
+            prefix = ("prefixItems", eff["prefixItems"])
+        elif "items" in eff and isinstance(eff["items"], list):
+            prefix = ("items", eff["items"])
+        n_prefix = len(prefix[1]) if prefix else 0
+        if prefix:
+            kw, subs = prefix
+            arr = _as_array(v)
+            idx_hier, idx_flat = [], []
+            pa_valid = F.lit(True)
+            for i, sub in enumerate(subs):
+                has = _is_array(v) & (F.size(arr) > i)
+                ev = F.element_at(arr, i + 1)
+                h, fl, sv = self._schema_unit(
+                    sub, f"{ep}/{kw}/{i}", ev,
+                    F.concat(ip, F.lit(f"/{i}")))
+                idx_hier.append(F.when(has, h).otherwise(F.lit(None)))
+                idx_flat.append(F.when(has, fl).otherwise(
+                    F.expr("CAST(array() AS array<string>)")))
+                pa_valid = pa_valid & (~has | sv)
+            pvalid = ~_is_array(v) | pa_valid
+            ann = F.when(_is_array(v),
+                         F.when(F.size(arr) <= n_prefix, F.lit("true"))
+                         .otherwise(F.lit(str(n_prefix - 1))))
+            u = self._unit(pvalid, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                           annotations=ann,
+                           details=F.concat_ws(",", *idx_hier))
+            flat_self = self._unit(pvalid, f"{ep}/{kw}", sl + f"/{kw}",
+                                   ip, annotations=ann)
+            emit(u, F.concat(F.array(flat_self), *idx_flat)
+                 if idx_flat else F.array(flat_self))
+
+        # items (schema form): per-element units beyond the prefix
+        if "items" in eff and not isinstance(eff["items"], (list,)):
+            sub = eff["items"]
+            if sub is not True:
+                arr = _as_array(v)
+
+                def elem_builder(sub=sub, ep=ep):
+                    def build(x: Column, i: Column):
+                        h, _, _ = self._schema_unit_dyn(
+                            sub, f"{ep}/items", x,
+                            F.concat(ip, F.lit("/"), i.cast("string")))
+                        return F.when(i >= n_prefix, h) \
+                            .otherwise(F.lit(None))
+                    return build
+
+                def elem_flat_builder(sub=sub, ep=ep):
+                    def build(x: Column, i: Column):
+                        _, fl, _ = self._schema_unit_dyn(
+                            sub, f"{ep}/items", x,
+                            F.concat(ip, F.lit("/"), i.cast("string")))
+                        return F.when(i >= n_prefix, fl).otherwise(
+                            F.expr("CAST(array() AS array<string>)"))
+                    return build
+
+                def elem_valid(sub=sub, ep=ep):
+                    def build(x: Column, i: Column):
+                        return F.when(
+                            i < n_prefix, F.lit(True)).otherwise(
+                            self._valid_of(sub, f"{ep}/items", x))
+                    return build
+
+                hier_elems = F.filter(
+                    F.transform(arr, elem_builder()),
+                    lambda x: x.isNotNull())
+                ivalid = ~_is_array(v) | F.forall(
+                    F.transform(arr, elem_valid()), lambda b: b)
+                applied = _is_array(v) & (F.size(arr) > n_prefix)
+                ann = F.lit("true")
+                u = self._unit(
+                    ivalid, f"{ep}/items", sl + "/items", ip,
+                    annotations=F.when(applied, ann),
+                    annotates=True,
+                    details=F.when(_is_array(v),
+                                   F.array_join(hier_elems, ","))
+                    .otherwise(F.lit("")))
+                flat_self = self._unit(
+                    ivalid, f"{ep}/items", sl + "/items", ip,
+                    annotations=F.when(applied, ann), annotates=True)
+                flat_elems = F.when(
+                    _is_array(v),
+                    F.flatten(F.transform(arr, elem_flat_builder()))) \
+                    .otherwise(F.expr("CAST(array() AS array<string>)"))
+                emit(u, F.concat(F.array(flat_self), flat_elems))
+
+        # contains (+minContains/maxContains): annotation = match indices
+        if "contains" in eff:
+            micro = {k: eff[k] for k in
+                     ("contains", "minContains", "maxContains")
+                     if k in eff}
+            cv = self._valid_of(micro, f"{ep}/contains", v)
+            sub_node = compile_variant(eff["contains"], self.ctx,
+                                       f"{ep}/contains")
+
+            def midx(x: Column, i: Column):
+                ok = F.coalesce(sub_node.valid(x), F.lit(False)) \
+                    if sub_node.rules else F.lit(True)
+                return F.when(ok, i).otherwise(F.lit(None))
+
+            idxs = F.filter(F.transform(_as_array(v), midx),
+                            lambda x: x.isNotNull())
+            ann = F.concat(
+                F.lit("["),
+                F.array_join(F.transform(idxs,
+                                         lambda i: i.cast("string")), ","),
+                F.lit("]"))
+            u = self._unit(cv, f"{ep}/contains", sl + "/contains", ip,
+                           annotations=F.when(_is_array(v), ann)
+                           .otherwise(F.lit("[]")),
+                           errors=F.lit('"contains":"violates contains"'))
+            emit(u, F.array(u))
+
+        # combinators: branch subschema units
+        for kw in ("allOf", "anyOf", "oneOf"):
+            if kw not in eff or not isinstance(eff[kw], list):
+                continue
+            branch_valid = []
+            b_hier, b_flat = [], []
+            for i, sub in enumerate(eff[kw]):
+                h, fl, sv = self._schema_unit(sub, f"{ep}/{kw}/{i}", v, ip)
+                b_hier.append(h)
+                b_flat.append(fl)
+                branch_valid.append(sv)
+            if kw == "allOf":
+                kv = F.lit(True)
+                for b in branch_valid:
+                    kv = kv & b
+            elif kw == "anyOf":
+                kv = F.lit(False)
+                for b in branch_valid:
+                    kv = kv | b
+            else:
+                total = F.lit(0)
+                for b in branch_valid:
+                    total = total + b.cast("int")
+                kv = total == 1
+            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                           errors=F.lit(f'"{kw}":"violates {kw}"'),
+                           details=F.concat_ws(",", *b_hier))
+            flat_self = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                                   errors=F.lit(
+                                       f'"{kw}":"violates {kw}"'))
+            emit(u, F.concat(F.array(flat_self), *b_flat))
+
+        details = F.concat_ws(",", *child_hier) if child_hier \
+            else F.lit("")
+        root_u = self._unit(valid, ep, sl, ip, details=details)
+        flat_self = self._unit(valid, ep, sl, ip)
+        flat = F.concat(F.array(flat_self), *child_flat) if child_flat \
+            else F.array(flat_self)
+        return root_u, flat, valid
+
+    def _schema_unit_dyn(self, schema: Any, ep: str, v: Column,
+                         ip: Column):
+        """Variant of _schema_unit usable inside a HOF lambda (array
+        elements): identical, provided here for call-site clarity."""
+        return self._schema_unit(schema, ep, v, ip)
+
+
+def evaluate_output(schema: Any, options: ValidationOptions | None = None
+                    ) -> OutputPlan:
+    return OutputPlan(schema, options)

@@ -61,6 +61,11 @@ class RefRegistry:
         self.legacy_id = legacy_id
         self.root = root
         self.base_by_oid: dict[int, str] = {}
+        # node id → JSON-pointer within its enclosing resource ("" for a
+        # resource root) — gives every subschema a canonical
+        # `base#pointer` location for structured output (evaluation.rs
+        # schemaLocation)
+        self.ptr_by_oid: dict[int, str] = {}
         self.by_uri: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[str, Any] = {}
@@ -86,10 +91,11 @@ class RefRegistry:
 
     # -- collection --------------------------------------------------------
 
-    def _walk(self, node: Any, base: str, is_root: bool = False) -> None:
+    def _walk(self, node: Any, base: str, is_root: bool = False,
+              ptr: str = "") -> None:
         if isinstance(node, list):
-            for v in node:
-                self._walk(v, base)
+            for i, v in enumerate(node):
+                self._walk(v, base, ptr=f"{ptr}/{i}")
             return
         if not isinstance(node, dict):
             return
@@ -115,7 +121,9 @@ class RefRegistry:
                         f"resources declare the same URI", "$id")
                 base = new_base
                 self.by_uri[base] = node
+                ptr = ""  # new resource root: pointers restart here
         self.base_by_oid[id(node)] = base
+        self.ptr_by_oid[id(node)] = ptr
         a = node.get("$anchor")
         if isinstance(a, str):
             self.anchors[(base, a)] = node
@@ -127,20 +135,36 @@ class RefRegistry:
         if node.get("$recursiveAnchor") is True and self.recursive_root is None:
             self.recursive_root = node
         for k, v in node.items():
+            ke = k.replace("~", "~0").replace("/", "~1")
             if k in _MAP_OF_SCHEMAS_KEYS and isinstance(v, dict):
                 # the container map is NOT a schema node: walk its VALUES
                 # as schemas (so a property literally named 'enum' or
                 # '$anchor' is just a name, while $id/$anchor inside its
                 # SCHEMA still register — ADVICE r2, low)
-                for sub in v.values():
-                    self._walk(sub, base)
+                for name, sub in v.items():
+                    ne = name.replace("~", "~0").replace("/", "~1")
+                    self._walk(sub, base, ptr=f"{ptr}/{ke}/{ne}")
             elif k not in _DATA_KEYS:
-                self._walk(v, base)
+                self._walk(v, base, ptr=f"{ptr}/{ke}")
 
     # -- resolution --------------------------------------------------------
 
     def base_of(self, referrer: Any) -> str:
         return self.base_by_oid.get(id(referrer), self.root_base)
+
+    def location_of(self, node: Any) -> str | None:
+        """Canonical `base#pointer` location of a walked schema node
+        (structured-output schemaLocation), or None if the node wasn't
+        part of the walk (e.g. a dialect-filtered copy)."""
+        oid = id(node)
+        if oid not in self.ptr_by_oid:
+            return None
+        base = self.base_by_oid.get(oid, self.root_base)
+        ptr = self.ptr_by_oid[oid]
+        # with a base URI the location is "uri#ptr" (root = "uri#");
+        # without one it is the bare pointer ("" for the root) —
+        # matching the reference's serialized schemaLocation forms
+        return f"{base}#{ptr}" if base else ptr
 
     def resolve(self, ref: str, referrer: Any) -> Any:
         """Resolve `ref` (URI-reference with optional fragment) against

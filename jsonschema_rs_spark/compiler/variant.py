@@ -956,6 +956,7 @@ class CompiledJsonSchema:
         meta_validate(schema)
         ctx = VariantCompileContext(schema, options)
         self.node = compile_variant(schema, ctx, "")
+        self.schema = schema
         self.options = options
         self._contains_sites = list(ctx.contains_sites)
 
@@ -1003,6 +1004,23 @@ class CompiledJsonSchema:
         finally:
             _vt_stage().pop()
 
+
+    def with_output(self, df: DataFrame, json_col: str,
+                    format: str = "hierarchical",
+                    out_col: str = "output") -> DataFrame:
+        """Append the Structured Output v1 serialization (JSON string)
+        per row: format='hierarchical' → the nested unit tree,
+        'list' → {"valid":…, "details":[flat units]} — the analog of
+        evaluation.rs hierarchical() :416 / list() :252. One projection,
+        no shuffle (compiler/output.py)."""
+        from jsonschema_rs_spark.compiler.output import OutputPlan
+        if format not in ("hierarchical", "list"):
+            raise ValueError(f"unknown output format {format!r}")
+        plan = OutputPlan(self.schema, self.options)
+        col = plan.hierarchical_column(F.col(json_col)) \
+            if format == "hierarchical" \
+            else plan.list_column(F.col(json_col))
+        return df.withColumn(out_col, col)
 
     def with_contains_annotations(self, df: DataFrame,
                                   json_col: str) -> DataFrame:

@@ -223,6 +223,52 @@ SELECT keyword, count(*) AS n_violations FROM (
 # hierarchical rollup: violation schema-paths expanded to every prefix
 # (evaluate().hierarchical() analog) — paths mirror the typed compiler's
 # Rule.schema_path values for DOCS_SCHEMA
+OUTPUT_UNITS_DOCS = """
+-- Structured Output v1 unit counts, recomputed from first principles:
+-- per doc the unit tree is root + /type + /required + /properties, plus
+-- per PRESENT property its subschema-root unit and one unit per
+-- assertion keyword ({type,minimum}=3, {type,minLength}=3, {enum}=2,
+-- {type,minimum}=3). Validity of every unit is re-derived in SQL.
+WITH d AS (
+  SELECT doc_id,
+         doc_id IS NOT NULL AS has_id,
+         text IS NOT NULL AS has_text,
+         lang IS NOT NULL AS has_lang,
+         n_chars IS NOT NULL AS has_nc,
+         COALESCE(doc_id >= 0, true) AS id_ok,
+         COALESCE(length(text) >= 100, true) AS ml_ok,
+         COALESCE(lang IN ('en','de','fr','es'), true) AS enum_ok,
+         COALESCE(n_chars >= 100, true) AS nc_ok,
+         (doc_id IS NOT NULL AND text IS NOT NULL
+          AND lang IS NOT NULL) AS req_ok
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         (req_ok AND id_ok AND ml_ok AND enum_ok AND nc_ok) AS valid,
+         (id_ok AND ml_ok AND enum_ok AND nc_ok) AS props_ok,
+         4
+         + CASE WHEN has_id THEN 3 ELSE 0 END
+         + CASE WHEN has_text THEN 3 ELSE 0 END
+         + CASE WHEN has_lang THEN 2 ELSE 0 END
+         + CASE WHEN has_nc THEN 3 ELSE 0 END AS n_units,
+         1  -- /type (always an object here)
+         + CASE WHEN req_ok THEN 1 ELSE 0 END
+         + CASE WHEN has_id THEN 1 + 2 * CAST(id_ok AS INT) ELSE 0 END
+         + CASE WHEN has_text THEN 1 + 2 * CAST(ml_ok AS INT) ELSE 0 END
+         + CASE WHEN has_lang THEN 2 * CAST(enum_ok AS INT) ELSE 0 END
+         + CASE WHEN has_nc THEN 1 + 2 * CAST(nc_ok AS INT) ELSE 0 END
+           AS n_valid_wo_root_props
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_units AS INT) AS n_units,
+       CAST(n_valid_wo_root_props
+            + CAST(valid AS INT) + CAST(props_ok AS INT) AS INT)
+         AS n_valid_units,
+       valid
+FROM u
+"""
+
 VAL_DOCS_HIERARCHY = """
 WITH viol AS (
   SELECT '/properties/lang/enum' AS p FROM documents
@@ -691,6 +737,7 @@ ORACLES = {
     "val_spans_unevaluated": VAL_SPANS_UNEVALUATED,
     "val_docs_keyword_summary": VAL_DOCS_KEYWORD_SUMMARY,
     "val_docs_hierarchy": VAL_DOCS_HIERARCHY,
+    "output_units_docs": OUTPUT_UNITS_DOCS,
     "stats_documents": STATS_DOCUMENTS,
     "uniq_orders_custkey": UNIQ_ORDERS_CUSTKEY,
     "uniq_ratio_orders": UNIQ_RATIO_ORDERS,

@@ -276,6 +276,44 @@ def val_docs_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.hierarchy(docs)
 
 
+OUTPUT_UNITS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 100},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "n_chars": {"type": "integer", "minimum": 100},
+    },
+    "required": ["doc_id", "text", "lang"],
+}
+
+
+def output_units_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Output v1 LIST format over the documents table
+    (compiler/output.py; evaluation.rs:252 list()): each row serializes
+    to JSON, evaluates to the flat unit list, and reports per-doc unit
+    counts — (doc_id, n_units, n_valid_units, valid). The DuckDB oracle
+    recomputes every unit's existence and validity from first
+    principles, so the whole unit tree (root/type/required/properties +
+    three-or-two units per present property) is value-checked per row.
+    """
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    docs = _read(spark, sf_dir, "documents")
+    plan = compile_json_schema(OUTPUT_UNITS_SCHEMA)
+    j = docs.select("doc_id", F.to_json(F.struct(
+        "doc_id", "text", "lang", "n_chars")).alias("j"))
+    out = plan.with_output(j, "j", format="list")
+    parsed = F.from_json(
+        "output",
+        "struct<valid:boolean, details:array<struct<valid:boolean>>>")
+    return (out.withColumn("p", parsed)
+            .select("doc_id",
+                    F.size("p.details").alias("n_units"),
+                    F.size(F.filter("p.details", lambda d: d["valid"]))
+                    .alias("n_valid_units"),
+                    F.col("p.valid").alias("valid")))
+
+
 def uniq_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     r = tc.assert_unique_ratio(orders, ["o_custkey"])
@@ -484,6 +522,7 @@ QUERIES = {
     "val_spans_unevaluated": val_spans_unevaluated,
     "val_docs_keyword_summary": val_docs_keyword_summary,
     "val_docs_hierarchy": val_docs_hierarchy,
+    "output_units_docs": output_units_docs,
     "stats_documents": stats_documents,
     "uniq_orders_custkey": uniq_orders_custkey,
     "uniq_ratio_orders": uniq_ratio_orders,

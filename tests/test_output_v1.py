@@ -1,0 +1,198 @@
+"""Structured Output v1 (compiler/output.py): golden-pinned nested
+hierarchical trees and flat list output, matching the reference's
+documented Evaluation shapes (evaluation.rs:252 list, :416 hierarchical,
+:458 iter_annotations; output-extra/v1-extra/content/list-hierarchical
+analog). Error MESSAGE text is this engine's static templates (the spec
+does not pin message text); everything else — unit structure,
+evaluationPath/schemaLocation/instanceLocation, annotations,
+droppedAnnotations — is compared exactly.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.compiler.output import OutputPlan
+from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+
+def run(spark, schema, data, fmt="hierarchical"):
+    plan = OutputPlan(schema)
+    df = spark.createDataFrame([(json.dumps(data),)], "j string")
+    col = plan.hierarchical_column(F.col("j")) if fmt == "hierarchical" \
+        else plan.list_column(F.col("j"))
+    return json.loads(df.select(col.alias("o")).first()["o"])
+
+
+def normalize(u):
+    """Sort details recursively and replace error messages with their
+    keyword keys (message text is engine-specific)."""
+    if isinstance(u, dict):
+        out = {k: normalize(v) for k, v in u.items() if k != "errors"}
+        if "errors" in u:
+            out["errors"] = sorted(u["errors"].keys())
+        if "details" in out:
+            out["details"] = sorted(
+                out["details"],
+                key=lambda d: (d.get("evaluationPath", ""),
+                               d.get("instanceLocation", "")))
+        if "annotations" in out and isinstance(out["annotations"], list):
+            out["annotations"] = sorted(out["annotations"])
+        return out
+    if isinstance(u, list):
+        return [normalize(x) for x in u]
+    return u
+
+
+def test_hierarchical_doc_example(spark):
+    """evaluation.rs:416 doc example, matched node-for-node."""
+    schema = {"type": "array",
+              "prefixItems": [{"type": "string"}],
+              "items": {"type": "integer"}}
+    got = normalize(run(spark, schema, ["hello", "oops"]))
+    want = normalize({
+        "valid": False, "evaluationPath": "", "schemaLocation": "",
+        "instanceLocation": "",
+        "details": [
+            {"valid": True, "evaluationPath": "/type",
+             "instanceLocation": "", "schemaLocation": "/type"},
+            {"valid": False, "evaluationPath": "/items",
+             "instanceLocation": "", "schemaLocation": "/items",
+             "droppedAnnotations": True,
+             "details": [
+                 {"valid": False, "evaluationPath": "/items",
+                  "instanceLocation": "/1", "schemaLocation": "/items",
+                  "details": [
+                      {"valid": False, "evaluationPath": "/items/type",
+                       "instanceLocation": "/1",
+                       "schemaLocation": "/items/type",
+                       "errors": {"type": "x"}}]}]},
+            {"valid": True, "evaluationPath": "/prefixItems",
+             "instanceLocation": "", "schemaLocation": "/prefixItems",
+             "annotations": 0,
+             "details": [
+                 {"valid": True, "evaluationPath": "/prefixItems/0",
+                  "instanceLocation": "/0",
+                  "schemaLocation": "/prefixItems/0",
+                  "details": [
+                      {"valid": True,
+                       "evaluationPath": "/prefixItems/0/type",
+                       "instanceLocation": "/0",
+                       "schemaLocation": "/prefixItems/0/type"}]}]},
+        ]})
+    assert got == want
+
+
+def test_list_output_flattens_same_units(spark):
+    schema = {"type": "array",
+              "prefixItems": [{"type": "string"}],
+              "items": {"type": "integer"}}
+    got = run(spark, schema, ["hello", "oops"], fmt="list")
+    assert got["valid"] is False
+    paths = sorted((d["evaluationPath"], d["instanceLocation"])
+                   for d in got["details"])
+    assert paths == [("", ""), ("/items", ""), ("/items", "/1"),
+                     ("/items/type", "/1"), ("/prefixItems", ""),
+                     ("/prefixItems/0", "/0"),
+                     ("/prefixItems/0/type", "/0"), ("/type", "")]
+    # list units never nest
+    assert all("details" not in d for d in got["details"])
+
+
+def test_properties_annotations_and_id_locations(spark):
+    """output-extra list-hierarchical/0 analog: property annotations,
+    boolean property schemas, $id-absolute schemaLocations, $ref jump."""
+    schema = {
+        "$id": "https://example.com/out.json",
+        "type": "object",
+        "$defs": {"integer": {"type": "integer"}},
+        "properties": {
+            "passes": True,
+            "fails": False,
+            "refs": {"$ref": "#/$defs/integer"},
+        },
+    }
+    got = run(spark, schema, {"passes": "value"})
+    assert got["valid"] is True
+    assert got["schemaLocation"] == "https://example.com/out.json#"
+    props = next(d for d in got["details"]
+                 if d["evaluationPath"] == "/properties")
+    assert props["annotations"] == ["passes"]
+    assert props["schemaLocation"] \
+        == "https://example.com/out.json#/properties"
+    inner = props["details"]
+    assert [d["evaluationPath"] for d in inner] == ["/properties/passes"]
+    assert inner[0]["instanceLocation"] == "/passes"
+
+    # failing boolean property → droppedAnnotations + error unit
+    got2 = run(spark, schema, {"fails": "value"})
+    assert got2["valid"] is False
+    props2 = next(d for d in got2["details"]
+                  if d["evaluationPath"] == "/properties")
+    assert props2["droppedAnnotations"] is True
+    unit = props2["details"][0]
+    assert unit["evaluationPath"] == "/properties/fails"
+    assert unit["valid"] is False and "errors" in unit
+
+    # $ref: evaluationPath goes through /$ref, schemaLocation jumps
+    got3 = run(spark, schema, {"refs": "not-an-int"})
+    props3 = next(d for d in got3["details"]
+                  if d["evaluationPath"] == "/properties")
+    refu = props3["details"][0]
+    assert refu["evaluationPath"] == "/properties/refs"
+    ref_target = refu["details"][0]
+    assert ref_target["evaluationPath"] == "/properties/refs/$ref"
+    assert ref_target["schemaLocation"] \
+        == "https://example.com/out.json#/$defs/integer"
+    leaf = ref_target["details"][0]
+    assert leaf["evaluationPath"] == "/properties/refs/$ref/type"
+    assert leaf["valid"] is False
+
+
+def test_allof_branch_units(spark):
+    schema = {"allOf": [{"type": "integer"}, {"minimum": 5}]}
+    got = run(spark, schema, 3)
+    assert got["valid"] is False
+    allof = next(d for d in got["details"]
+                 if d["evaluationPath"] == "/allOf")
+    assert allof["valid"] is False
+    eps = sorted(d["evaluationPath"] for d in allof["details"])
+    assert eps == ["/allOf/0", "/allOf/1"]
+    b0 = next(d for d in allof["details"]
+              if d["evaluationPath"] == "/allOf/0")
+    assert b0["valid"] is True
+    b1 = next(d for d in allof["details"]
+              if d["evaluationPath"] == "/allOf/1")
+    assert b1["valid"] is False
+
+
+def test_contains_annotation_indices(spark):
+    schema = {"contains": {"type": "integer"}}
+    got = run(spark, schema, ["a", 1, "b", 2])
+    cu = next(d for d in got["details"]
+              if d["evaluationPath"] == "/contains")
+    assert cu["valid"] is True and cu["annotations"] == [1, 3]
+
+
+def test_with_output_api(spark):
+    plan = compile_json_schema({"type": "integer"})
+    df = spark.createDataFrame([("1",), ('"s"',)], "j string")
+    out = plan.with_output(df, "j", format="hierarchical")
+    rows = [json.loads(r["output"]) for r in out.collect()]
+    assert rows[0]["valid"] is True and rows[1]["valid"] is False
+    lst = plan.with_output(df, "j", format="list").collect()
+    assert json.loads(lst[1]["output"])["details"][1]["errors"]
+    with pytest.raises(ValueError, match="unknown output format"):
+        plan.with_output(df, "j", format="basic")
+
+
+def test_output_plan_no_shuffle_no_python(spark):
+    plan = OutputPlan({"type": "object",
+                       "properties": {"a": {"type": "integer"}},
+                       "required": ["a"]})
+    df = spark.createDataFrame([('{"a":1}',)], "j string")
+    p = df.select(plan.hierarchical_column(F.col("j")).alias("o")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
