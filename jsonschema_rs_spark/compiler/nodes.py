@@ -29,13 +29,60 @@ def empty_errors() -> Column:
     return F.expr(f"CAST(array() AS {ERR_ARRAY_DDL})")
 
 
-def one_error(path: Column, schema_path: str, keyword: str, message: str) -> Column:
+# message-decorator stack (reference masked_with analog, error.rs:496-516
+# + jsonschema-py mask= kwarg lib.rs:739-750): a plan that wants
+# value-embedding or masked messages pushes a decorator
+# (failing_value_col, template) -> message Column while it builds error
+# columns. Default (empty stack) keeps the engine's static templates,
+# which never embed instance values — the default-safe behavior.
+_MSG_DECORATORS: list = []
+
+
+class message_decorator:
+    """Context manager installing a message decorator for the duration
+    of error-column construction (build-time only — the stack does not
+    exist at executor time)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        _MSG_DECORATORS.append(self.fn)
+        return self
+
+    def __exit__(self, *exc):
+        _MSG_DECORATORS.pop()
+        return False
+
+
+def masked_message(template: str, col: Column, *,
+                   mask: str | None, value_repr=None) -> Column:
+    """Reference-style message head: '<value-or-placeholder> <template>'.
+    mask set → the literal placeholder (never touches the data);
+    otherwise `value_repr(col)` (e.g. to_json) embeds the failing value.
+    """
+    if mask is not None:
+        return F.lit(f"{mask} {template}")
+    if value_repr is None:
+        return F.lit(template)
+    return F.concat(F.coalesce(value_repr(col), F.lit("null")),
+                    F.lit(f" {template}"))
+
+
+def one_error(path: Column, schema_path: str, keyword: str,
+              message, value_col: Column | None = None) -> Column:
+    if isinstance(message, str):
+        msg = F.lit(message)
+        if _MSG_DECORATORS and value_col is not None:
+            msg = _MSG_DECORATORS[-1](value_col, message)
+    else:
+        msg = message
     return F.array(
         F.struct(
             path.alias("instance_path"),
             F.lit(schema_path).alias("schema_path"),
             F.lit(keyword).alias("keyword"),
-            F.lit(message).alias("message"),
+            msg.alias("message"),
         )
     )
 
@@ -79,7 +126,8 @@ class Rule:
                 self.errors_fn(col, path)
             )
         return F.when(self.valid_col(col), empty_errors()).otherwise(
-            one_error(path, self.schema_path, self.keyword, self.message)
+            one_error(path, self.schema_path, self.keyword, self.message,
+                      value_col=col)
         )
 
 

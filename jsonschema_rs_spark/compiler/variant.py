@@ -960,6 +960,24 @@ class CompiledJsonSchema:
         self.options = options
         self._contains_sites = list(ctx.contains_sites)
 
+    def _msg_ctx(self):
+        """Message-decorator scope: masked_with analog (error.rs:496-516;
+        jsonschema-py mask= lib.rs:739-750). mask → placeholder head;
+        message_values → the failing value's JSON text leads the message
+        (to_json over the variant). Default: static templates."""
+        from contextlib import nullcontext
+
+        from jsonschema_rs_spark.compiler.nodes import (
+            masked_message, message_decorator)
+        o = self.options
+        if o.mask is None and not o.message_values:
+            return nullcontext()
+        return message_decorator(
+            lambda col, template: masked_message(
+                template, col, mask=o.mask,
+                value_repr=(lambda c: F.to_json(c))
+                if o.mask is None else None))
+
     def valid_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
         return F.when(json_col.isNull(), F.lit(True)) \
@@ -968,10 +986,12 @@ class CompiledJsonSchema:
 
     def errors_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
-        return F.when(json_col.isNull(), empty_errors()) \
-            .when(v.isNull(),
-                  one_error(F.lit(""), "", "json", "invalid JSON document")) \
-            .otherwise(self.node.errors(v, F.lit("")))
+        with self._msg_ctx():
+            return F.when(json_col.isNull(), empty_errors()) \
+                .when(v.isNull(),
+                      one_error(F.lit(""), "", "json",
+                                "invalid JSON document")) \
+                .otherwise(self.node.errors(v, F.lit("")))
 
     def with_validation(self, df: DataFrame, json_col: str,
                         mode: str = "flag") -> DataFrame:
@@ -995,11 +1015,12 @@ class CompiledJsonSchema:
                 .when(v.isNull(), F.lit(False)) \
                 .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
             out = staged.withColumn("valid", valid)
-            errs = F.when(F.col("valid"), empty_errors()) \
-                .when(v.isNull(),
-                      one_error(F.lit(""), "", "json",
-                                "invalid JSON document")) \
-                .otherwise(self.node.errors(v, F.lit("")))
+            with self._msg_ctx():
+                errs = F.when(F.col("valid"), empty_errors()) \
+                    .when(v.isNull(),
+                          one_error(F.lit(""), "", "json",
+                                    "invalid JSON document")) \
+                    .otherwise(self.node.errors(v, F.lit("")))
             return out.withColumn("errors", errs).drop("__v", "__vt")
         finally:
             _vt_stage().pop()

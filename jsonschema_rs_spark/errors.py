@@ -54,6 +54,12 @@ class ValidationOptions:
     # get_for_draft; referencing specification/mod.rs:54 detection).
     dialect: str | None = None
     mask: str | None = None
+    # reference-style messages that EMBED the failing instance value
+    # ('"oops" is not of type...', error.rs message rendering). Default
+    # False: static templates that never touch the data. mask (above)
+    # takes precedence: with mask set, messages lead with the placeholder
+    # instead of the value — the masked_with analog (error.rs:496-516).
+    message_values: bool = False
     max_ref_depth: int = 8
     draft4_integer: bool = False
     float_multiple_rel_tol: float = 1e-9

@@ -45,9 +45,27 @@ class CompiledSchema:
     def valid_column(self, df: DataFrame) -> Column:
         return self.node.valid(self._target(df))
 
+    def _msg_ctx(self):
+        """Masked_with analog on the typed path (error.rs:496-516):
+        mask → placeholder head; message_values → failing value cast to
+        string leads the message. Default: static templates."""
+        from contextlib import nullcontext
+
+        from jsonschema_rs_spark.compiler.nodes import (
+            masked_message, message_decorator)
+        o = self.options
+        if o.mask is None and not o.message_values:
+            return nullcontext()
+        return message_decorator(
+            lambda col, template: masked_message(
+                template, col, mask=o.mask,
+                value_repr=(lambda c: c.cast("string"))
+                if o.mask is None else None))
+
     def errors_column(self, df: DataFrame) -> Column:
         root = F.lit("")
-        return self.node.errors(self._target(df), root)
+        with self._msg_ctx():
+            return self.node.errors(self._target(df), root)
 
     # -- actions ---------------------------------------------------------------
 
