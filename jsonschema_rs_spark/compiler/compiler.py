@@ -37,6 +37,9 @@ class CompileContext:
             options = dataclasses.replace(options, draft4_integer=True)
         self.options = options
         self._regex_cache: dict[str, str] = {}
+        # compile-path dynamic scope for $dynamicRef (see variant.py /
+        # registry.resolve_dynamic_in_scope)
+        self._dyn_scope: list[str] = []
         # active (ref_pointer, dtype) pairs — structural-progress cycle guard
         self._active_refs: set[tuple[str, str]] = set()
         self.registry = RefRegistry(root_schema, options.resources,
@@ -74,11 +77,25 @@ def compile_node(schema: Any, dt: T.DataType, ctx: CompileContext,
     orig = schema
     schema = ctx.dialect.effective(schema)
 
+    base = ctx.registry.base_of(orig)
+    pushed_scope = not ctx._dyn_scope or ctx._dyn_scope[-1] != base
+    if pushed_scope:
+        ctx._dyn_scope.append(base)
+    try:
+        return _compile_node_body(orig, schema, dt, ctx, sp)
+    finally:
+        if pushed_scope:
+            ctx._dyn_scope.pop()
+
+
+def _compile_node_body(orig: Any, schema: dict, dt: T.DataType,
+                       ctx: CompileContext, sp: str) -> Node:
     rules: list[Rule] = []
 
     for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, orig)),
                          ("$dynamicRef",
-                          lambda r: ctx.registry.resolve_dynamic(r, orig)),
+                          lambda r: ctx.registry.resolve_dynamic_in_scope(
+                              r, orig, ctx._dyn_scope)),
                          ("$recursiveRef",
                           lambda r: ctx.registry.resolve_recursive())):
         if kw not in schema:

@@ -69,6 +69,7 @@ class RefRegistry:
         self.by_uri: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[str, Any] = {}
+        self.dynamic_by_base: dict[tuple[str, str], Any] = {}
         self.recursive_root: Any = None
         self._id_key = "id" if legacy_id else "$id"
         root_base = ""
@@ -132,6 +133,9 @@ class RefRegistry:
             self.anchors[(base, da)] = node
             # pre-order walk → first occurrence is the outermost
             self.dynamic_anchors.setdefault(da, node)
+            # per-resource dynamic anchors: the compile-time dynamic
+            # scope searches these outermost-first (resolver.rs:117)
+            self.dynamic_by_base.setdefault((base, da), node)
         if node.get("$recursiveAnchor") is True and self.recursive_root is None:
             self.recursive_root = node
         for k, v in node.items():
@@ -198,6 +202,31 @@ class RefRegistry:
                 and frag in self.dynamic_anchors:
             return self.dynamic_anchors[frag]
         return self.resolve(ref, referrer)
+
+    def resolve_dynamic_in_scope(self, ref: str, referrer: Any,
+                                 scope: list[str]) -> Any:
+        """`$dynamicRef` with the 2020-12 dynamic-scope search: resolve
+        the initial target like $ref; if the initial target's RESOURCE
+        declares a same-named $dynamicAnchor (the spec's bookending
+        requirement), re-resolve to the OUTERMOST resource in `scope`
+        (the compile path's sequence of entered base URIs) declaring the
+        anchor; otherwise plain $ref semantics. Fixes the r2 global-
+        outermost approximation's sibling-branch divergence
+        (resolver.rs:117, ref_.rs:293)."""
+        _, frag = urldefrag(ref)
+        if frag and not frag.startswith("/"):
+            try:
+                initial = self.resolve(ref, referrer)
+            except SchemaError:
+                return self.resolve_dynamic(ref, referrer)
+            init_base = self.base_of(initial)
+            if (init_base, frag) in self.dynamic_by_base:
+                for base in scope:
+                    node = self.dynamic_by_base.get((base, frag))
+                    if node is not None:
+                        return node
+            return initial
+        return self.resolve_dynamic(ref, referrer)
 
     def resolve_recursive(self) -> Any:
         """`$recursiveRef: "#"` (2019-09): the outermost schema carrying

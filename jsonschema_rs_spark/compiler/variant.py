@@ -210,6 +210,14 @@ class VariantCompileContext:
         self.options = options
         self.dialect = detect_dialect(root, options.dialect)
         self._ref_depth: dict[str, int] = {}
+        # compile-time dynamic scope: the sequence of schema-resource
+        # base URIs entered along the CURRENT compile path. Because refs
+        # are depth-unrolled, every compiled path knows its exact scope,
+        # so $dynamicRef resolves per-branch — two same-named
+        # $dynamicAnchors on sibling branches each win on their own
+        # branch (reference resolver.rs:117, ref_.rs:293; fixes the r2
+        # static outermost-anchor approximation's documented divergence)
+        self._dyn_scope: list[str] = []
         self.registry = RefRegistry(root, options.resources,
                                     legacy_id=self.dialect.legacy_id)
         # (schema_path, contains-Node) sites collected during compile —
@@ -226,6 +234,12 @@ class VariantCompileContext:
         base URI the reference resolves against."""
         return self.registry.resolve(ref, referrer
                                      if referrer is not None else self.root)
+
+    def resolve_dynamic_scoped(self, ref: str, referrer: Any) -> Any:
+        """`$dynamicRef` with the 2020-12 dynamic-scope search over the
+        current compile path (registry.resolve_dynamic_in_scope)."""
+        return self.registry.resolve_dynamic_in_scope(
+            ref, referrer, self._dyn_scope)
 
 
 def compile_variant(schema: Any, ctx: VariantCompileContext,
@@ -245,12 +259,27 @@ def compile_variant(schema: Any, ctx: VariantCompileContext,
     orig = schema
     schema = ctx.dialect.effective(schema)
 
+    # dynamic-scope maintenance: entering a node whose base URI differs
+    # from the top of the scope = entering a new schema resource
+    base = ctx.registry.base_of(orig)
+    pushed_scope = not ctx._dyn_scope or ctx._dyn_scope[-1] != base
+    if pushed_scope:
+        ctx._dyn_scope.append(base)
+    try:
+        return _compile_variant_body(orig, schema, ctx, sp)
+    finally:
+        if pushed_scope:
+            ctx._dyn_scope.pop()
+
+
+def _compile_variant_body(orig: Any, schema: dict,
+                          ctx: VariantCompileContext, sp: str) -> Node:
     rules: list[Rule] = []
     add = rules.append
 
     for kw, resolver in (("$ref", lambda r: ctx.resolve_ref(r, orig)),
                          ("$dynamicRef",
-                          lambda r: ctx.registry.resolve_dynamic(r, orig)),
+                          lambda r: ctx.resolve_dynamic_scoped(r, orig)),
                          ("$recursiveRef",
                           lambda r: ctx.registry.resolve_recursive())):
         if kw in schema:

@@ -340,3 +340,120 @@ def test_enum_values_still_not_walked():
     reg = RefRegistry({"$defs": {"x": {"enum": [{"$anchor": "fake"}]}}})
     with pytest.raises(SchemaError):
         reg.resolve("#fake", {})
+
+
+# -- $dynamicRef sibling-branch rebinding (round 3; ref_.rs:293,
+# -- resolver.rs:117) --------------------------------------------------------
+
+
+SIBLING_DYN_SCHEMA = {
+    "$id": "https://example.com/dyn/root",
+    "oneOf": [
+        {"$id": "str-list", "$ref": "generic-list",
+         "$defs": {"spec": {"$dynamicAnchor": "it", "type": "string"}}},
+        {"$id": "num-list", "$ref": "generic-list",
+         "$defs": {"spec": {"$dynamicAnchor": "it", "type": "number"}}},
+    ],
+    "$defs": {
+        "list": {
+            "$id": "generic-list",
+            "type": "array",
+            "items": {"$dynamicRef": "#it"},
+            "$defs": {"default": {"$dynamicAnchor": "it"}},
+        },
+    },
+}
+
+
+def test_dynamic_ref_sibling_branches_rebind(spark):
+    """Two same-named $dynamicAnchors on SIBLING oneOf branches: each
+    branch's anchor must win on its own compile path — the r2 global-
+    outermost approximation resolved both branches to the first anchor
+    in document order, wrongly rejecting number lists."""
+    check(spark, SIBLING_DYN_SCHEMA, [
+        ('["a", "b"]', True),     # str-list branch matches
+        ('[1, 2]', True),         # num-list branch matches (r2: False)
+        ('[true]', False),        # neither branch matches
+        ('["a", 1]', False),      # mixed: neither branch fully valid
+        ('[]', False),            # BOTH branches match → oneOf fails
+    ])
+
+
+def test_dynamic_ref_sibling_differential_vs_jsonschema(spark):
+    """Differential on the $ref-to-branch form, where python-jsonschema
+    resolves each branch's anchor correctly. (With INLINE oneOf sibling
+    branches python-jsonschema leaks the first branch's resource into
+    the second branch's dynamic scope — verified empirically: the same
+    branches behave correctly when entered via $ref but str-list's
+    anchor wins inside num-list when inline — so the inline form is
+    covered by the spec-derived expectations above instead.)"""
+    import jsonschema
+    import json as _json
+    base = {
+        "$id": "https://example.com/dyn3/root",
+        "$defs": {
+            "list": {"$id": "generic-list", "type": "array",
+                     "items": {"$dynamicRef": "#it"},
+                     "$defs": {"default": {"$dynamicAnchor": "it"}}},
+            "strb": {"$id": "str-list", "$ref": "generic-list",
+                     "$defs": {"spec": {"$dynamicAnchor": "it",
+                                        "type": "string"}}},
+            "numb": {"$id": "num-list", "$ref": "generic-list",
+                     "$defs": {"spec": {"$dynamicAnchor": "it",
+                                        "type": "number"}}},
+        },
+    }
+    docs = [["a"], [1], [True], ["a", 1], [], [1.5], ["x", "y"]]
+    for target in ("str-list", "num-list"):
+        schema = dict(base, **{"$ref": target})
+        v = jsonschema.Draft202012Validator(schema)
+        check(spark, schema,
+              [(_json.dumps(d), v.is_valid(d)) for d in docs])
+
+
+def test_dynamic_ref_official_multiple_paths(spark):
+    """Official-suite 'multiple dynamic paths to the $dynamicRef
+    keyword' case (anchors at the branch-resource roots), differential
+    vs python-jsonschema."""
+    import jsonschema
+    import json as _json
+    schema = {
+        "$id": "https://test.json-schema.org/dyn-multi/main",
+        "$defs": {
+            "inner": {"$id": "inner", "$dynamicAnchor": "foo",
+                      "additionalProperties": {"$dynamicRef": "#foo"}}
+        },
+        "if": {"propertyNames": {"pattern": "^[a-m]"}},
+        "then": {"$id": "anyLeafNode", "$dynamicAnchor": "foo",
+                 "$ref": "inner"},
+        "else": {"$id": "integerNode", "$dynamicAnchor": "foo",
+                 "$ref": "inner",
+                 "if": {"type": "object"}, "else": {"type": "integer"}},
+    }
+    v = jsonschema.Draft202012Validator(schema)
+    docs = [{"alpha": 1.1}, {"november": 1}, {"november": 1.1},
+            {"alpha": {"beta": 2}}, {}]
+    check(spark, schema, [(_json.dumps(d), v.is_valid(d)) for d in docs])
+
+
+def test_dynamic_ref_typical_resolution_still_works(spark):
+    """Official-suite 'typical dynamic resolution' shape (scope search
+    finds the OUTERMOST anchor, the root's)."""
+    schema = {
+        "$id": "https://example.com/dyn2/root",
+        "$ref": "list",
+        "$defs": {
+            "foo": {"$dynamicAnchor": "items", "type": "string"},
+            "list": {
+                "$id": "list",
+                "type": "array",
+                "items": {"$dynamicRef": "#items"},
+                "$defs": {"items": {"$dynamicAnchor": "items"}},
+            },
+        },
+    }
+    import jsonschema
+    import json as _json
+    v = jsonschema.Draft202012Validator(schema)
+    docs = [["a"], [1], [], ["a", "b"], ["a", 1]]
+    check(spark, schema, [(_json.dumps(d), v.is_valid(d)) for d in docs])
