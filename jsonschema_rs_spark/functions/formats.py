@@ -41,8 +41,88 @@ _REL_JSON_POINTER_RE = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
 _DURATION_RE = (
     r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
 )
-_URI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$"
-_URI_REF_RE = r"^[^\s]*$"
+def _build_uri_regexes():
+    """Full RFC 3986 (URI) / RFC 3987 (IRI) grammars as regexes — both
+    are regular languages, so the EXACT check stays a JVM-side `rlike`
+    (codegen'd, no Python). Mirrors the reference's parser-backed
+    is_valid_uri / is_valid_iri (format.rs:896-976) including the
+    complete IPv6address ABNF and RFC 6874 zone-ids in URI hosts.
+
+    IRI = URI grammar with `ucschar` added to unreserved positions and
+    `iprivate` allowed in the query (RFC 3987 §2.2)."""
+    ucs = ("\\x{A0}-\\x{D7FF}\\x{F900}-\\x{FDCF}\\x{FDF0}-\\x{FFEF}"
+           "\\x{10000}-\\x{1FFFD}\\x{20000}-\\x{2FFFD}"
+           "\\x{30000}-\\x{3FFFD}\\x{40000}-\\x{4FFFD}"
+           "\\x{50000}-\\x{5FFFD}\\x{60000}-\\x{6FFFD}"
+           "\\x{70000}-\\x{7FFFD}\\x{80000}-\\x{8FFFD}"
+           "\\x{90000}-\\x{9FFFD}\\x{A0000}-\\x{AFFFD}"
+           "\\x{B0000}-\\x{BFFFD}\\x{C0000}-\\x{CFFFD}"
+           "\\x{D0000}-\\x{DFFFD}\\x{E1000}-\\x{EFFFD}")
+    iprivate = "\\x{E000}-\\x{F8FF}\\x{F0000}-\\x{FFFFD}\\x{100000}-\\x{10FFFD}"
+
+    h16 = "[0-9A-Fa-f]{1,4}"
+    v4 = (r"((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+          r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)")
+    ls32 = f"({h16}:{h16}|{v4})"
+    v6 = "|".join([
+        f"({h16}:){{6}}{ls32}",
+        f"::({h16}:){{5}}{ls32}",
+        f"({h16})?::({h16}:){{4}}{ls32}",
+        f"(({h16}:){{0,1}}{h16})?::({h16}:){{3}}{ls32}",
+        f"(({h16}:){{0,2}}{h16})?::({h16}:){{2}}{ls32}",
+        f"(({h16}:){{0,3}}{h16})?::{h16}:{ls32}",
+        f"(({h16}:){{0,4}}{h16})?::{ls32}",
+        f"(({h16}:){{0,5}}{h16})?::{h16}",
+        f"(({h16}:){{0,6}}{h16})?::",
+    ])
+    vfuture = r"[Vv][0-9A-Fa-f]+\.[A-Za-z0-9._~!$&'()*+,;=:-]+"
+
+    scheme = "[A-Za-z][A-Za-z0-9+.-]*"
+    out = {}
+    for name, extra_unres, extra_q in (("uri", "", ""),
+                                       ("iri", ucs, iprivate)):
+        unres = f"[A-Za-z0-9._~{extra_unres}-]"
+        pct = "%[0-9A-Fa-f]{2}"
+        sub = r"[!$&'()*+,;=]"
+        # RFC 6874: optional %25-escaped zone id on an IPv6 literal
+        zone = f"(%25({unres}|{pct})+)?"
+        ip_lit = f"\\[(({v6}){zone}|{vfuture})\\]"
+        reg_name = f"({unres}|{pct}|{sub})*"
+        userinfo = f"({unres}|{pct}|{sub}|:)*"
+        host = f"({ip_lit}|{v4}|{reg_name})"
+        authority = f"({userinfo}@)?{host}(:\\d*)?"
+        pchar = f"({unres}|{pct}|{sub}|[:@])"
+        pchar_nc = f"({unres}|{pct}|{sub}|@)"   # no-colon (path-noscheme)
+        seg = f"{pchar}*"
+        seg_nz = f"{pchar}+"
+        seg_nz_nc = f"{pchar_nc}+"
+        # hier-part: //authority path-abempty / path-absolute /
+        #            path-rootless / path-empty
+        hier = (f"(//{authority}(/{seg})*"
+                f"|/({seg_nz}(/{seg})*)?"
+                f"|{seg_nz}(/{seg})*"
+                f"|)")
+        # relative-part: like hier-part but the first segment of a
+        # relative path must not contain ":" (path-noscheme)
+        rel = (f"(//{authority}(/{seg})*"
+               f"|/({seg_nz}(/{seg})*)?"
+               f"|{seg_nz_nc}(/{seg})*"
+               f"|)")
+        qchar = f"({pchar}|[/?]" \
+            + (f"|[{extra_q}]" if extra_q else "") + ")"
+        fchar = f"({pchar}|[/?])"
+        tail = f"(\\?{qchar}*)?(#{fchar}*)?$"
+        out[name] = f"^{scheme}:{hier}{tail}"
+        out[name + "-ref"] = f"^({scheme}:{hier}|{rel}){tail}"
+    out["ipv6"] = f"^({v6})$"
+    return out
+
+
+_URI_GRAMMAR = _build_uri_regexes()
+_URI_RE = _URI_GRAMMAR["uri"]
+_URI_REF_RE = _URI_GRAMMAR["uri-ref"]
+_IRI_RE = _URI_GRAMMAR["iri"]
+_IRI_REF_RE = _URI_GRAMMAR["iri-ref"]
 _URI_TEMPLATE_RE = r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|\{[+#./;?&=,!@|]?((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?)(,((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?))*\})*$"
 
 
@@ -63,14 +143,11 @@ def _datetime_valid(c: Column) -> Column:
 
 
 def _ipv6_valid(c: Column) -> Column:
-    # structural check: hex groups + at most one '::'; full RFC 4291
-    # parsing via the Python-`ipaddress` pUDF below when exactness matters
-    groups = r"[0-9A-Fa-f]{1,4}"
-    full = f"^({groups}:){{7}}{groups}$"
-    compressed = (
-        f"^(({groups}(:{groups})*)?)::(({groups}(:{groups})*)?)$"
-    )
-    return c.rlike(full) | (c.rlike(compressed) & (F.length(c) <= 45))
+    # EXACT RFC 4291/3986 IPv6address grammar (r3): all nine ABNF
+    # alternatives incl. IPv4-mapped tails ("::ffff:1.2.3.4"); group
+    # over-runs like "1:2:3:4:5:6:7::8" and zone-ids ("fe80::1%eth0")
+    # are rejected, matching the reference's std-parser behavior
+    return c.rlike(_URI_GRAMMAR["ipv6"])
 
 
 _COLUMN_FORMATS = {
@@ -86,10 +163,11 @@ _COLUMN_FORMATS = {
     "json-pointer": lambda c: c.rlike(_JSON_POINTER_RE),
     "relative-json-pointer": lambda c: c.rlike(_REL_JSON_POINTER_RE),
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != "P") & ~c.endswith("T"),
+    # exact RFC 3986/3987 grammars (see _build_uri_regexes)
     "uri": lambda c: c.rlike(_URI_RE),
     "uri-reference": lambda c: c.rlike(_URI_REF_RE),
-    "iri": lambda c: c.rlike(_URI_RE),
-    "iri-reference": lambda c: c.rlike(_URI_REF_RE),
+    "iri": lambda c: c.rlike(_IRI_RE),
+    "iri-reference": lambda c: c.rlike(_IRI_REF_RE),
     "uri-template": lambda c: c.rlike(_URI_TEMPLATE_RE),
     "idn-hostname": lambda c: F.length(c).between(1, 253),  # refined via pUDF
 }

@@ -695,10 +695,46 @@ g("format", "format ipv6",
   {"type": "string", "format": "ipv6"},
   [("::1", True), ("1:2:3:4:5:6:7:8", True), ("12345::", False),
    ("1:2:3:4:5:6:7:8:9", False), ("fe80::1", True)], **FMT)
+g("format", "format ipv6 exact grammar (r3)",
+  {"type": "string", "format": "ipv6"},
+  [("::", True), ("::ffff:192.168.0.1", True),
+   ("1:2:3:4:5:6:1.2.3.4", True), ("1:2:3:4:5:6::8", True),
+   ("1:2:3:4:5:6:7::8", False),      # 8 groups + :: over-run
+   ("1::2::3", False), (":1:2:3", False),
+   ("fe80::1%eth0", False),          # zone-id not part of the format
+   ("::ffff:1.2.3.444", False), ("1.2.3.4", False)], **FMT)
 g("format", "format uri",
   {"type": "string", "format": "uri"},
   [("https://example.com/a?b=c", True), ("mailto:x@y.z", True),
    ("not a uri", False), ("//missing.scheme", False)], **FMT)
+g("format", "format uri exact RFC 3986 grammar (r3)",
+  {"type": "string", "format": "uri"},
+  [("ldap://[2001:db8::7]/c=GB?objectClass?one", True),
+   ("urn:oasis:names:specification:docbook:dtd:xml:4.1.2", True),
+   ("http://[fe80::1%25eth0]/", True),       # RFC 6874 zone-id
+   ("http://[v1.fe80::a+en1]/", True),       # IPvFuture
+   ("tel:+1-816-555-1212", True),
+   ("http://example.com/?q=a%20b", True),
+   ("1http://foo", False),                   # scheme starts with digit
+   ("http://example.com/path%GGbad", False), # bad pct-encoding
+   ("bar,baz:foo", False),                   # ',' not legal in scheme
+   ("http://2001:db8::7/no-brackets", False)], **FMT)  # port not digits
+g("format", "format uri-reference exact (r3)",
+  {"type": "string", "format": "uri-reference"},
+  [("//foo.bar/", True), ("/abc", True), ("abc", True), ("", True),
+   ("#frag", True), ("?q=1", True),
+   ("bar,baz:foo", False),       # ':' in first relative segment
+   ("\\\\WINDOWS\\share", False)], **FMT)
+g("format", "format iri exact RFC 3987 grammar (r3)",
+  {"type": "string", "format": "iri"},
+  [("http://ƒøø.ßår/?∂éœ=πîx", True), ("http://à.example.com/", True),
+   ("https://example.com/plain", True),
+   ("http://example.com/ space", False),
+   ("//nöscheme.example", False)], **FMT)
+g("format", "format iri-reference exact (r3)",
+  {"type": "string", "format": "iri-reference"},
+  [("//ƒøø.ßår/", True), ("/äbc", True), ("?∂=1", True),
+   ("bär,baz:foo", False)], **FMT)
 g("format", "format hostname",
   {"type": "string", "format": "hostname"},
   [("example.com", True), ("a-b.c-d.e", True), ("-bad.com", False),
