@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "ks_events_value", "chisq_events_halves", "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
     "minhash_pairs", "curate_docs", "sim_topk", "ann_lsh", "ann_ivf",
-    "ndcos_pairs", "rollup_events", "mm_features",
+    "ndcos_pairs", "rollup_events", "mm_features", "output_units_docs",
 ]
 
 

@@ -30,7 +30,7 @@ VECTORS = load_vectors()
 def test_corpus_size():
     assert len(VECTORS) >= 100
     assert sum(len(v["tests"]) for v in VECTORS) >= 400
-    assert len(families()) == 16
+    assert len(families()) == 20  # r3 added draft4/6/7/2019
 
 
 @pytest.mark.parametrize(
@@ -43,7 +43,9 @@ def test_vector(spark, case):
     if case.get("oracle") is not False:
         classes = {"2020-12": jsonschema.Draft202012Validator,
                    "2019-09": jsonschema.Draft201909Validator,
-                   "7": jsonschema.Draft7Validator}
+                   "7": jsonschema.Draft7Validator,
+                   "6": jsonschema.Draft6Validator,
+                   "4": jsonschema.Draft4Validator}
         oracle = classes[case.get("draft", "2020-12")](schema)
         for t in tests:
             assert oracle.is_valid(t["data"]) == t["valid"], \
@@ -51,8 +53,12 @@ def test_vector(spark, case):
 
     docs = [json.dumps(t["data"]) for t in tests]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
-    plan = compile_json_schema(schema,
-                               ValidationOptions(**case.get("options", {})))
+    opts_kw = dict(case.get("options", {}))
+    if "dialect" not in opts_kw and "draft" in case:
+        # mirror suite.py: a draft-pinned group compiles under that
+        # DIALECT so per-draft applicability is what the vector checks
+        opts_kw["dialect"] = case["draft"]
+    plan = compile_json_schema(schema, ValidationOptions(**opts_kw))
     got = [r["valid"] for r in
            plan.with_validation(df, "j", mode="flag").collect()]
     want = [t["valid"] for t in tests]
