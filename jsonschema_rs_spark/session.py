@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Every PySpark API call otherwise walks the Python stack AND
+        # makes an extra JVM round-trip to record the user call site for
+        # error enrichment; schema compilation issues thousands of
+        # Column calls, so this costs whole seconds of driver time per
+        # compiled plan (measured ~15% of output-tree build). Debug
+        # enrichment belongs in dev sessions, not the production path.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
