@@ -27,10 +27,14 @@ Unit semantics matched to the reference:
   engine's static message templates (masking-safe; the spec does not pin
   message text)
 
-Documented deviations (COVERAGE.md): `patternProperties` /
-`additionalProperties` / `propertyNames` / `unevaluated*` emit one
-aggregate unit (validity, no per-name recursion); `not` / `if` emit
-aggregate units without branch detail trees.
+`patternProperties` and `additionalProperties` emit per-matching-name
+subtrees (the property NAME is dynamic, so the child units are built
+inside a `transform` over `map_entries` with the name escaped
+JSON-Pointer-then-JSON on the Column side; the subschema's unit tree is
+still one compile-time expression). Documented deviations
+(COVERAGE.md): `propertyNames` / `unevaluated*` emit one aggregate unit
+(validity, no per-name recursion); `not` / `if` emit aggregate units
+without branch detail trees.
 """
 
 from __future__ import annotations
@@ -78,8 +82,7 @@ _ASSERTIONS: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 # keywords given one AGGREGATE unit (validity only — documented)
-_AGGREGATES = ["patternProperties", "additionalProperties",
-               "propertyNames", "unevaluatedProperties",
+_AGGREGATES = ["propertyNames", "unevaluatedProperties",
                "unevaluatedItems", "not", "if", "dependentSchemas",
                "minContains", "maxContains"]
 
@@ -91,6 +94,26 @@ def _j(s: str) -> str:
 
 def _jbool(c: Column) -> Column:
     return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+
+
+def _name_token(k: Column) -> Column:
+    """A dynamic property-name Column escaped for embedding in the
+    output JSON: JSON-Pointer escape (~ → ~0, / → ~1) for the pointer
+    token, then JSON-string escape (backslash, quote) so the
+    concatenated output stays valid JSON. `F.replace` is literal
+    (no regex), so escape order is the only subtlety."""
+    c = F.replace(k, F.lit("~"), F.lit("~0"))
+    c = F.replace(c, F.lit("/"), F.lit("~1"))
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
+
+
+def _jname(k: Column) -> Column:
+    """A dynamic property-name Column as a quoted JSON string literal
+    (for annotations lists): JSON-escape only, no pointer escape."""
+    c = F.replace(k, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    return F.concat(F.lit('"'), c, F.lit('"'))
 
 
 class OutputPlan:
@@ -318,6 +341,172 @@ class OutputPlan:
                                        annotations=ann)
                 fl_all = F.concat(F.array(flat_self), *prop_flat) \
                     if prop_flat else F.array(flat_self)
+            emit(u, fl_all)
+
+        # patternProperties: per (pattern × matching property) child
+        # subtrees. The property NAME is dynamic, so children are built
+        # inside a transform over map_entries; the subschema's unit tree
+        # is still ONE compile-time expression. evaluationPath carries
+        # the PATTERN (schema traversal), instanceLocation the name.
+        if "patternProperties" in eff \
+                and isinstance(eff["patternProperties"], dict) \
+                and eff["patternProperties"]:
+            m = _as_map(v)
+            entries = F.map_entries(m)
+            jpats = tuple(self.ctx.regex(p)
+                          for p in eff["patternProperties"])
+            kv = self._valid_of(
+                {"patternProperties": eff["patternProperties"]},
+                f"{ep}/patternProperties", v)
+            pat_hier: list[Column] = []
+            pat_flat: list[Column] = []
+            for pat, sub in eff["patternProperties"].items():
+                jpat = self.ctx.regex(pat)
+                pe = pat.replace("~", "~0").replace("/", "~1")
+                ep_kw = f"{ep}/patternProperties/{pe}"
+                if self._want_hier:
+                    def hb(sub=sub, ep_kw=ep_kw, jpat=jpat):
+                        def build(e):
+                            h, _, _ = self._schema_unit_dyn(
+                                sub, ep_kw, e["value"],
+                                F.concat(ip, F.lit("/"),
+                                         _name_token(e["key"])))
+                            return F.when(e["key"].rlike(jpat), h) \
+                                .otherwise(F.lit(None))
+                        return build
+                    pat_hier.append(F.filter(F.transform(entries, hb()),
+                                             lambda x: x.isNotNull()))
+                if self._want_flat:
+                    def fb(sub=sub, ep_kw=ep_kw, jpat=jpat):
+                        def build(e):
+                            _, fl, _ = self._schema_unit_dyn(
+                                sub, ep_kw, e["value"],
+                                F.concat(ip, F.lit("/"),
+                                         _name_token(e["key"])))
+                            return F.when(e["key"].rlike(jpat), fl) \
+                                .otherwise(self._empty())
+                        return build
+                    pat_flat.append(F.flatten(F.transform(entries, fb())))
+
+            def _any_pat(k):
+                out = F.lit(False)
+                for jp in jpats:
+                    out = out | k.rlike(jp)
+                return out
+
+            mnames = F.filter(F.map_keys(m), _any_pat)
+            ann = F.when(_is_object(v),
+                         F.concat(F.lit("["),
+                                  F.array_join(
+                                      F.transform(mnames, _jname), ","),
+                                  F.lit("]")))
+            err = F.lit('"patternProperties":'
+                        '"violates patternProperties"')
+            u = None
+            if self._want_hier:
+                details = F.when(
+                    _is_object(v),
+                    F.array_join(F.concat(*pat_hier), ",")) \
+                    .otherwise(F.lit(""))
+                u = self._unit(kv, f"{ep}/patternProperties",
+                               sl + "/patternProperties", ip,
+                               annotations=ann, errors=err,
+                               details=details)
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, f"{ep}/patternProperties",
+                                       sl + "/patternProperties", ip,
+                                       annotations=ann, errors=err)
+                kids = F.when(_is_object(v), F.concat(*pat_flat)) \
+                    .otherwise(self._empty())
+                fl_all = F.concat(F.array(flat_self), kids)
+            emit(u, fl_all)
+
+        # additionalProperties: per-extra-property child subtrees (names
+        # not claimed by `properties` or any patternProperties pattern)
+        if "additionalProperties" in eff and (
+                isinstance(eff["additionalProperties"], (dict, bool))):
+            ap = eff["additionalProperties"]
+            m = _as_map(v)
+            entries = F.map_entries(m)
+            known = tuple((eff["properties"] or {}).keys()) \
+                if isinstance(eff.get("properties"), dict) else ()
+            ap_jpats = tuple(self.ctx.regex(p)
+                             for p in eff["patternProperties"]) \
+                if isinstance(eff.get("patternProperties"), dict) else ()
+
+            def _is_extra(k):
+                claimed = k.isin(*known) if known else F.lit(False)
+                for jp in ap_jpats:
+                    claimed = claimed | k.rlike(jp)
+                return ~claimed
+
+            sub_node = None if isinstance(ap, bool) \
+                else compile_variant(ap, self.ctx,
+                                     f"{ep}/additionalProperties")
+
+            def _entry_ok(e):
+                if ap is False:
+                    ok = F.lit(False)
+                elif ap is True or sub_node is None \
+                        or not sub_node.rules:
+                    ok = F.lit(True)
+                else:
+                    ok = F.coalesce(sub_node.valid(e["value"]),
+                                    F.lit(False))
+                return F.when(_is_extra(e["key"]), ok) \
+                    .otherwise(F.lit(True))
+
+            kv = ~_is_object(v) | F.forall(entries, _entry_ok)
+            ep_kw = f"{ep}/additionalProperties"
+            sl_kw = sl + "/additionalProperties"
+            if self._want_hier:
+                def ap_hb(ap=ap, ep_kw=ep_kw):
+                    def build(e):
+                        h, _, _ = self._schema_unit_dyn(
+                            ap, ep_kw, e["value"],
+                            F.concat(ip, F.lit("/"),
+                                     _name_token(e["key"])))
+                        return F.when(_is_extra(e["key"]), h) \
+                            .otherwise(F.lit(None))
+                    return build
+                ap_hier = F.filter(F.transform(entries, ap_hb()),
+                                   lambda x: x.isNotNull())
+            if self._want_flat:
+                def ap_fb(ap=ap, ep_kw=ep_kw):
+                    def build(e):
+                        _, fl, _ = self._schema_unit_dyn(
+                            ap, ep_kw, e["value"],
+                            F.concat(ip, F.lit("/"),
+                                     _name_token(e["key"])))
+                        return F.when(_is_extra(e["key"]), fl) \
+                            .otherwise(self._empty())
+                    return build
+                ap_flat = F.flatten(F.transform(entries, ap_fb()))
+            extra_names = F.filter(F.map_keys(m), _is_extra)
+            ann = F.when(_is_object(v),
+                         F.concat(F.lit("["),
+                                  F.array_join(
+                                      F.transform(extra_names, _jname),
+                                      ","),
+                                  F.lit("]")))
+            err = F.lit('"additionalProperties":'
+                        '"violates additionalProperties"')
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, ep_kw, sl_kw, ip,
+                               annotations=ann, errors=err,
+                               details=F.when(
+                                   _is_object(v),
+                                   F.array_join(ap_hier, ","))
+                               .otherwise(F.lit("")))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, ep_kw, sl_kw, ip,
+                                       annotations=ann, errors=err)
+                kids = F.when(_is_object(v), ap_flat) \
+                    .otherwise(self._empty())
+                fl_all = F.concat(F.array(flat_self), kids)
             emit(u, fl_all)
 
         # prefixItems / array-form items: per-index units + annotation

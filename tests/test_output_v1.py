@@ -196,3 +196,83 @@ def test_output_plan_no_shuffle_no_python(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_pattern_properties_per_name_subtrees(spark):
+    """Each property matching a pattern gets its own child unit subtree:
+    evaluationPath carries the PATTERN (schema traversal), the
+    instanceLocation the property name (evaluation.rs hierarchical
+    semantics for patternProperties applications)."""
+    schema = {"type": "object",
+              "properties": {"name": {"type": "string"}},
+              "patternProperties": {"^x-": {"type": "integer"}},
+              "additionalProperties": {"type": "boolean"}}
+    got = run(spark, schema,
+              {"name": "a", "x-one": 1, "x-bad": "no", "extra": True})
+    pp = next(d for d in got["details"]
+              if d["evaluationPath"] == "/patternProperties")
+    assert pp["valid"] is False
+    assert pp["droppedAnnotations"] is True
+    kids = {c["instanceLocation"]: c["valid"] for c in pp["details"]}
+    assert kids == {"/x-one": True, "/x-bad": False}
+    bad = next(c for c in pp["details"]
+               if c["instanceLocation"] == "/x-bad")
+    leaf = bad["details"][0]
+    assert leaf["evaluationPath"] == "/patternProperties/^x-/type"
+    assert leaf["schemaLocation"] == "/patternProperties/^x-/type"
+    assert "type" in leaf["errors"]
+
+    ap = next(d for d in got["details"]
+              if d["evaluationPath"] == "/additionalProperties")
+    assert ap["valid"] is True
+    assert ap["annotations"] == ["extra"]
+    assert [c["instanceLocation"] for c in ap["details"]] == ["/extra"]
+
+
+def test_pattern_properties_annotations_valid(spark):
+    schema = {"patternProperties": {"^x-": {"type": "integer"}}}
+    got = run(spark, schema, {"x-a": 1, "x-b": 2, "other": "s"})
+    pp = next(d for d in got["details"]
+              if d["evaluationPath"] == "/patternProperties")
+    assert pp["valid"] is True
+    assert sorted(pp["annotations"]) == ["x-a", "x-b"]
+    assert {c["instanceLocation"] for c in pp["details"]} \
+        == {"/x-a", "/x-b"}
+
+
+def test_additional_properties_false_per_name(spark):
+    schema = {"properties": {"a": {}}, "additionalProperties": False}
+    got = run(spark, schema, {"a": 1, "b": 2})
+    ap = next(d for d in got["details"]
+              if d["evaluationPath"] == "/additionalProperties")
+    assert ap["valid"] is False
+    kid = ap["details"][0]
+    assert kid["instanceLocation"] == "/b" and kid["valid"] is False
+    assert "false" in kid["errors"]
+
+
+def test_per_name_subtree_escaping(spark):
+    """Names containing /, ~, quotes, and backslashes are JSON-Pointer
+    escaped in instanceLocation and JSON-escaped in the output string."""
+    schema = {"patternProperties": {"": {"type": "integer"}}}
+    got = run(spark, schema, {'a/b"q\\r~s': 3})
+    pp = next(d for d in got["details"]
+              if d["evaluationPath"] == "/patternProperties")
+    assert pp["details"][0]["instanceLocation"] == '/a~1b"q\\r~0s'
+    assert got["valid"] is True
+
+
+def test_per_name_subtrees_in_list_format(spark):
+    schema = {"patternProperties": {"^x-": {"type": "integer"}},
+              "additionalProperties": {"type": "boolean"}}
+    plan = OutputPlan(schema)
+    df = spark.createDataFrame(
+        [(json.dumps({"x-a": 1, "zzz": "bad"}),)], "j string")
+    out = json.loads(
+        df.select(plan.list_column(F.col("j")).alias("o")).first()["o"])
+    assert out["valid"] is False
+    locs = {(d["evaluationPath"], d["instanceLocation"])
+            for d in out["details"]}
+    assert ("/patternProperties/^x-", "/x-a") in locs
+    assert ("/additionalProperties", "/zzz") in locs
+    assert ("/additionalProperties/type", "/zzz") in locs
