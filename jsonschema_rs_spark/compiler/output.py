@@ -27,14 +27,17 @@ Unit semantics matched to the reference:
   engine's static message templates (masking-safe; the spec does not pin
   message text)
 
-`patternProperties` and `additionalProperties` emit per-matching-name
-subtrees (the property NAME is dynamic, so the child units are built
-inside a `transform` over `map_entries` with the name escaped
-JSON-Pointer-then-JSON on the Column side; the subschema's unit tree is
-still one compile-time expression). Documented deviations
-(COVERAGE.md): `propertyNames` / `unevaluated*` emit one aggregate unit
-(validity, no per-name recursion); `not` / `if` emit aggregate units
-without branch detail trees.
+`patternProperties` / `additionalProperties` / `unevaluatedProperties`
+emit per-matching-name subtrees (the property NAME is dynamic, so the
+child units are built inside a `transform` over `map_entries` with the
+name escaped JSON-Pointer-then-JSON on the Column side; the subschema's
+unit tree is still one compile-time expression), and `unevaluatedItems`
+emits per-unevaluated-index subtrees; both unevaluated* units use the
+validator's own dynamic validity-conditioned coverage walk, so their
+validity is keyword-accurate. Documented deviations (COVERAGE.md):
+`propertyNames` emits one aggregate unit (validity, no per-name
+recursion); `not` / `if` emit aggregate units without branch detail
+trees.
 """
 
 from __future__ import annotations
@@ -49,8 +52,10 @@ from jsonschema_rs_spark.compiler.variant import (
     VariantCompileContext,
     _as_array,
     _as_map,
+    _index_coverage,
     _is_array,
     _is_object,
+    _key_coverage,
     compile_variant,
 )
 from jsonschema_rs_spark.errors import ValidationOptions
@@ -82,8 +87,7 @@ _ASSERTIONS: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 # keywords given one AGGREGATE unit (validity only — documented)
-_AGGREGATES = ["propertyNames", "unevaluatedProperties",
-               "unevaluatedItems", "not", "if", "dependentSchemas",
+_AGGREGATES = ["propertyNames", "not", "if", "dependentSchemas",
                "minContains", "maxContains"]
 
 
@@ -289,8 +293,6 @@ class OutputPlan:
                          if k in eff}
             elif kw in ("minContains", "maxContains"):
                 continue  # folded into the contains unit below
-            elif kw in ("unevaluatedProperties", "unevaluatedItems"):
-                micro = dict(eff)  # needs full sibling context
             else:
                 micro = {kw: eff[kw]}
             kv = self._valid_of(micro, f"{ep}/{kw}", v)
@@ -509,6 +511,87 @@ class OutputPlan:
                 fl_all = F.concat(F.array(flat_self), kids)
             emit(u, fl_all)
 
+        # unevaluatedProperties: per-UNEVALUATED-name child subtrees.
+        # Coverage is the same dynamic validity-conditioned walk the
+        # validator uses (_key_coverage over the sibling schema), so the
+        # unit's validity is keyword-accurate (it no longer inherits
+        # whole-schema validity as the old aggregate form did).
+        if "unevaluatedProperties" in eff:
+            up = eff["unevaluatedProperties"]
+            sibling = dict(eff)
+            sibling.pop("unevaluatedProperties")
+            cov = _key_coverage(sibling, self.ctx)
+            m = _as_map(v)
+            entries = F.map_entries(m)
+            ep_kw = f"{ep}/unevaluatedProperties"
+            sl_kw = sl + "/unevaluatedProperties"
+            up_node = None if isinstance(up, bool) \
+                else compile_variant(up, self.ctx, ep_kw)
+
+            def _is_uncov(k):
+                return ~F.coalesce(cov(v, k), F.lit(False))
+
+            def _up_entry_ok(e):
+                if up is False:
+                    ok = F.lit(False)
+                elif up is True or up_node is None or not up_node.rules:
+                    ok = F.lit(True)
+                else:
+                    ok = F.coalesce(up_node.valid(e["value"]),
+                                    F.lit(False))
+                return F.when(_is_uncov(e["key"]), ok) \
+                    .otherwise(F.lit(True))
+
+            kv = ~_is_object(v) | F.forall(entries, _up_entry_ok)
+            if self._want_hier:
+                def up_hb(up=up, ep_kw=ep_kw):
+                    def build(e):
+                        h, _, _ = self._schema_unit_dyn(
+                            up, ep_kw, e["value"],
+                            F.concat(ip, F.lit("/"),
+                                     _name_token(e["key"])))
+                        return F.when(_is_uncov(e["key"]), h) \
+                            .otherwise(F.lit(None))
+                    return build
+                up_hier = F.filter(F.transform(entries, up_hb()),
+                                   lambda x: x.isNotNull())
+            if self._want_flat:
+                def up_fb(up=up, ep_kw=ep_kw):
+                    def build(e):
+                        _, fl, _ = self._schema_unit_dyn(
+                            up, ep_kw, e["value"],
+                            F.concat(ip, F.lit("/"),
+                                     _name_token(e["key"])))
+                        return F.when(_is_uncov(e["key"]), fl) \
+                            .otherwise(self._empty())
+                    return build
+                up_flat = F.flatten(F.transform(entries, up_fb()))
+            uncov_names = F.filter(F.map_keys(m), _is_uncov)
+            ann = F.when(_is_object(v),
+                         F.concat(F.lit("["),
+                                  F.array_join(
+                                      F.transform(uncov_names, _jname),
+                                      ","),
+                                  F.lit("]")))
+            err = F.lit('"unevaluatedProperties":'
+                        '"violates unevaluatedProperties"')
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, ep_kw, sl_kw, ip,
+                               annotations=ann, errors=err,
+                               details=F.when(
+                                   _is_object(v),
+                                   F.array_join(up_hier, ","))
+                               .otherwise(F.lit("")))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, ep_kw, sl_kw, ip,
+                                       annotations=ann, errors=err)
+                kids = F.when(_is_object(v), up_flat) \
+                    .otherwise(self._empty())
+                fl_all = F.concat(F.array(flat_self), kids)
+            emit(u, fl_all)
+
         # prefixItems / array-form items: per-index units + annotation
         prefix = None
         if "prefixItems" in eff and isinstance(eff["prefixItems"], list):
@@ -635,6 +718,80 @@ class OutputPlan:
                            .otherwise(F.lit("[]")),
                            errors=F.lit('"contains":"violates contains"'))
             emit(u, F.array(u) if self._want_flat else None)
+
+        # unevaluatedItems: per-UNEVALUATED-index child subtrees, with
+        # the validator's own dynamic index coverage (_index_coverage
+        # over the sibling schema — prefixItems/items/contains plus
+        # validity-conditioned in-place applicators).
+        if "unevaluatedItems" in eff:
+            ui = eff["unevaluatedItems"]
+            sibling = dict(eff)
+            sibling.pop("unevaluatedItems")
+            icov = _index_coverage(sibling, self.ctx)
+            arr = _as_array(v)
+            ep_kw = f"{ep}/unevaluatedItems"
+            sl_kw = sl + "/unevaluatedItems"
+            ui_node = None if isinstance(ui, bool) \
+                else compile_variant(ui, self.ctx, ep_kw)
+
+            def _idx_uncov(x, i):
+                return ~F.coalesce(icov(v, i, x), F.lit(False))
+
+            def _ui_elem_ok(x, i):
+                if ui is False:
+                    ok = F.lit(False)
+                elif ui is True or ui_node is None or not ui_node.rules:
+                    ok = F.lit(True)
+                else:
+                    ok = F.coalesce(ui_node.valid(x), F.lit(False))
+                return F.when(_idx_uncov(x, i), ok).otherwise(F.lit(True))
+
+            kv = ~_is_array(v) | F.forall(
+                F.transform(arr, _ui_elem_ok), lambda b: b)
+            applied = _is_array(v) & F.exists(
+                F.transform(arr, _idx_uncov), lambda b: b)
+            if self._want_hier:
+                def ui_hb(ui=ui, ep_kw=ep_kw):
+                    def build(x, i):
+                        h, _, _ = self._schema_unit_dyn(
+                            ui, ep_kw, x,
+                            F.concat(ip, F.lit("/"), i.cast("string")))
+                        return F.when(_idx_uncov(x, i), h) \
+                            .otherwise(F.lit(None))
+                    return build
+                ui_hier = F.filter(F.transform(arr, ui_hb()),
+                                   lambda x: x.isNotNull())
+            if self._want_flat:
+                def ui_fb(ui=ui, ep_kw=ep_kw):
+                    def build(x, i):
+                        _, fl, _ = self._schema_unit_dyn(
+                            ui, ep_kw, x,
+                            F.concat(ip, F.lit("/"), i.cast("string")))
+                        return F.when(_idx_uncov(x, i), fl) \
+                            .otherwise(self._empty())
+                    return build
+                ui_flat = F.flatten(F.transform(arr, ui_fb()))
+            err = F.lit('"unevaluatedItems":'
+                        '"violates unevaluatedItems"')
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, ep_kw, sl_kw, ip,
+                               annotations=F.when(applied, F.lit("true")),
+                               annotates=True, errors=err,
+                               details=F.when(
+                                   _is_array(v),
+                                   F.array_join(ui_hier, ","))
+                               .otherwise(F.lit("")))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, ep_kw, sl_kw, ip,
+                                       annotations=F.when(applied,
+                                                          F.lit("true")),
+                                       annotates=True, errors=err)
+                kids = F.when(_is_array(v), ui_flat) \
+                    .otherwise(self._empty())
+                fl_all = F.concat(F.array(flat_self), kids)
+            emit(u, fl_all)
 
         # combinators: branch subschema units
         for kw in ("allOf", "anyOf", "oneOf"):

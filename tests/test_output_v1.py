@@ -276,3 +276,96 @@ def test_per_name_subtrees_in_list_format(spark):
     assert ("/patternProperties/^x-", "/x-a") in locs
     assert ("/additionalProperties", "/zzz") in locs
     assert ("/additionalProperties/type", "/zzz") in locs
+
+
+def test_unevaluated_properties_per_name_subtrees(spark):
+    """Keys not claimed by properties / a VALID allOf branch get their
+    own child unit subtree under /unevaluatedProperties; the unit's
+    validity is keyword-accurate (not whole-schema validity)."""
+    schema = {"properties": {"a": {"type": "integer"}},
+              "allOf": [{"properties": {"b": {"type": "string"}}}],
+              "unevaluatedProperties": {"type": "boolean"}}
+    got = run(spark, schema, {"a": 1, "b": "s", "c": True, "d": 2})
+    up = next(d for d in got["details"]
+              if d["evaluationPath"] == "/unevaluatedProperties")
+    assert up["valid"] is False          # d=2 is not a boolean
+    assert up["droppedAnnotations"] is True
+    kids = {c["instanceLocation"]: c["valid"] for c in up["details"]}
+    assert kids == {"/c": True, "/d": False}
+    bad = next(c for c in up["details"]
+               if c["instanceLocation"] == "/d")
+    leaf = bad["details"][0]
+    assert leaf["evaluationPath"] == "/unevaluatedProperties/type"
+
+
+def test_unevaluated_properties_annotations_and_failed_branch(spark):
+    """A FAILED in-place branch does not claim its keys (2020-12
+    validity-conditioned coverage), so they fall to
+    unevaluatedProperties — whose annotation lists them when valid."""
+    schema = {"anyOf": [{"properties": {"x": {"type": "integer"}},
+                         "required": ["x"]},
+                        {"required": ["y"]}],
+              "unevaluatedProperties": {"type": "integer"}}
+    # branch 1 fails (x missing) -> y unclaimed by coverage of branch 1;
+    # branch 2 valid but covers nothing
+    got = run(spark, schema, {"y": 7})
+    up = next(d for d in got["details"]
+              if d["evaluationPath"] == "/unevaluatedProperties")
+    assert up["valid"] is True
+    assert up["annotations"] == ["y"]
+    assert [c["instanceLocation"] for c in up["details"]] == ["/y"]
+
+
+def test_unevaluated_properties_keyword_accurate_validity(spark):
+    """Sibling keyword fails but unevaluatedProperties itself passes:
+    the unit must be valid (old aggregate form inherited the failure)."""
+    schema = {"properties": {"a": {"type": "integer"}},
+              "unevaluatedProperties": False}
+    got = run(spark, schema, {"a": "not-an-int"})
+    up = next(d for d in got["details"]
+              if d["evaluationPath"] == "/unevaluatedProperties")
+    assert up["valid"] is True
+    assert got["valid"] is False
+
+
+def test_unevaluated_items_per_index_subtrees(spark):
+    schema = {"prefixItems": [{"type": "integer"}],
+              "unevaluatedItems": {"type": "string"}}
+    got = run(spark, schema, [1, "ok", 3])
+    ui = next(d for d in got["details"]
+              if d["evaluationPath"] == "/unevaluatedItems")
+    assert ui["valid"] is False          # index 2 is not a string
+    kids = {c["instanceLocation"]: c["valid"] for c in ui["details"]}
+    assert kids == {"/1": True, "/2": False}
+    leaf = next(c for c in ui["details"]
+                if c["instanceLocation"] == "/2")["details"][0]
+    assert leaf["evaluationPath"] == "/unevaluatedItems/type"
+
+
+def test_unevaluated_items_contains_coverage(spark):
+    """Elements matched by `contains` are evaluated, so only the rest
+    reach unevaluatedItems."""
+    schema = {"contains": {"type": "integer"},
+              "unevaluatedItems": {"type": "boolean"}}
+    got = run(spark, schema, [1, True, 2, False])
+    ui = next(d for d in got["details"]
+              if d["evaluationPath"] == "/unevaluatedItems")
+    assert ui["valid"] is True
+    assert ui["annotations"] is True
+    assert {c["instanceLocation"] for c in ui["details"]} \
+        == {"/1", "/3"}
+
+
+def test_unevaluated_in_list_format(spark):
+    schema = {"properties": {"a": {}},
+              "unevaluatedProperties": {"type": "integer"}}
+    plan = OutputPlan(schema)
+    df = spark.createDataFrame(
+        [(json.dumps({"a": 1, "z": "bad"}),)], "j string")
+    out = json.loads(
+        df.select(plan.list_column(F.col("j")).alias("o")).first()["o"])
+    assert out["valid"] is False
+    locs = {(d["evaluationPath"], d["instanceLocation"])
+            for d in out["details"]}
+    assert ("/unevaluatedProperties", "/z") in locs
+    assert ("/unevaluatedProperties/type", "/z") in locs
