@@ -324,3 +324,37 @@ def test_ivf_lloyd_refinement_runs(spark):
     exact = sim.brute_force_topk(emb, q, k=3)
     assert {(r["query_id"], r["neighbor_id"]) for r in full.collect()} \
         == {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+
+def test_adaptive_banding_selection():
+    """Selection math: boundary recall >= target, b <= max_bands, and
+    r maximal (the next r would need more than max_bands bands)."""
+    import math
+    for th in (0.5, 0.8, 0.9, 0.95):
+        b, r = sim.adaptive_banding(th)
+        p = 1 - math.acos(th) / math.pi
+        recall = 1 - (1 - p ** r) ** b
+        assert recall >= 0.995, (th, b, r, recall)
+        assert b <= 64
+        if r < 16:  # next r must not fit (r is maximal)
+            need = math.ceil(math.log(0.005) / math.log(1 - p ** (r + 1)))
+            assert need > 64, (th, r, need)
+    # higher threshold -> wider ANDs (more selective)
+    assert sim.adaptive_banding(0.9)[1] > sim.adaptive_banding(0.5)[1]
+    with pytest.raises(ValueError):
+        sim.adaptive_banding(0.5, target_recall=1.5)
+
+
+def test_near_duplicates_auto_banding(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.normal(0, 1, 16)
+    rows = [(0, base.tolist()), (1, (base + 0.01).tolist())] + [
+        (i, rng.normal(0, 1, 16).tolist()) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.near_duplicates_by_cosine(df, threshold=0.95, dim=16,
+                                        bands="auto").collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    with pytest.raises(ValueError):
+        sim.near_duplicates_by_cosine(df, threshold=0.95, dim=16,
+                                      bands="auto", n_planes=12)
