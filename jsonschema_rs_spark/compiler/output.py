@@ -34,10 +34,13 @@ name escaped JSON-Pointer-then-JSON on the Column side; the subschema's
 unit tree is still one compile-time expression), and `unevaluatedItems`
 emits per-unevaluated-index subtrees; both unevaluated* units use the
 validator's own dynamic validity-conditioned coverage walk, so their
-validity is keyword-accurate. Documented deviations (COVERAGE.md):
-`propertyNames` emits one aggregate unit (validity, no per-name
-recursion); `not` / `if` emit aggregate units without branch detail
-trees.
+validity is keyword-accurate. `propertyNames` emits one child subtree
+per property name (the name lifted to a string instance, as the
+reference does — property_names.rs:26); `not` nests its subschema's
+tree and inverts validity; `if`/`then`/`else` and `dependentSchemas`
+nest their branch trees, conditioned on the `if` outcome / trigger-key
+presence. Remaining deviation: error messages are engine templates (the
+spec does not pin message text).
 """
 
 from __future__ import annotations
@@ -86,9 +89,6 @@ _ASSERTIONS: list[tuple[str, tuple[str, ...]]] = [
     ("contentMediaType", ()),
 ]
 
-# keywords given one AGGREGATE unit (validity only — documented)
-_AGGREGATES = ["propertyNames", "not", "if", "dependentSchemas",
-               "minContains", "maxContains"]
 
 
 def _j(s: str) -> str:
@@ -284,22 +284,117 @@ class OutputPlan:
                            errors=F.lit(f'"{_j(kw)}":"{msg}"'))
             emit(u, F.array(u) if self._want_flat else None)
 
-        # aggregate-only units (documented deviation: no per-name tree)
-        for kw in _AGGREGATES:
-            if kw not in eff:
-                continue
-            if kw == "if":
-                micro = {k: eff[k] for k in ("if", "then", "else")
-                         if k in eff}
-            elif kw in ("minContains", "maxContains"):
-                continue  # folded into the contains unit below
-            else:
-                micro = {kw: eff[kw]}
-            kv = self._valid_of(micro, f"{ep}/{kw}", v)
-            msg = _j(f"violates {kw}")
-            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                           errors=F.lit(f'"{_j(kw)}":"{msg}"'))
-            emit(u, F.array(u) if self._want_flat else None)
+        # not: child subtree = the subschema evaluated in place; the
+        # `not` unit inverts its validity
+        if "not" in eff:
+            h, fl, sv = self._schema_unit(eff["not"], f"{ep}/not", v, ip)
+            kv = ~sv
+            err = F.lit('"not":"violates not"')
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, f"{ep}/not", sl + "/not", ip,
+                               errors=err, details=h)
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, f"{ep}/not", sl + "/not", ip,
+                                       errors=err)
+                fl_all = F.concat(F.array(flat_self), fl)
+            emit(u, fl_all)
+
+        # if / then / else: the `if` unit always appears (its validity is
+        # the subschema's — a failing `if` is not an error for the
+        # parent); `then` appears only when `if` passed, `else` only when
+        # it failed
+        if "if" in eff:
+            if_h, if_fl, if_ok = self._schema_unit(
+                eff["if"], f"{ep}/if", v, ip)
+            emit(if_h, if_fl)
+            for bkw, active in (("then", if_ok), ("else", ~if_ok)):
+                if bkw not in eff:
+                    continue
+                h, fl, sv = self._schema_unit(
+                    eff[bkw], f"{ep}/{bkw}", v, ip)
+                if self._want_hier:
+                    h = F.when(active, h).otherwise(F.lit(None))
+                if self._want_flat:
+                    fl = F.when(active, fl).otherwise(self._empty())
+                emit(h, fl)
+
+        # dependentSchemas: per-trigger-key subtree, applied in place
+        # only when the key is present
+        if "dependentSchemas" in eff \
+                and isinstance(eff["dependentSchemas"], dict):
+            for dk, sub in eff["dependentSchemas"].items():
+                dke = dk.replace("~", "~0").replace("/", "~1")
+                present = _is_object(v) & F.try_element_at(
+                    _as_map(v), F.lit(dk)).isNotNull()
+                h, fl, sv = self._schema_unit(
+                    sub, f"{ep}/dependentSchemas/{dke}", v, ip)
+                if self._want_hier:
+                    h = F.when(present, h).otherwise(F.lit(None))
+                if self._want_flat:
+                    fl = F.when(present, fl).otherwise(self._empty())
+                emit(h, fl)
+
+        # propertyNames: per-name child subtrees — the subschema applies
+        # to each property NAME lifted to a string instance (the
+        # reference wraps the name the same way, property_names.rs:26-47;
+        # instanceLocation stays the parent object, names are not
+        # addressable by JSON Pointer)
+        if "propertyNames" in eff:
+            pn = eff["propertyNames"]
+            m = _as_map(v)
+            keys = F.map_keys(m)
+            ep_kw = f"{ep}/propertyNames"
+            sl_kw = sl + "/propertyNames"
+            pn_node = None if isinstance(pn, bool) \
+                else compile_variant(pn, self.ctx, ep_kw)
+
+            def _lift(k):
+                # plain string key -> variant (established pn_pred idiom)
+                return F.try_element_at(
+                    _as_array(F.try_parse_json(F.to_json(F.array(k)))),
+                    F.lit(1))
+
+            def _name_ok(k):
+                if pn is False:
+                    return F.lit(False)
+                if pn is True or pn_node is None or not pn_node.rules:
+                    return F.lit(True)
+                return F.coalesce(pn_node.valid(_lift(k)), F.lit(False))
+
+            kv = ~_is_object(v) | F.forall(keys, _name_ok)
+            if self._want_hier:
+                def pn_hb(pn=pn, ep_kw=ep_kw):
+                    def build(k):
+                        h, _, _ = self._schema_unit_dyn(
+                            pn, ep_kw, _lift(k), ip)
+                        return h
+                    return build
+                pn_hier = F.transform(keys, pn_hb())
+            if self._want_flat:
+                def pn_fb(pn=pn, ep_kw=ep_kw):
+                    def build(k):
+                        _, fl, _ = self._schema_unit_dyn(
+                            pn, ep_kw, _lift(k), ip)
+                        return fl
+                    return build
+                pn_flat = F.flatten(F.transform(keys, pn_fb()))
+            err = F.lit('"propertyNames":"violates propertyNames"')
+            u = None
+            if self._want_hier:
+                u = self._unit(kv, ep_kw, sl_kw, ip, errors=err,
+                               details=F.when(
+                                   _is_object(v),
+                                   F.array_join(pn_hier, ","))
+                               .otherwise(F.lit("")))
+            fl_all = None
+            if self._want_flat:
+                flat_self = self._unit(kv, ep_kw, sl_kw, ip, errors=err)
+                kids = F.when(_is_object(v), pn_flat) \
+                    .otherwise(self._empty())
+                fl_all = F.concat(F.array(flat_self), kids)
+            emit(u, fl_all)
 
         # properties: per-present-property subschema units + annotation
         if "properties" in eff and isinstance(eff["properties"], dict):

@@ -369,3 +369,74 @@ def test_unevaluated_in_list_format(spark):
             for d in out["details"]}
     assert ("/unevaluatedProperties", "/z") in locs
     assert ("/unevaluatedProperties/type", "/z") in locs
+
+
+def test_not_nested_branch_tree(spark):
+    schema = {"not": {"type": "integer"}}
+    got = run(spark, schema, 5)
+    nu = next(d for d in got["details"]
+              if d["evaluationPath"] == "/not")
+    assert nu["valid"] is False and "not" in nu["errors"]
+    kid = nu["details"][0]
+    assert kid["evaluationPath"] == "/not" and kid["valid"] is True
+    leaf = kid["details"][0]
+    assert leaf["evaluationPath"] == "/not/type" and leaf["valid"] is True
+    # passing case: child subtree shows the failed subschema
+    got = run(spark, schema, "s")
+    nu = next(d for d in got["details"]
+              if d["evaluationPath"] == "/not")
+    assert nu["valid"] is True
+    assert nu["details"][0]["valid"] is False
+
+
+def test_if_then_else_branch_trees(spark):
+    schema = {"if": {"type": "integer"},
+              "then": {"minimum": 10},
+              "else": {"type": "string"}}
+    got = run(spark, schema, 5)           # if passes, then fails
+    eps = {d["evaluationPath"]: d["valid"] for d in got["details"]}
+    assert eps["/if"] is True and eps["/then"] is False
+    assert "/else" not in eps
+    assert got["valid"] is False
+    got = run(spark, schema, True)        # if fails, else fails
+    eps = {d["evaluationPath"]: d["valid"] for d in got["details"]}
+    assert eps["/if"] is False            # reported, but not a parent error
+    assert eps["/else"] is False and "/then" not in eps
+    assert got["valid"] is False
+    got = run(spark, schema, "ok")        # if fails, else passes
+    eps = {d["evaluationPath"]: d["valid"] for d in got["details"]}
+    assert eps["/if"] is False and eps["/else"] is True
+    assert got["valid"] is True
+
+
+def test_dependent_schemas_branch_trees(spark):
+    schema = {"dependentSchemas": {
+        "credit": {"required": ["billing"]},
+        "other": {"required": ["nope"]}}}
+    got = run(spark, schema, {"credit": 1})
+    eps = {d["evaluationPath"]: d for d in got["details"]}
+    ds = eps["/dependentSchemas/credit"]
+    assert ds["valid"] is False
+    leaf = ds["details"][0]
+    assert leaf["evaluationPath"] == "/dependentSchemas/credit/required"
+    assert "/dependentSchemas/other" not in eps   # trigger absent
+    assert got["valid"] is False
+
+
+def test_property_names_per_name_subtrees(spark):
+    schema = {"propertyNames": {"maxLength": 2}}
+    got = run(spark, schema, {"ok": 1, "toolong": 2})
+    pn = next(d for d in got["details"]
+              if d["evaluationPath"] == "/propertyNames")
+    assert pn["valid"] is False and "propertyNames" in pn["errors"]
+    kids = [c["valid"] for c in pn["details"]]
+    assert sorted(kids) == [False, True]
+    bad = next(c for c in pn["details"] if not c["valid"])
+    leaf = bad["details"][0]
+    assert leaf["evaluationPath"] == "/propertyNames/maxLength"
+    assert leaf["instanceLocation"] == ""   # names are not addressable
+    # all names pass
+    got = run(spark, schema, {"a": 1, "b": 2})
+    pn = next(d for d in got["details"]
+              if d["evaluationPath"] == "/propertyNames")
+    assert pn["valid"] is True and len(pn["details"]) == 2
