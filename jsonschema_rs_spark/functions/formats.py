@@ -2,9 +2,10 @@
 
 The reference implements 18 built-in formats in Rust (dispatch at
 crates/jsonschema/src/keywords/format.rs:1218-1238); here the cheap ones
-are pure Column expressions (regex + try-casts, JVM-side, codegen'd), and
-only RFC-exotic corners (IDN hostnames, leap-second edge semantics) fall
-back to a batched Arrow pandas UDF. Formats assert only when
+are pure Column expressions (regex + try-casts, JVM-side, codegen'd) —
+including the offset-exact leap-second rule for time/date-time
+(format.rs:412-432: `:60` only at UTC 23:59) — and only IDN hostnames
+fall back to a batched Arrow pandas UDF. Formats assert only when
 options.validate_formats=True, matching the 2020-12 default
 (compiler.rs:271-276).
 """
@@ -132,14 +133,36 @@ def _date_valid(c: Column) -> Column:
     return c.rlike(_DATE_RE) & F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).isNotNull()
 
 
+def _leap_second_ok(c: Column, time_start: int) -> Column:
+    """RFC 3339 / format.rs:412-432,491: a `:60` second is valid only
+    when the time-of-day converted to UTC is 23:59. `time_start` is the
+    1-based position of HH in the string (1 for `time`, 12 for
+    `date-time` — the offset always terminates the string as `Z`/`z` or
+    `±HH:MM`, which the shape regex has already guaranteed)."""
+    ss = F.substring(c, time_start + 6, 2)
+    hh = F.substring(c, time_start, 2).cast("int")
+    mm = F.substring(c, time_start + 3, 2).cast("int")
+    tz = F.substring(c, -6, 6)
+    is_z = F.upper(F.substring(c, -1, 1)) == "Z"
+    off_min = F.when(is_z, F.lit(0)).otherwise(
+        F.when(F.substring(tz, 1, 1) == "+", F.lit(1)).otherwise(F.lit(-1))
+        * (F.substring(tz, 2, 2).cast("int") * 60
+           + F.substring(tz, 5, 2).cast("int")))
+    utc = F.pmod(hh * 60 + mm - off_min, F.lit(1440))
+    return (ss != "60") | (utc == 23 * 60 + 59)
+
+
+def _time_valid(c: Column) -> Column:
+    return c.rlike(_TIME_RE) & _leap_second_ok(c, 1)
+
+
 def _datetime_valid(c: Column) -> Column:
     shape = c.rlike(_DATETIME_RE)
-    # calendar-validity of the date part; :60 leap seconds pass the shape
-    # check (RFC 3339 allows them; exact UTC-offset leap-second rules like
-    # format.rs:439+ are a pUDF refinement)
+    # calendar-validity of the date part (try_to_timestamp is NULL on
+    # Feb-30 etc.) + offset-exact leap-second rule on the time part
     date_ok = F.try_to_timestamp(F.substring(c, 1, 10),
                                  F.lit("yyyy-MM-dd")).isNotNull()
-    return shape & date_ok
+    return shape & date_ok & _leap_second_ok(c, 12)
 
 
 def _ipv6_valid(c: Column) -> Column:
@@ -153,7 +176,7 @@ def _ipv6_valid(c: Column) -> Column:
 _COLUMN_FORMATS = {
     "date": _date_valid,
     "date-time": _datetime_valid,
-    "time": lambda c: c.rlike(_TIME_RE),
+    "time": _time_valid,
     "uuid": lambda c: c.rlike(_UUID_RE),
     "ipv4": lambda c: c.rlike(_IPV4_RE),
     "ipv6": _ipv6_valid,

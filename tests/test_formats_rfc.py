@@ -89,3 +89,49 @@ def test_idn_hostname_exact(spark):
         "s", F.coalesce(rule.pred(F.col("s")),
                         F.lit(False)).alias("ok")).collect()}
     assert got == cases, got
+
+
+def _ref_time_valid(s):
+    """Pure-Python reimplementation of the reference's leap-second rule
+    (format.rs:412-432, 491): `:60` seconds are valid only when the
+    time-of-day converted to UTC is 23:59."""
+    import re
+    m = re.match(r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?"
+                 r"([Zz]|[+-]\d{2}:\d{2})$", s)
+    if not m:
+        return False
+    hh, mm, ss = int(m[1]), int(m[2]), int(m[3])
+    if hh > 23 or mm > 59 or ss > 60:
+        return False
+    tz = m[5]
+    if tz in ("Z", "z"):
+        off = 0
+    else:
+        ohh, omm = int(tz[1:3]), int(tz[4:6])
+        if ohh > 23 or omm > 59:
+            return False
+        off = (1 if tz[0] == "+" else -1) * (ohh * 60 + omm)
+    if ss == 60:
+        return (hh * 60 + mm - off) % 1440 == 23 * 60 + 59
+    return True
+
+
+LEAP_TIMES = [
+    "23:59:60Z", "23:59:60z", "12:00:60Z", "23:59:60.5Z",
+    "15:59:60-08:00", "23:59:60+01:00", "00:29:60+00:30",
+    "23:29:60-00:30", "22:59:60-01:00", "23:59:60-00:00",
+    "00:00:60Z", "23:59:59+01:00",
+]
+
+
+def test_time_leap_second_offset_exact(spark):
+    got = col_check(spark, "time", LEAP_TIMES)
+    for s in LEAP_TIMES:
+        assert got[s] == _ref_time_valid(s), (s, got[s])
+
+
+def test_datetime_leap_second_offset_exact(spark):
+    dts = ["1998-12-31T" + s for s in LEAP_TIMES]
+    got = col_check(spark, "date-time", dts)
+    for s, t in zip(dts, LEAP_TIMES):
+        assert got[s] == _ref_time_valid(t), (s, got[s])
