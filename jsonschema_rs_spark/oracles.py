@@ -269,6 +269,40 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM u
 """
 
+# Round-3 unit families (not / if-then-else / dependentSchemas /
+# propertyNames / patternProperties / unevaluatedProperties), recomputed
+# from first principles for OUTPUT_UNITS_EXT_SCHEMA over documents
+# (all five serialized columns are non-null at every SF — presence is
+# constant, validity varies by value). Per-family units:
+#   root 1; not 3 (self valid + 2 invalid child units, media_ref absent);
+#   if 4 (subtree root/properties/text-root/minLength — all valid iff
+#   len(text)>=100); then 4 when if passed (valid iff n_chars>=100);
+#   else 4 when if failed (valid iff lang in (en,de));
+#   dependentSchemas/source 2 (always active, always valid);
+#   propertyNames 11 (self + 2 per key, all valid);
+#   patternProperties 5 (self + 2 per matching key lang/source, valid);
+#   unevaluatedProperties: if passed -> only doc_id uncovered (3 units),
+#   else doc_id/text/n_chars uncovered (7 units), all valid.
+OUTPUT_UNITS_EXT = """
+WITH d AS (
+  SELECT doc_id,
+         length(text) >= 100 AS if_ok,
+         n_chars >= 100 AS nc_ok,
+         lang IN ('en','de') AS lang_ok
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN if_ok THEN 33 ELSE 37 END AS INT) AS n_units,
+       CAST(1 + 2 + 11 + 5                    -- not-self, ds, pn, pp
+            + CASE WHEN if_ok
+                   THEN 4 + 4 * CAST(nc_ok AS INT) + 3
+                   ELSE 4 * CAST(lang_ok AS INT) + 7 END
+            + CAST(CASE WHEN if_ok THEN nc_ok ELSE lang_ok END AS INT)
+         AS INT) AS n_valid_units,
+       CASE WHEN if_ok THEN nc_ok ELSE lang_ok END AS valid
+FROM d
+"""
+
 VAL_DOCS_HIERARCHY = """
 WITH viol AS (
   SELECT '/properties/lang/enum' AS p FROM documents
@@ -738,6 +772,7 @@ ORACLES = {
     "val_docs_keyword_summary": VAL_DOCS_KEYWORD_SUMMARY,
     "val_docs_hierarchy": VAL_DOCS_HIERARCHY,
     "output_units_docs": OUTPUT_UNITS_DOCS,
+    "output_units_ext": OUTPUT_UNITS_EXT,
     "stats_documents": STATS_DOCUMENTS,
     "uniq_orders_custkey": UNIQ_ORDERS_CUSTKEY,
     "uniq_ratio_orders": UNIQ_RATIO_ORDERS,

@@ -314,6 +314,45 @@ def output_units_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p.valid").alias("valid")))
 
 
+OUTPUT_UNITS_EXT_SCHEMA = {
+    "not": {"required": ["media_ref"]},
+    "if": {"properties": {"text": {"minLength": 100}}},
+    "then": {"properties": {"n_chars": {"minimum": 100}}},
+    "else": {"properties": {"lang": {"enum": ["en", "de"]}}},
+    "dependentSchemas": {"source": {"required": ["text"]}},
+    "propertyNames": {"pattern": "^[a-z_]+$"},
+    "patternProperties": {"^(lang|source)$": {"type": "string"}},
+    "unevaluatedProperties": {"type": ["integer", "string"]},
+}
+
+
+def output_units_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output v1 LIST format exercising the round-3 unit families:
+    nested not / if-then-else / dependentSchemas branch trees, per-name
+    propertyNames and patternProperties subtrees, and per-uncovered-name
+    unevaluatedProperties subtrees with the validity-conditioned
+    coverage walk (evaluation.rs hierarchical semantics). The DuckDB
+    oracle recomputes every unit's existence + validity from first
+    principles: 33 units when len(text)>=100 (then-branch active,
+    only doc_id unevaluated) vs 37 otherwise (else-branch active,
+    doc_id/text/n_chars unevaluated)."""
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    docs = _read(spark, sf_dir, "documents")
+    plan = compile_json_schema(OUTPUT_UNITS_EXT_SCHEMA)
+    j = docs.select("doc_id", F.to_json(F.struct(
+        "doc_id", "text", "lang", "source", "n_chars")).alias("j"))
+    out = plan.with_output(j, "j", format="list")
+    parsed = F.from_json(
+        "output",
+        "struct<valid:boolean, details:array<struct<valid:boolean>>>")
+    return (out.withColumn("p", parsed)
+            .select("doc_id",
+                    F.size("p.details").alias("n_units"),
+                    F.size(F.filter("p.details", lambda d: d["valid"]))
+                    .alias("n_valid_units"),
+                    F.col("p.valid").alias("valid")))
+
+
 def uniq_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     r = tc.assert_unique_ratio(orders, ["o_custkey"])
@@ -523,6 +562,7 @@ QUERIES = {
     "val_docs_keyword_summary": val_docs_keyword_summary,
     "val_docs_hierarchy": val_docs_hierarchy,
     "output_units_docs": output_units_docs,
+    "output_units_ext": output_units_ext,
     "stats_documents": stats_documents,
     "uniq_orders_custkey": uniq_orders_custkey,
     "uniq_ratio_orders": uniq_ratio_orders,
