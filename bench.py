@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
     "minhash_pairs", "curate_docs", "sim_topk", "ann_lsh", "ann_ivf",
     "ndcos_pairs", "rollup_events", "mm_features", "output_units_docs",
+    "output_units_ext",
 ]
 
 

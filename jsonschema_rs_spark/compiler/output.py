@@ -144,14 +144,26 @@ class OutputPlan:
     # -- public -------------------------------------------------------------
 
     def hierarchical_column(self, json_col: Column) -> Column:
+        return self.hierarchical_column_from_variant(
+            F.try_parse_json(json_col))
+
+    def hierarchical_column_from_variant(self, v: Column) -> Column:
+        """Like hierarchical_column but over an ALREADY-PARSED variant
+        Column. Prefer staging the parse through its own projection
+        (with_output does) — the unit tree references the instance many
+        times inside interpreted HOF lambdas, which re-evaluate an
+        embedded try_parse_json per reference (measured 2x at sf0.1)."""
         self._want_hier, self._want_flat = True, False
-        v = F.try_parse_json(json_col)
         hier, _, _ = self._build(v)
         return hier
 
     def list_column(self, json_col: Column) -> Column:
+        return self.list_column_from_variant(F.try_parse_json(json_col))
+
+    def list_column_from_variant(self, v: Column) -> Column:
+        """list_column over an already-parsed variant Column (see
+        hierarchical_column_from_variant for why)."""
         self._want_hier, self._want_flat = False, True
-        v = F.try_parse_json(json_col)
         _, units, valid = self._build(v)
         return F.concat(F.lit('{"valid":'), _jbool(valid),
                         F.lit(',"details":['),

@@ -1067,10 +1067,17 @@ class CompiledJsonSchema:
         if format not in ("hierarchical", "list"):
             raise ValueError(f"unknown output format {format!r}")
         plan = OutputPlan(self.schema, self.options)
-        col = plan.hierarchical_column(F.col(json_col)) \
+        # stage the parse in its own projection: the unit tree references
+        # the instance many times inside interpreted HOF lambdas, which
+        # re-evaluate an embedded try_parse_json per reference (2x at
+        # sf0.1); CollapseProject keeps the barrier because the staged
+        # column is non-cheap and multiply-referenced
+        tmp = f"__jrs_out_variant_{out_col}"
+        staged = df.withColumn(tmp, F.try_parse_json(F.col(json_col)))
+        col = plan.hierarchical_column_from_variant(F.col(tmp)) \
             if format == "hierarchical" \
-            else plan.list_column(F.col(json_col))
-        return df.withColumn(out_col, col)
+            else plan.list_column_from_variant(F.col(tmp))
+        return staged.withColumn(out_col, col).drop(tmp)
 
     def with_contains_annotations(self, df: DataFrame,
                                   json_col: str) -> DataFrame:

@@ -691,6 +691,20 @@ g("format", "format time",
   {"type": "string", "format": "time"},
   [("12:00:00Z", True), ("23:59:60Z", True), ("12:00:00+01:00", True),
    ("12:00:00", False), ("24:00:00Z", False)], **FMT)
+g("format", "format time leap second offset-exact (r3)",
+  {"type": "string", "format": "time"},
+  [("23:59:60Z", True),            # UTC 23:59 — the only legal slot
+   ("15:59:60-08:00", True),       # 15:59 + 8:00 = 23:59 UTC
+   ("23:59:60+01:00", False),      # 22:59 UTC
+   ("00:29:60+00:30", True),       # -1 min mod 1440 = 23:59 UTC
+   ("23:29:60-00:30", True),       # 23:59 UTC
+   ("12:00:60Z", False),
+   ("23:59:60.5Z", True)], **FMT)
+g("format", "format date-time leap second offset-exact (r3)",
+  {"type": "string", "format": "date-time"},
+  [("1998-12-31T23:59:60Z", True),
+   ("1998-12-31T15:59:60-08:00", True),
+   ("1998-12-31T23:59:60+01:00", False)], **FMT)
 g("format", "format ipv6",
   {"type": "string", "format": "ipv6"},
   [("::1", True), ("1:2:3:4:5:6:7:8", True), ("12345::", False),
