@@ -298,7 +298,7 @@ def output_units_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-or-two units per present property) is value-checked per row.
     """
     from jsonschema_rs_spark.compiler.variant import compile_json_schema
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     plan = compile_json_schema(OUTPUT_UNITS_SCHEMA)
     j = docs.select("doc_id", F.to_json(F.struct(
         "doc_id", "text", "lang", "n_chars")).alias("j"))
@@ -337,7 +337,7 @@ def output_units_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     only doc_id unevaluated) vs 37 otherwise (else-branch active,
     doc_id/text/n_chars unevaluated)."""
     from jsonschema_rs_spark.compiler.variant import compile_json_schema
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     plan = compile_json_schema(OUTPUT_UNITS_EXT_SCHEMA)
     j = docs.select("doc_id", F.to_json(F.struct(
         "doc_id", "text", "lang", "source", "n_chars")).alias("j"))
