@@ -29,7 +29,8 @@ class CompileContext:
         from jsonschema_rs_spark.compiler.registry import RefRegistry
 
         self.root = root_schema
-        self.dialect = detect_dialect(root_schema, options.dialect)
+        self.dialect = detect_dialect(root_schema, options.dialect,
+                                      options.resources)
         if self.dialect.draft4_numbers and not options.draft4_integer:
             # draft-4 dialect implies draft-4 integer semantics on the
             # typed path (keywords/legacy/type_draft_4.rs:91-155)

@@ -88,6 +88,104 @@ _DROPPED: dict[str, frozenset[str]] = {
 _REF_SIBLING_KEEP = frozenset(["$ref", "$id", "id", "$schema", "$defs",
                                "definitions", "$anchor", "$comment"])
 
+# ---------------------------------------------------------------------------
+# $vocabulary (2019-09+): keyword applicability further gated by the
+# vocabulary set the META-SCHEMA declares. Analog of the reference's
+# Vocabulary enum + VocabularySet
+# (jsonschema-referencing/src/vocabularies.rs:12-143), its
+# registry.find_vocabularies (registry.rs:526-553: custom meta-schema in
+# the registry → its `$vocabulary` keys; standard/unknown → draft
+# defaults) and the per-keyword has_vocabulary gates in
+# keywords/mod.rs:254-510. Core can never be disabled
+# (compiler.rs:662-667), and drafts <2019-09 ignore $vocabulary entirely.
+
+# vocabulary URI (scheme-insensitive) → canonical short name
+_VOCAB_URIS = {
+    "json-schema.org/draft/2020-12/vocab/core": "core",
+    "json-schema.org/draft/2020-12/vocab/applicator": "applicator",
+    "json-schema.org/draft/2020-12/vocab/unevaluated": "unevaluated",
+    "json-schema.org/draft/2020-12/vocab/validation": "validation",
+    "json-schema.org/draft/2020-12/vocab/meta-data": "meta-data",
+    "json-schema.org/draft/2020-12/vocab/format-annotation":
+        "format-annotation",
+    "json-schema.org/draft/2020-12/vocab/format-assertion":
+        "format-assertion",
+    "json-schema.org/draft/2020-12/vocab/content": "content",
+    "json-schema.org/draft/2019-09/vocab/core": "core",
+    "json-schema.org/draft/2019-09/vocab/applicator": "applicator",
+    "json-schema.org/draft/2019-09/vocab/validation": "validation",
+    "json-schema.org/draft/2019-09/vocab/meta-data": "meta-data",
+    "json-schema.org/draft/2019-09/vocab/format": "format",
+    "json-schema.org/draft/2019-09/vocab/content": "content",
+}
+
+_VOCAB_APPLICATOR = frozenset([
+    "additionalItems", "additionalProperties", "allOf", "anyOf",
+    "dependencies", "items", "not", "oneOf", "patternProperties",
+    "properties", "contains", "propertyNames", "if", "then", "else",
+    "dependentSchemas", "prefixItems",
+])
+_VOCAB_VALIDATION = frozenset([
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "maxItems", "minItems", "uniqueItems", "maxContains", "minContains",
+    "maxProperties", "minProperties", "required", "dependentRequired",
+])
+_VOCAB_UNEVALUATED = frozenset(["unevaluatedItems",
+                                "unevaluatedProperties"])
+
+
+def _keyword_vocabulary(name: str, keyword: str) -> str | None:
+    """Vocabulary owning `keyword` under dialect `name`, or None for
+    core/ungated keywords (mirrors keywords/mod.rs gate conditions:
+    unevaluated* sit in `applicator` in 2019-09 but their own
+    `unevaluated` vocabulary in 2020-12; `format` is vocab `format` in
+    2019-09 and `format-annotation` in 2020-12)."""
+    if keyword in _VOCAB_VALIDATION:
+        return "validation"
+    if keyword in _VOCAB_UNEVALUATED:
+        return "applicator" if name == DRAFT201909 else "unevaluated"
+    if keyword in _VOCAB_APPLICATOR:
+        return "applicator"
+    if keyword == "format":
+        return "format" if name == DRAFT201909 else "format-annotation"
+    return None
+
+
+def resolve_vocabularies(schema: Any,
+                         resources: dict | None) -> frozenset | None:
+    """The vocabulary set the root schema's meta-schema declares, or None
+    for "all defaults" (standard meta-schema, meta-schema without
+    `$vocabulary`, or meta-schema not provided). Reference:
+    registry.find_vocabularies (registry.rs:526-553) — a custom
+    meta-schema is looked up among registered resources and its
+    `$vocabulary` keys are parsed (vocabularies.rs FromStr); unknown
+    meta-schemas fall back to draft defaults. "core" is force-included
+    (compiler.rs:663: Vocabulary::Core is always on)."""
+    if not isinstance(schema, dict):
+        return None
+    meta_uri = schema.get("$schema")
+    if not isinstance(meta_uri, str):
+        return None
+    if meta_uri.split("://", 1)[-1].rstrip("#") in _SCHEMA_URIS:
+        return None  # standard meta-schema → draft defaults
+    meta = None
+    for key in (meta_uri, meta_uri.rstrip("#")):
+        if resources and key in resources:
+            meta = resources[key]
+            break
+    if not isinstance(meta, dict):
+        return None  # unregistered meta-schema → defaults (registry.rs:550)
+    vocab = meta.get("$vocabulary")
+    if not isinstance(vocab, dict):
+        return None
+    names = {"core"}
+    for vuri in vocab:
+        key = vuri.split("://", 1)[-1].rstrip("#")
+        # unknown vocabulary URIs are kept verbatim (Vocabulary::Custom)
+        names.add(_VOCAB_URIS.get(key, vuri))
+    return frozenset(names)
+
 
 class Dialect:
     def __init__(self, name: str):
@@ -98,6 +196,38 @@ class Dialect:
         self.ref_exclusive = name in (DRAFT4, DRAFT6, DRAFT7)
         self.draft4_numbers = name == DRAFT4
         self.legacy_id = name == DRAFT4
+        # reference compiler.rs:271-276 validates_formats_by_default:
+        # drafts 4/6/7 assert `format` unless the user says otherwise
+        self.formats_assert_by_default = name in (DRAFT4, DRAFT6, DRAFT7)
+        self.vocabularies: frozenset | None = None  # None = draft defaults
+
+    def bind_vocabularies(self, vocab: frozenset | None) -> "Dialect":
+        """Restrict keyword applicability to the meta-schema's declared
+        `$vocabulary` set (2019-09+ only — drafts <2019-09 have no
+        vocabulary concept, compiler.rs:662-667). A keyword whose owning
+        vocabulary is absent becomes an annotation: present in the
+        schema, never asserted (keywords/mod.rs has_vocabulary gates)."""
+        if vocab is None or self.name not in (DRAFT201909, DRAFT202012):
+            return self
+        self.vocabularies = vocab
+        if self.name == DRAFT202012 and "format-assertion" in vocab:
+            # 2020-12 §7.2.1: a meta-schema that enables the
+            # format-assertion vocabulary makes `format` an assertion by
+            # default (overridable via validate_formats=False)
+            self.formats_assert_by_default = True
+        gated = _VOCAB_APPLICATOR | _VOCAB_VALIDATION | _VOCAB_UNEVALUATED
+        off = set(
+            kw for kw in gated
+            if _keyword_vocabulary(self.name, kw) not in vocab)
+        if self.name == DRAFT201909:
+            if "format" not in vocab:
+                off.add("format")
+        elif ("format-annotation" not in vocab
+              and "format-assertion" not in vocab):
+            off.add("format")
+        off = frozenset(off)
+        self.dropped = self.dropped | off
+        return self
 
     def effective(self, schema: Any) -> Any:
         """The validation-effective view of one schema node under this
@@ -125,17 +255,49 @@ class Dialect:
         return {k: v for k, v in schema.items() if k not in drop}
 
 
-def detect_dialect(schema: Any, explicit: str | None = None) -> Dialect:
+def detect_dialect(schema: Any, explicit: str | None = None,
+                   resources: dict | None = None) -> Dialect:
     """Resolve the active dialect: explicit option > root `$schema` URI >
-    PERMISSIVE. Unknown `$schema` URIs fall back to PERMISSIVE (the
-    reference maps unknown metaschemas to its Unknown≈2020-12 bucket;
-    the engine's permissive superset is its 2020-12-plus-compat
-    equivalent)."""
+    PERMISSIVE. A custom `$schema` URI registered in `resources` is
+    followed through ITS `$schema` chain (bounded) — the reference
+    resolves a custom meta-schema's draft the same way
+    (registry.rs:526-553) — and the custom meta-schema's `$vocabulary`
+    then gates keyword applicability (bind_vocabularies). Unknown,
+    unregistered `$schema` URIs fall back to PERMISSIVE (the reference
+    maps unknown metaschemas to its Unknown≈2020-12 bucket; the engine's
+    permissive superset is its 2020-12-plus-compat equivalent)."""
     if explicit is not None:
         return Dialect(explicit)
-    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
-        uri = schema["$schema"].split("://", 1)[-1].rstrip("#")
-        d = _SCHEMA_URIS.get(uri)
+    node, hops = schema, 0
+    while isinstance(node, dict) and isinstance(node.get("$schema"), str) \
+            and hops < 8:
+        meta_uri = node["$schema"]
+        d = _SCHEMA_URIS.get(meta_uri.split("://", 1)[-1].rstrip("#"))
         if d is not None:
-            return Dialect(d)
+            dialect = Dialect(d)
+            if node is not schema:
+                # draft came from a custom meta-schema: apply its
+                # $vocabulary restrictions to the instance schema
+                dialect.bind_vocabularies(
+                    resolve_vocabularies(schema, resources))
+            return dialect
+        nxt = None
+        for key in (meta_uri, meta_uri.rstrip("#")):
+            if resources and key in resources:
+                nxt = resources[key]
+                break
+        if nxt is None or nxt is node:
+            if nxt is node:
+                # self-referential custom meta-schema: the reference's
+                # Draft::Unknown bucket → 2020-12 semantics with the
+                # meta-schema's own $vocabulary (registry.rs:550-553)
+                return Dialect(DRAFT202012).bind_vocabularies(
+                    resolve_vocabularies(schema, resources))
+            break
+        node, hops = nxt, hops + 1
+    if hops > 0:
+        # chain entered a REGISTERED custom meta-schema but never named a
+        # standard draft: Unknown ≈ 2020-12 (registry.rs:550-551)
+        return Dialect(DRAFT202012).bind_vocabularies(
+            resolve_vocabularies(schema, resources))
     return Dialect(PERMISSIVE)

@@ -313,7 +313,12 @@ def build_string_rules(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]
             jpat = ctx.regex(pat)
             rules.append(Rule("pattern", sp + "/pattern", msg,
                               lambda c, jpat=jpat: c.rlike(jpat), priority=6))
-    if "format" in schema and ctx.options.validate_formats:
+    # validate_formats=None → draft-based default: 4/6/7 assert format
+    # (reference compiler.rs:271-276 validates_formats_by_default)
+    _vf = ctx.options.validate_formats
+    if _vf is None:
+        _vf = ctx.dialect.formats_assert_by_default
+    if "format" in schema and _vf:
         from jsonschema_rs_spark.functions.formats import format_rule
 
         r = format_rule(schema["format"], ctx, sp)

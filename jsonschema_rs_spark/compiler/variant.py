@@ -208,7 +208,8 @@ class VariantCompileContext:
 
         self.root = root
         self.options = options
-        self.dialect = detect_dialect(root, options.dialect)
+        self.dialect = detect_dialect(root, options.dialect,
+                                      options.resources)
         self._ref_depth: dict[str, int] = {}
         # compile-time dynamic scope: the sequence of schema-resource
         # base URIs entered along the CURRENT compile path. Because refs
@@ -412,7 +413,12 @@ def _compile_variant_body(orig: Any, schema: dict,
 
     # format / content keywords reuse the typed-path validators, applied
     # to the extracted string (non-strings pass, format.rs semantics)
-    if "format" in schema and ctx.options.validate_formats:
+    # validate_formats=None → draft-based default: 4/6/7 assert format
+    # (reference compiler.rs:271-276 validates_formats_by_default)
+    _vf = ctx.options.validate_formats
+    if _vf is None:
+        _vf = ctx.dialect.formats_assert_by_default
+    if "format" in schema and _vf:
         from jsonschema_rs_spark.functions.formats import format_rule
         base = format_rule(schema["format"], ctx, sp)
         if base is not None:

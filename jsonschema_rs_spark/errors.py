@@ -28,9 +28,10 @@ class SchemaError(ValueError):
 class ValidationOptions:
     """Compile-time switches.
 
-    - validate_formats: draft 2020-12 treats `format` as annotation-only by
-      default; the reference exposes should_validate_formats
-      (compiler.rs:271-276) — same default here (False).
+    - validate_formats: None (default) = the reference's draft-based
+      default (compiler.rs:271-276 validates_formats_by_default): drafts
+      4/6/7 ASSERT `format`, 2019-09/2020-12/permissive treat it as an
+      annotation. True/False force it on/off regardless of draft.
     - mask: replace instance values in messages with a placeholder, like
       the reference's masked error messages (error.rs:496+). Our default
       messages never embed instance values, so masking is the default-safe
@@ -45,7 +46,7 @@ class ValidationOptions:
       '1').
     """
 
-    validate_formats: bool = False
+    validate_formats: bool | None = None
     # JSON Schema draft dialect: "4" | "6" | "7" | "2019-09" | "2020-12"
     # | "permissive" | None. None → auto-detect from the root `$schema`
     # URI, falling back to "permissive" (the historical default: the

@@ -889,6 +889,23 @@ g("draft4", "if/then is an annotation in draft 4",
   {"if": {"type": "integer"}, "then": {"minimum": 5}},
   [(3, True)], draft="4")
 
+g("draft7", "draft-7 validates formats BY DEFAULT "
+  "(reference compiler.rs:271-276 validates_formats_by_default)",
+  {"format": "ipv4"},
+  [("10.0.0.1", True), ("999.0.0.1", False), (5, True)],
+  draft="7", format_checker=True)
+g("draft6", "draft-6 validates formats by default",
+  {"properties": {"ts": {"format": "date-time"}}},
+  [({"ts": "2020-01-01T00:00:00Z"}, True), ({"ts": "nope"}, False)],
+  draft="6", format_checker=True)
+g("draft4", "draft-4 validates formats by default",
+  {"format": "email"},
+  [("a@example.com", True), ("not-an-email", False)],
+  draft="4", format_checker=True)
+g("draft2019", "2019-09 format is an annotation by default",
+  {"format": "ipv4"},
+  [("999.0.0.1", True)], draft="2019-09")
+
 g("draft2019", "prefixItems and $dynamicRef are annotations in 2019-09",
   {"prefixItems": [{"type": "integer"}]},
   [(["s"], True)], draft="2019-09")
@@ -908,6 +925,64 @@ g("draft2019", "2019-09 unevaluatedProperties applies",
   draft="2019-09")
 
 # ---------------------------------------------------------------------------
+# $vocabulary: meta-schema-declared vocabulary sets gate keyword
+# applicability (dialects.py bind_vocabularies; reference
+# vocabularies.rs:12-143, registry.rs:526-553 find_vocabularies,
+# keywords/mod.rs has_vocabulary gates). python-jsonschema does NOT
+# implement vocabulary gating (verified: it asserts validation keywords
+# under a validation-free meta-schema), so these expectations are pinned
+# from the REFERENCE's own tests (lib.rs:3155-3196
+# simple_schema_with_unknown_draft) + spec §8.1; oracle=False skips the
+# python check, and tests/test_vocabulary.py covers the same cases in
+# pytest.
+# ---------------------------------------------------------------------------
+
+_VMETA = "http://custom.example.com/schema"
+_V2020 = "https://json-schema.org/draft/2020-12/vocab"
+
+
+def _vocab_meta(*names):
+    return {"$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$id": _VMETA,
+            "$vocabulary": {f"{_V2020}/{n}": True for n in names}}
+
+
+g("vocabulary", "reference lib.rs:3155-3196: core+applicator+validation "
+  "meta-schema keeps type/properties asserting",
+  {"$schema": _VMETA, "type": "object",
+   "properties": {"name": {"type": "string"}}},
+  [({"name": "test"}, True), ({"name": 123}, False),
+   ("not an object", False)],
+  options={"resources": {_VMETA: _vocab_meta(
+      "core", "applicator", "validation")}}, oracle=False)
+g("vocabulary", "validation vocabulary disabled: type/minProperties "
+  "become annotations, applicator still walks",
+  {"$schema": _VMETA, "type": "object", "minProperties": 5,
+   "properties": {"name": {"type": "string"}}},
+  [({"name": 123}, True), ("not an object", True), ({}, True)],
+  options={"resources": {_VMETA: _vocab_meta("core", "applicator")}},
+  oracle=False)
+g("vocabulary", "unevaluated vocabulary disabled: "
+  "unevaluatedProperties is an annotation",
+  {"$schema": _VMETA, "properties": {"a": {"type": "integer"}},
+   "unevaluatedProperties": False},
+  [({"a": 1, "extra": "x"}, True), ({"a": "s"}, False)],
+  options={"resources": {_VMETA: _vocab_meta(
+      "core", "applicator", "validation")}}, oracle=False)
+g("vocabulary", "format-assertion vocabulary: format asserts without "
+  "validate_formats (2020-12 §7.2.1)",
+  {"$schema": _VMETA, "format": "ipv4"},
+  [("10.0.0.1", True), ("999.0.0.1", False), (5, True)],
+  options={"resources": {_VMETA: _vocab_meta(
+      "core", "validation", "format-assertion")}}, oracle=False)
+g("vocabulary", "format vocabularies absent: format never asserts even "
+  "with validate_formats=True (keywords/mod.rs:284-288)",
+  {"$schema": _VMETA, "format": "ipv4"},
+  [("999.0.0.1", True)],
+  options={"resources": {_VMETA: _vocab_meta("core", "validation")},
+           "validate_formats": True}, oracle=False)
+
+# ---------------------------------------------------------------------------
 # validate + write
 # ---------------------------------------------------------------------------
 
@@ -925,7 +1000,12 @@ def validate():
         if grp.get("oracle") is False:
             continue
         cls = classes[grp.get("draft", "2020-12")]
-        v = cls(grp["schema"])
+        if grp.get("format_checker"):
+            # draft≤7 groups relying on the draft-based format default:
+            # python-jsonschema needs the checker passed explicitly
+            v = cls(grp["schema"], format_checker=cls.FORMAT_CHECKER)
+        else:
+            v = cls(grp["schema"])
         for t in grp["tests"]:
             got = v.is_valid(t["data"])
             assert got == t["valid"], \

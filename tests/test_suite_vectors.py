@@ -30,7 +30,7 @@ VECTORS = load_vectors()
 def test_corpus_size():
     assert len(VECTORS) >= 100
     assert sum(len(v["tests"]) for v in VECTORS) >= 400
-    assert len(families()) == 20  # r3 added draft4/6/7/2019
+    assert len(families()) == 21  # r3 added draft4/6/7/2019 + vocabulary
 
 
 @pytest.mark.parametrize(
@@ -46,7 +46,13 @@ def test_vector(spark, case):
                    "7": jsonschema.Draft7Validator,
                    "6": jsonschema.Draft6Validator,
                    "4": jsonschema.Draft4Validator}
-        oracle = classes[case.get("draft", "2020-12")](schema)
+        cls = classes[case.get("draft", "2020-12")]
+        if case.get("format_checker"):
+            # groups relying on the draft≤7 format-by-default rule:
+            # python-jsonschema needs the checker passed explicitly
+            oracle = cls(schema, format_checker=cls.FORMAT_CHECKER)
+        else:
+            oracle = cls(schema)
         for t in tests:
             assert oracle.is_valid(t["data"]) == t["valid"], \
                 f"vendored expectation wrong: {t}"
