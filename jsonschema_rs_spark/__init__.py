@@ -24,6 +24,12 @@ from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
+from jsonschema_rs_spark.api import (ValidationError, validator_for,
+                                     is_valid, validate, iter_errors,
+                                     evaluate, meta,
+                                     Draft4Validator, Draft6Validator,
+                                     Draft7Validator, Draft201909Validator,
+                                     Draft202012Validator)
 
 __all__ = [
     "compile_schema",
@@ -33,6 +39,19 @@ __all__ = [
     "SchemaError",
     "ValidationOptions",
     "get_spark",
+    # jsonschema-py-parity module surface (api.py)
+    "ValidationError",
+    "validator_for",
+    "is_valid",
+    "validate",
+    "iter_errors",
+    "evaluate",
+    "meta",
+    "Draft4Validator",
+    "Draft6Validator",
+    "Draft7Validator",
+    "Draft201909Validator",
+    "Draft202012Validator",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,185 @@
+"""Module-level convenience API — parity with jsonschema-py's surface
+(crates/jsonschema-py/src/lib.rs: is_valid :1189, validate :1244,
+iter_errors :1294, evaluate :1400, validator_for :1469, per-draft
+Validator subclasses :1697-1905, meta.is_valid/validate :1977-2040,
+python/jsonschema_rs/__init__.pyi).
+
+These helpers exist so a reference user's single-instance calls run
+unchanged; the DATASET path (CompiledJsonSchema.with_validation over a
+DataFrame) is the engine's real surface. Single-instance calls reuse one
+SparkSession and run a 1-row job — correct, not fast; that is the same
+trade the reference makes in reverse (its per-instance calls are fast,
+its dataset scans are the user's loop).
+
+Reference-kwarg mapping: draft= (int 4/6/7/201909/202012) →
+ValidationOptions.dialect; validate_formats= → same tri-state;
+mask= → options.mask; registry=/resources dict → options.resources;
+formats= → options.custom_formats; keywords → options.custom_keywords.
+Network `retriever=` is a documented non-goal (offline resources only).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
+
+_DRAFT_INTS = {4: "4", 6: "6", 7: "7",
+               201909: "2019-09", 202012: "2020-12"}
+
+
+class ValidationError(ValueError):
+    """First validation failure, reference-style (jsonschema-py
+    ValidationError: message + instance_path + schema_path)."""
+
+    def __init__(self, message: str, instance_path: str = "",
+                 schema_path: str = "", keyword: str = ""):
+        super().__init__(message)
+        self.message = message
+        self.instance_path = instance_path
+        self.schema_path = schema_path
+        self.keyword = keyword
+
+
+def _options(draft=None, validate_formats=None, mask=None, registry=None,
+             formats=None, keywords=None,
+             base: ValidationOptions | None = None) -> ValidationOptions:
+    if base is not None:
+        return base
+    dialect = None
+    if draft is not None:
+        if draft not in _DRAFT_INTS:
+            raise SchemaError(f"unknown draft {draft!r}; expected one of "
+                              f"{sorted(_DRAFT_INTS)}")
+        dialect = _DRAFT_INTS[draft]
+    return ValidationOptions(
+        dialect=dialect, validate_formats=validate_formats, mask=mask,
+        resources=dict(registry or {}),
+        custom_formats=dict(formats or {}),
+        custom_keywords=dict(keywords or {}))
+
+
+def validator_for(schema: Any, **kwargs):
+    """Compile `schema` into a dataset-ready validator (reference
+    validator_for, lib.rs:1469). Returns a CompiledJsonSchema whose
+    with_validation/valid_column/errors_column run over DataFrames; the
+    single-instance helpers below also hang off it."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    return CompiledJsonSchema(schema, _options(**kwargs))
+
+
+def Draft4Validator(schema: Any, **kw):
+    return validator_for(schema, draft=4, **kw)
+
+
+def Draft6Validator(schema: Any, **kw):
+    return validator_for(schema, draft=6, **kw)
+
+
+def Draft7Validator(schema: Any, **kw):
+    return validator_for(schema, draft=7, **kw)
+
+
+def Draft201909Validator(schema: Any, **kw):
+    return validator_for(schema, draft=201909, **kw)
+
+
+def Draft202012Validator(schema: Any, **kw):
+    return validator_for(schema, draft=202012, **kw)
+
+
+# -- single-instance execution ----------------------------------------------
+
+def _session():
+    from jsonschema_rs_spark.session import get_spark
+
+    return get_spark(app_name="jsonschema_rs_spark_api")
+
+
+def _one_row(compiled, instance: Any):
+    """Run the compiled plan over ONE instance; returns (valid, errors)."""
+    from pyspark.sql import functions as F
+
+    df = _session().createDataFrame(
+        [(json.dumps(instance),)], "doc string")
+    row = df.select(
+        compiled.valid_column(F.col("doc")).alias("valid"),
+        compiled.errors_column(F.col("doc")).alias("errors")).first()
+    return bool(row["valid"]), list(row["errors"])
+
+
+def is_valid(schema: Any, instance: Any, **kwargs) -> bool:
+    """Reference is_valid (lib.rs:1189)."""
+    compiled = validator_for(schema, **kwargs)
+    valid, _ = _one_row(compiled, instance)
+    return valid
+
+
+def validate(schema: Any, instance: Any, **kwargs) -> None:
+    """Reference validate (lib.rs:1244): raise ValidationError on the
+    first failure, return None when valid."""
+    for err in iter_errors(schema, instance, **kwargs):
+        raise err
+
+
+def iter_errors(schema: Any, instance: Any,
+                **kwargs) -> Iterator[ValidationError]:
+    """Reference iter_errors (lib.rs:1294)."""
+    compiled = validator_for(schema, **kwargs)
+    _, errors = _one_row(compiled, instance)
+    for e in errors:
+        yield ValidationError(e["message"], e["instance_path"],
+                              e["schema_path"], e["keyword"])
+
+
+def evaluate(schema: Any, instance: Any, output_format: str = "flag",
+             **kwargs) -> dict:
+    """Reference evaluate (lib.rs:1400) + Evaluation.flag/list/
+    hierarchical (lib.rs:176): returns the Output v1 payload as a dict."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_rs_spark.compiler.output import OutputPlan
+
+    opts = _options(**kwargs)
+    if output_format == "flag":
+        from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+        valid, _ = _one_row(CompiledJsonSchema(schema, opts), instance)
+        return {"valid": valid}
+    if output_format not in ("list", "hierarchical"):
+        raise ValueError(f"unknown output format {output_format!r}")
+    plan = OutputPlan(schema, opts)
+    col = (plan.list_column(F.col("doc")) if output_format == "list"
+           else plan.hierarchical_column(F.col("doc")))
+    df = _session().createDataFrame([(json.dumps(instance),)],
+                                    "doc string")
+    return json.loads(df.select(col.alias("o")).first()["o"])
+
+
+# -- meta (schema-against-metaschema) ----------------------------------------
+
+class meta:
+    """Analog of the reference's `meta` submodule (lib.rs:1977-2040)."""
+
+    @staticmethod
+    def is_valid(schema: Any) -> bool:
+        try:
+            meta.validate(schema)
+            return True
+        except SchemaError:
+            return False
+
+    @staticmethod
+    def validate(schema: Any) -> None:
+        from jsonschema_rs_spark.spec.model import meta_validate
+
+        meta_validate(schema)
+
+
+__all__ = [
+    "ValidationError", "validator_for", "is_valid", "validate",
+    "iter_errors", "evaluate", "meta",
+    "Draft4Validator", "Draft6Validator", "Draft7Validator",
+    "Draft201909Validator", "Draft202012Validator",
+]

@@ -1,0 +1,91 @@
+"""Module-level API parity tests — mirrors jsonschema-py usage
+(crates/jsonschema-py/tests-py/test_jsonschema.py patterns over
+lib.rs:1189-1905): is_valid / validate / iter_errors / evaluate /
+validator_for / Draft*Validator / meta."""
+
+import pytest
+
+import jsonschema_rs_spark as jrs
+
+SCHEMA = {"type": "object", "required": ["name"],
+          "properties": {"name": {"type": "string", "minLength": 2},
+                         "age": {"type": "integer", "minimum": 0}}}
+
+
+def test_is_valid(spark):
+    assert jrs.is_valid(SCHEMA, {"name": "Ada", "age": 3}) is True
+    assert jrs.is_valid(SCHEMA, {"name": "X"}) is False
+    assert jrs.is_valid({"minimum": 5}, 7) is True
+    assert jrs.is_valid({"minimum": 5}, 3) is False
+
+
+def test_validate_raises_first_error(spark):
+    jrs.validate(SCHEMA, {"name": "Ada"})  # no raise
+    with pytest.raises(jrs.ValidationError) as ei:
+        jrs.validate(SCHEMA, {"age": -1})
+    err = ei.value
+    assert err.instance_path in ("", "/age")
+    assert err.keyword in ("required", "minimum")
+
+
+def test_iter_errors_yields_all(spark):
+    errs = list(jrs.iter_errors(SCHEMA, {"name": "X", "age": -2}))
+    assert {e.keyword for e in errs} == {"minLength", "minimum"}
+    assert {e.instance_path for e in errs} == {"/name", "/age"}
+    assert all(isinstance(e, jrs.ValidationError) for e in errs)
+    assert list(jrs.iter_errors(SCHEMA, {"name": "Ada"})) == []
+
+
+def test_evaluate_flag_list_hierarchical(spark):
+    assert jrs.evaluate(SCHEMA, {"name": "Ada"}) == {"valid": True}
+    lst = jrs.evaluate(SCHEMA, {"name": "X"}, output_format="list")
+    assert lst["valid"] is False
+    assert any(u["evaluationPath"] == "/properties/name/minLength"
+               for u in lst["details"])
+    hier = jrs.evaluate(SCHEMA, {"name": "Ada"},
+                        output_format="hierarchical")
+    assert hier["valid"] is True and "details" in hier
+
+
+def test_validator_for_compiles_dataset_validator(spark):
+    v = jrs.validator_for(SCHEMA)
+    df = spark.createDataFrame([('{"name": "Ada"}',), ('{"age": 1}',)],
+                               "doc string")
+    got = [r["valid"] for r in
+           v.with_validation(df, "doc").select("valid").collect()]
+    assert got == [True, False]
+
+
+def test_draft_validators_change_semantics(spark):
+    # draft-7 asserts format by default; 2020-12 does not
+    schema = {"format": "ipv4"}
+    assert jrs.Draft7Validator(schema) is not None
+    assert jrs.is_valid(schema, "999.0.0.1", draft=7) is False
+    assert jrs.is_valid(schema, "999.0.0.1", draft=202012) is True
+    # draft-4: exclusiveMaximum is a boolean modifier
+    d4 = {"maximum": 10, "exclusiveMaximum": True}
+    assert jrs.is_valid(d4, 10, draft=4) is False
+    with pytest.raises(jrs.SchemaError):
+        jrs.is_valid(SCHEMA, {}, draft=5)
+
+
+def test_registry_resources_kwarg(spark):
+    schema = {"$ref": "https://example.com/item"}
+    registry = {"https://example.com/item": {"type": "integer"}}
+    assert jrs.is_valid(schema, 3, registry=registry) is True
+    assert jrs.is_valid(schema, "s", registry=registry) is False
+
+
+def test_mask_kwarg(spark):
+    errs = list(jrs.iter_errors({"type": "integer"}, "secret-value",
+                                mask="[REDACTED]"))
+    assert errs and all("secret-value" not in e.message for e in errs)
+    assert any("[REDACTED]" in e.message for e in errs)
+
+
+def test_meta_namespace():
+    assert jrs.meta.is_valid({"type": "string"}) is True
+    assert jrs.meta.is_valid({"type": "nope"}) is False
+    jrs.meta.validate({"type": "string"})
+    with pytest.raises(jrs.SchemaError):
+        jrs.meta.validate({"type": "nope"})
