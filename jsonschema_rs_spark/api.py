@@ -43,7 +43,7 @@ class ValidationError(ValueError):
 
 
 def _options(draft=None, validate_formats=None, mask=None, registry=None,
-             formats=None, keywords=None,
+             formats=None, keywords=None, ignore_unknown_formats=True,
              base: ValidationOptions | None = None) -> ValidationOptions:
     if base is not None:
         return base
@@ -57,7 +57,8 @@ def _options(draft=None, validate_formats=None, mask=None, registry=None,
         dialect=dialect, validate_formats=validate_formats, mask=mask,
         resources=dict(registry or {}),
         custom_formats=dict(formats or {}),
-        custom_keywords=dict(keywords or {}))
+        custom_keywords=dict(keywords or {}),
+        ignore_unknown_formats=ignore_unknown_formats)
 
 
 def validator_for(schema: Any, **kwargs):

@@ -77,3 +77,8 @@ class ValidationOptions:
     # with_retriever (retriever.rs). No network is ever touched; a URI
     # not present here (or embedded via $id) fails compilation.
     resources: dict = field(default_factory=dict)
+    # False -> an asserted `format` name with no built-in or custom
+    # checker is a COMPILE error (reference should_ignore_unknown_formats,
+    # options.rs:434-440). True (default, like the reference): unknown
+    # formats are annotations.
+    ignore_unknown_formats: bool = True

@@ -253,6 +253,13 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
             pass  # approximate Column fallback below
     builder = _COLUMN_FORMATS.get(name)
     if builder is None:
+        if not ctx.options.ignore_unknown_formats:
+            # reference should_ignore_unknown_formats(false)
+            # (options.rs:434-440; format.rs:1355-1365 pins the message)
+            from jsonschema_rs_spark.errors import SchemaError
+            raise SchemaError(
+                f"Unknown format: {name!r}. Adjust configuration to "
+                "ignore unrecognized formats", sp + "/format")
         return None  # unknown format = annotation (2020-12 semantics)
     return Rule("format", sp + "/format", f"invalid {name!r} format",
                 builder, priority=10)

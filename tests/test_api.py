@@ -89,3 +89,22 @@ def test_meta_namespace():
     jrs.meta.validate({"type": "string"})
     with pytest.raises(jrs.SchemaError):
         jrs.meta.validate({"type": "nope"})
+
+
+def test_ignore_unknown_formats(spark):
+    # reference format.rs:1355-1365: unknown format + assertion on +
+    # ignore off -> compile error with the pinned message
+    schema = {"format": "custom", "type": "string"}
+    assert jrs.is_valid(schema, "x", validate_formats=True) is True
+    with pytest.raises(jrs.SchemaError, match="Unknown format: 'custom'"):
+        jrs.validator_for(schema, validate_formats=True,
+                          ignore_unknown_formats=False)
+    # a registered custom format checker makes the name known
+    v = jrs.validator_for(schema, validate_formats=True,
+                          ignore_unknown_formats=False,
+                          formats={"custom": lambda s: s.startswith("c")})
+    df = spark.createDataFrame([('"cat"',), ('"dog"',)], "doc string")
+    from pyspark.sql import functions as F
+    got = [r[0] for r in
+           df.select(v.valid_column(F.col("doc"))).collect()]
+    assert got == [True, False]
