@@ -254,31 +254,25 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mf=mf:
                           F.pmod(c.cast("double"), F.lit(mf)) == 0)]
-    # float path: exactness parity with the reference's BigFraction kernel
-    # (ext/numeric.rs:62-110) via DECIMAL arithmetic — a double's
-    # shortest-decimal form is the number its JSON literal denoted, so
-    # pmod over decimal(38,15) is exact for every in-range value (0.0075
-    # IS a multiple of 0.0001). Relative-tolerance ratio check only as
-    # the out-of-decimal-range fallback.
-    from decimal import Decimal
+    if isinstance(dt, T.DecimalType):
+        # decimal-typed columns: native decimal pmod is already exact
+        # rational arithmetic at the column's scale
+        from decimal import Decimal
 
-    mdec = Decimal(str(m))
-    tol = ctx.options.float_multiple_rel_tol
+        mdec = Decimal(str(m))
+        return [_num_rule("multipleOf", sp, msg,
+                          lambda c, mdec=mdec:
+                          F.pmod(c, F.lit(mdec)) == F.lit(0))]
+    # float path: bit-exact parity with the reference's BigFraction
+    # kernel (ext/numeric.rs:62-86) — exact rational divisibility of the
+    # value's shortest-decimal form, fully JVM-side (functions/numerics)
+    from jsonschema_rs_spark.functions.numerics import (
+        exact_multiple_of_double,
+    )
 
-    def pred(c: Column, mdec=mdec, tol=tol) -> Column:
-        d = c.cast("double")
-        dv = d.try_cast("decimal(38,15)")
-        exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
-        q = d / F.lit(float(m))
-        approx = F.abs(q - F.round(q, 0)) <= F.lit(tol) * F.greatest(
-            F.abs(q), F.lit(1.0)
-        )
-        # denormal underflow guard: a non-zero double that rounds to
-        # decimal 0 must take the ratio path, not pass as a multiple
-        use_exact = dv.isNotNull() & ((dv != F.lit(0)) | (d == 0))
-        return F.when(use_exact, exact).otherwise(approx)
-
-    return [_num_rule("multipleOf", sp, msg, pred)]
+    return [_num_rule("multipleOf", sp, msg,
+                      lambda c, m=m:
+                      exact_multiple_of_double(c.cast("double"), m))]
 
 
 # --------------------------------------------------------------------------

@@ -370,26 +370,37 @@ def _compile_variant_body(orig: Any, schema: dict,
             add(Rule(kw, f"{sp}/{kw}", f"violates {kw} {schema[kw]}",
                      num_pred, priority=3))
     if "multipleOf" in schema:
-        from decimal import Decimal
         mraw = schema["multipleOf"]
-        m = float(mraw)
-        mdec = Decimal(str(mraw))
 
-        def mult_pred(v: Column, m=m, mdec=mdec) -> Column:
+        def mult_pred(v: Column, mraw=mraw) -> Column:
             # EXACT path (reference BigFraction kernel,
-            # ext/numeric.rs:62-110): both operands as decimals — a JSON
-            # number's decimal meaning — so 0.0075 IS a multiple of
-            # 0.0001. Double-quotient fallback when the value exceeds
-            # decimal(38,15) range OR underflows it to zero (denormals
-            # like 5e-324 round to decimal 0 and must not pass as
-            # multiples).
+            # ext/numeric.rs:62-86): exact rational divisibility of the
+            # value's shortest-decimal form — a JSON number's decimal
+            # meaning — so 0.0075 IS a multiple of 0.0001 while
+            # 2.0000000000000004e-15 is NOT a multiple of 1e-15. Integer
+            # divisors additionally take the IEEE-fmod fast path
+            # (fmod of doubles is exact, ext/numeric.rs:118-124 analog).
+            from jsonschema_rs_spark.functions.numerics import (
+                exact_multiple_of_double,
+            )
+
             d = _as_double(v)
-            dv = _as_decimal(v)
-            exact = F.pmod(dv, F.lit(mdec)) == F.lit(0)
-            q = d / m
-            use_exact = dv.isNotNull() & ((dv != 0) | (d == 0))
-            return ~_is_number(v) | F.when(use_exact, exact) \
-                .otherwise(F.pmod(q, F.lit(1.0)) == 0)
+            if (isinstance(mraw, int) or float(mraw).is_integer()) and \
+                    abs(float(mraw)) < 2 ** 53 and \
+                    int(float(mraw)) == float(mraw):
+                # integer divisor: int64 variants take exact long mod
+                # (is_multiple_of_integer's BigInt branch analog,
+                # ext/numeric.rs:95-117); double variants take IEEE
+                # fmod, which is exact — no decimal round-trip
+                vl = F.try_variant_get(v, "$", "long")
+                ok = F.when(
+                    vl.isNotNull() & (_as_decimal(v) == vl.cast(
+                        "decimal(38,15)")),
+                    F.pmod(vl, F.lit(int(float(mraw)))) == 0,
+                ).otherwise(F.pmod(d, F.lit(float(mraw))) == 0)
+            else:
+                ok = exact_multiple_of_double(d, mraw)
+            return ~_is_number(v) | F.coalesce(ok, F.lit(False))
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
                  mult_pred, priority=3))

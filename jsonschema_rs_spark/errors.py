@@ -63,6 +63,9 @@ class ValidationOptions:
     message_values: bool = False
     max_ref_depth: int = 8
     draft4_integer: bool = False
+    # UNUSED since round 3: multipleOf is decided by the exact rational
+    # kernel (functions/numerics.py) on every path; kept so existing
+    # callers constructing options with this field don't break
     float_multiple_rel_tol: float = 1e-9
     custom_keywords: dict = field(default_factory=dict)
     custom_formats: dict = field(default_factory=dict)

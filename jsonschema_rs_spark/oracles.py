@@ -721,6 +721,26 @@ WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
 
 MINHASH_PAIRS = _minhash_pairs_sql()
 
+# exact pairwise n-gram Jaccard (queries.jaccard_pairs): distinct 3-gram
+# shingles over normalized text, pairs sharing >= 1 shingle, Jaccard from
+# |A| + |B| - common; threshold applied to the 6dp-rounded value exactly
+# like the Spark side
+JACCARD_PAIRS = f"""
+WITH tk AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
+shx AS (SELECT doc_id, {_SHINGLES} AS sh FROM tk),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shx),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+WHERE round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.5
+"""
+
 # deterministic-stub formulas from multimodal.py re-derived: the content
 # blob is the utf-8 bytes of md5(text), so md5-of-bytes == md5(md5(text))
 MM_FEATURES = """
@@ -787,6 +807,7 @@ ORACLES = {
     "simhash_vals": SIMHASH_VALS,
     "curate_docs": CURATE_DOCS,
     "minhash_pairs": MINHASH_PAIRS,
+    "jaccard_pairs": JACCARD_PAIRS,
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,
     "ann_ivf": ANN_IVF,

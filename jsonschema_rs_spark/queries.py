@@ -456,6 +456,18 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.5)
 
 
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs. max_shingle_freq is
+    lifted so the verdict is the exact set Jaccard (oracle parity); the
+    production default (1000) drops stopword shingles whose k^2 pair
+    blow-up dominates at 100 TB — there this runs AFTER LSH candidate
+    generation (see minhash_near_duplicates), not standalone."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", n=3,
+                                  threshold=0.5,
+                                  max_shingle_freq=1_000_000_000)
+
+
 def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation pipeline: quality gate → exact dedup → MinHash-LSH
     near-dedup → surviving doc_ids."""
@@ -576,6 +588,7 @@ QUERIES = {
     "minhash_sigs": minhash_sigs,
     "simhash_vals": simhash_vals,
     "minhash_pairs": minhash_pairs,
+    "jaccard_pairs": jaccard_pairs,
     "curate_docs": curate_docs,
     "sim_topk": sim_topk,
     "ann_lsh": ann_lsh,

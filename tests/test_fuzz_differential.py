@@ -104,41 +104,37 @@ N_DOCS = 300
 
 
 def oracle_validator(schema):
-    """python-jsonschema with multipleOf swapped for a DECIMAL-exact
-    check: the library's float-division test is approximate (says
-    2^53+1 IS a multiple of 2.5, and 0.3 is NOT a multiple of 0.1); the
-    reference's fraction kernel and this engine are decimal-exact, which
-    is also what the official suite requires (0.0075 multipleOf 0.0001
-    is valid)."""
-    from decimal import Decimal, InvalidOperation, localcontext
+    """python-jsonschema with multipleOf swapped for the EXACT check:
+    the library's float-division test is approximate (says 2^53+1 IS a
+    multiple of 2.5, and 0.3 is NOT a multiple of 0.1); the reference's
+    fraction kernel and this engine decide by exact rational arithmetic
+    over the operands' shortest-decimal forms (ext/numeric.rs:62-86),
+    which is also what the official suite requires (0.0075 multipleOf
+    0.0001 is valid). Integer divisors: exact int mod for int instances
+    (BigInt branch, ext/numeric.rs:95-117), IEEE fmod (exact) for float
+    instances."""
+    import math
 
     import jsonschema
+
+    from jsonschema_rs_spark.functions.numerics import (
+        exact_multiple_of_fraction,
+    )
 
     def exact_multiple_of(validator, db, instance, schema_):
         if isinstance(instance, bool) or \
                 not isinstance(instance, (int, float)):
             return
-        try:
-            # high precision so huge-magnitude quotients (1e100 / 2.5)
-            # don't raise; engine parity: values whose decimal(38,15)
-            # rendering is out of range or underflows to 0 take the
-            # engine's double-quotient fallback — mirror that here
-            dec = Decimal(str(instance))
-            in_decimal_range = (instance == 0 or
-                                (abs(dec.adjusted()) < 23 and
-                                 -Decimal("1e23") < dec < Decimal("1e23") and
-                                 abs(dec) >= Decimal("1e-15")))
-            if in_decimal_range:
-                q15 = dec.quantize(Decimal("1e-15"))
-                with localcontext() as ctx_:
-                    ctx_.prec = 500
-                    failed = q15 % Decimal(str(db)) != 0
+        dbf = float(db)
+        if dbf.is_integer() and abs(dbf) < 2 ** 53 and dbf == int(dbf):
+            if isinstance(instance, int):
+                failed = instance % int(dbf) != 0
+            elif not math.isfinite(instance):
+                failed = True
             else:
-                q = instance / db
-                failed = q != int(q) if abs(q) < 2 ** 63 else \
-                    (q % 1.0) != 0
-        except (InvalidOperation, OverflowError):  # inf / nan etc.
-            failed = True
+                failed = math.fmod(instance, dbf) != 0.0
+        else:
+            failed = not exact_multiple_of_fraction(float(instance), db)
         if failed:
             yield jsonschema.exceptions.ValidationError(
                 f"{instance} is not a multiple of {db}")

@@ -119,3 +119,93 @@ def test_typed_multiple_of_big_int_divisor(spark):
     got = {r["id"]: r["valid"] for r in plan.with_validation(df).collect()}
     # 2^53 is NOT a multiple of 2^53+1; 0 is a multiple of anything
     assert got == {1: False, 2: True}
+
+
+# -- shortest-decimal exact kernel (round 3: replaces decimal(38,15)) --------
+
+
+@pytest.mark.parametrize("m,doc,valid", [
+    # the 16th+ significant digit decides: decimal(38,15) quantization
+    # wrongly accepted this (ADVICE r2); the exact kernel rejects it
+    (1e-15, "2.0000000000000004e-15", False),
+    (1e-15, "3e-15", True),
+    (1e-15, "2.5e-15", False),
+    # denormals must not pass as multiples (underflow guard)
+    (1e-15, "5e-324", False),
+    (0.0001, "1e300", True),       # 1e304 is an integer
+    (0.0001, "-0.0002", True),     # negatives validate by |value| (spec;
+                                   # the reference's value<multiple bail
+                                   # would reject — documented deviation)
+    (3.5e-7, "7e-7", True),
+    (3.5e-7, "8e-7", False),
+    (0.06, "0.18", True),
+    (0.06, "0.03", False),
+])
+def test_variant_multiple_of_subscale(spark, m, doc, valid):
+    vcheck(spark, {"multipleOf": m}, [(doc, valid)])
+
+
+def test_typed_multiple_of_subscale(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0000000000000004e-15), (2, 3e-15), (3, -0.0002),
+         (4, 5e-324), (5, 1e300), (6, float("nan")), (7, float("inf"))],
+        "id long, x double")
+    plan = compile_schema(
+        {"type": "object", "properties": {"x": {"multipleOf": 1e-15}}},
+        df.schema)
+    got = {r["id"]: r["valid"] for r in plan.with_validation(df).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: True,
+                   6: False, 7: False}
+
+
+def test_variant_big_int_value_integer_divisor(spark):
+    """Int64 instances keep EXACT integer mod for integer divisors
+    (ext/numeric.rs:95-117 BigInt branch): 3*(2^53+1) as a double rounds
+    to a non-multiple of 3."""
+    v = 3 * BIG
+    vcheck(spark, {"multipleOf": 3}, [(str(v), True), (str(v + 1), False)])
+    # a fractional double must not be truncated into the int fast path
+    vcheck(spark, {"multipleOf": 7}, [("7.5", False), ("14.0", True)])
+
+
+def test_exact_kernel_vs_fraction_oracle(spark):
+    """Randomized differential: the JVM kernel against a driver-side
+    Fraction recomputation over the SAME shortest-decimal rendering the
+    JVM produced (isolates the number theory from the rare Java-17
+    non-Ryu digit corners, which are documented in COVERAGE.md)."""
+    import random
+    from decimal import Decimal
+    from fractions import Fraction
+
+    from jsonschema_rs_spark.functions.numerics import (
+        exact_multiple_of_double,
+    )
+
+    rng = random.Random(7)
+    divisors = [0.0001, 0.3, 2.5, 0.06, 1e-15, 123.456, 3.5e-7,
+                2 ** 53 + 1, 7.5e300]
+    vals = [0.0]
+    for _ in range(500):
+        c = rng.random()
+        if c < 0.4:
+            vals.append(float(rng.choice(divisors)) *
+                        rng.randint(-10 ** 9, 10 ** 9))
+        elif c < 0.7:
+            vals.append(rng.uniform(-1e6, 1e6))
+        else:
+            vals.append(rng.uniform(-1, 1) * 10 ** rng.randint(-320, 300))
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    for m in divisors:
+        rows = df.select(
+            F.abs("v").cast("string").alias("s"), F.col("v").alias("v"),
+            exact_multiple_of_double(F.col("v"), m).alias("ok")).collect()
+        mfrac = Fraction(Decimal(str(m)))
+        for r in rows:
+            import math
+            if r.v == 0:
+                exp = True
+            elif not math.isfinite(r.v):
+                exp = False
+            else:
+                exp = (Fraction(Decimal(r.s)) / mfrac).denominator == 1
+            assert bool(r.ok) == exp, (r.v, r.s, m)
