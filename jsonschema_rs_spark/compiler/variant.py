@@ -814,6 +814,17 @@ def _index_coverage(schema: Any, ctx):
     by this schema's array applicators."""
     if not isinstance(schema, dict):
         return lambda v, i, el: F.lit(False)
+    # draft 4-7 array-form `items` covers only its listed indices; the
+    # rest are evaluated only if `additionalItems` is present (mirrors
+    # the _array_rules normalization — without this, [1, 2] against
+    # {"items": [int], "unevaluatedItems": false} wrongly passed)
+    if isinstance(schema.get("items"), list):
+        schema = dict(schema)
+        schema["prefixItems"] = schema["items"]
+        if "additionalItems" in schema:
+            schema["items"] = schema["additionalItems"]
+        else:
+            del schema["items"]
     parts = []
     prefix = schema.get("prefixItems")
     if prefix:

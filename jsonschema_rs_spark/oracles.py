@@ -722,13 +722,18 @@ WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
 MINHASH_PAIRS = _minhash_pairs_sql()
 
 # exact pairwise n-gram Jaccard (queries.jaccard_pairs): distinct 3-gram
-# shingles over normalized text, pairs sharing >= 1 shingle, Jaccard from
-# |A| + |B| - common; threshold applied to the 6dp-rounded value exactly
-# like the Spark side
+# shingles over normalized text, the deterministic stopword-shingle skew
+# guard (drop shingles in > 1000 docs, |A|/|B| still counted pre-drop,
+# exactly like ngram_jaccard_pairs), pairs sharing >= 1 surviving
+# shingle; threshold applied to the 6dp-rounded value like the Spark side
 JACCARD_PAIRS = f"""
 WITH tk AS (SELECT doc_id, str_split({_NORM}, ' ') AS toks FROM documents),
 shx AS (SELECT doc_id, {_SHINGLES} AS sh FROM tk),
-ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shx),
+ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM shx),
+ex AS (
+  SELECT * FROM ex0
+  WHERE shingle NOT IN (
+    SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 1000)),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS n_common

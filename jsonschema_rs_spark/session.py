@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(gen) > 0` for every
+        # explode and PUSHES it through projections to the scan with the
+        # generator's whole expression tree INLINED — for HOF-built
+        # arrays (shingles, band keys) the interpreted tokenize pipeline
+        # then re-runs once per element_at reference inside the filter
+        # (measured: 5000-doc shingle explode 38s -> 1s at sf0.1). The
+        # rule only helps when empty arrays are common; ours never are.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # NOT bigger-is-better: a 48g heap made 32-thread runs 10-30x
         # slower — G1 grows/uncommits regions between jobs and all task
         # threads then page-fault simultaneously, serializing on the

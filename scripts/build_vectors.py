@@ -983,6 +983,79 @@ g("vocabulary", "format vocabularies absent: format never asserts even "
            "validate_formats": True}, oracle=False)
 
 # ---------------------------------------------------------------------------
+# round 3: exact rational multipleOf kernel (functions/numerics.py;
+# reference BigFraction-over-shortest-decimal semantics,
+# ext/numeric.rs:62-86). python-jsonschema's float-division check
+# disagrees below scale 15 (it calls 3e-15 NOT a multiple of 1e-15), so
+# these carry oracle="fraction": validate() re-checks them against the
+# engine's driver-side Fraction mirror instead.
+# ---------------------------------------------------------------------------
+
+g("numeric", "multipleOf decides by the 16th+ significant digit",
+  {"multipleOf": 1e-15},
+  [(2.0000000000000004e-15, False), (3e-15, True), (2.5e-15, False),
+   (5e-324, False), (0, True), (1e-15, True)], oracle="fraction")
+g("numeric", "multipleOf tiny fractional divisor exactness",
+  {"multipleOf": 3.5e-7},
+  [(7e-7, True), (8e-7, False), (1.05e-6, True), (-7e-7, True)],
+  oracle="fraction")
+g("numeric", "negative values are multiples by magnitude",
+  {"multipleOf": 0.0001},
+  [(-0.0002, True), (-0.00025, False), (1e300, True)],
+  oracle="fraction")
+g("numeric", "multipleOf huge-int instance keeps exact integer mod",
+  {"multipleOf": 3},
+  [(3 * BIG, True), (3 * BIG + 1, False)])
+
+# ---------------------------------------------------------------------------
+# round 3: depth for the thinner dialect families
+# ---------------------------------------------------------------------------
+
+g("draft6", "draft-6 contains ignores minContains/maxContains",
+  {"contains": {"type": "integer"}, "minContains": 2, "maxContains": 2},
+  [([1], True), ([1, 2, 3], True), (["s"], False)], draft="6")
+g("draft6", "draft-6 boolean subschemas",
+  {"properties": {"a": False}, "patternProperties": {"^b": True}},
+  [({"a": 1}, False), ({"b1": 1}, True), ({}, True)], draft="6")
+g("draft6", "draft-6 dependencies schema form",
+  {"dependencies": {"a": {"required": ["b"]}}},
+  [({"a": 1}, False), ({"a": 1, "b": 2}, True), ({"b": 2}, True)],
+  draft="6")
+
+g("draft2019", "2019-09 $recursiveRef recurses from the dynamic root",
+  {"$recursiveAnchor": True, "type": "object",
+   "properties": {"v": {"type": "integer"},
+                  "child": {"$recursiveRef": "#"}},
+   "additionalProperties": False},
+  [({"v": 1}, True), ({"child": {"v": 2}}, True),
+   ({"child": {"v": "s"}}, False), ({"x": 1}, False)],
+  draft="2019-09")
+g("draft2019", "2019-09 array-form items with unevaluatedItems",
+  {"items": [{"type": "integer"}], "unevaluatedItems": False},
+  [([1], True), ([1, 2], False), ([], True)], draft="2019-09")
+g("draft2019", "2019-09 maxContains bounds matches",
+  {"contains": {"type": "integer"}, "maxContains": 2},
+  [([1, 2], True), ([1, 2, 3], False), (["s", 1], True)],
+  draft="2019-09")
+
+g("draft7", "draft-7 array-form items with additionalItems schema",
+  {"items": [{"type": "integer"}, {"type": "string"}],
+   "additionalItems": {"type": "boolean"}},
+  [([1, "a", True], True), ([1, "a", 3], False), ([1], True)],
+  draft="7")
+g("draft7", "draft-7 $comment and unknown keywords are ignored",
+  {"$comment": "note", "prefixItems": [{"type": "integer"}],
+   "dependentRequired": {"a": ["b"]}},
+  [(["s"], True), ({"a": 1}, True)], draft="7")
+
+g("draft4", "draft-4 multipleOf fractional works",
+  {"multipleOf": 0.5},
+  [(1.5, True), (1.25, False), (-2.5, True)], draft="4")
+g("draft4", "draft-4 enum with heterogeneous values",
+  {"enum": [1, "a", [2], {"b": 3}, None]},
+  [(1, True), ([2], True), ({"b": 3}, True), (2, False)], draft="4")
+
+# ---------------------------------------------------------------------------
 # validate + write
 # ---------------------------------------------------------------------------
 
@@ -995,8 +1068,24 @@ def validate():
                "7": jsonschema.Draft7Validator,
                "6": jsonschema.Draft6Validator,
                "4": jsonschema.Draft4Validator}
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jsonschema_rs_spark.functions.numerics import (
+        exact_multiple_of_fraction,
+    )
+
     n_checked = 0
     for grp in V:
+        if grp.get("oracle") == "fraction":
+            # reference-kernel semantics python-jsonschema can't mirror:
+            # re-derive every expectation from the engine's driver-side
+            # Fraction mirror (independently tested vs the JVM kernel)
+            m = grp["schema"]["multipleOf"]
+            for t in grp["tests"]:
+                got = exact_multiple_of_fraction(float(t["data"]), m)
+                assert got == t["valid"], \
+                    (grp["description"], t, "fraction oracle says", got)
+                n_checked += 1
+            continue
         if grp.get("oracle") is False:
             continue
         cls = classes[grp.get("draft", "2020-12")]
