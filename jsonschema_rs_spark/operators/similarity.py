@@ -215,6 +215,53 @@ def pair_cosine_udf():
     return pair_cos.asNondeterministic()
 
 
+def pair_cosine_gather_udf(spark, idx: dict, mat):
+    """Broadcast-gather variant of pair_cosine_udf: the raw vector
+    matrix ships ONCE per executor (exactly the data volume a
+    broadcast-hash join would ship) and candidate rows cross the Arrow
+    boundary as bare (id_a, id_b) — 2 scalars instead of 2*dim doubles
+    per pair. Same einsum, same fp order, same 6dp rounding, so results
+    are bit-identical to the join path. Integer ids resolve via
+    vectorized searchsorted over the sorted id array (a Python-level
+    dict .map() costs seconds at millions of candidate rows); other id
+    types fall back to the dict."""
+    int_ids = all(isinstance(k, int) for k in idx)
+    if int_ids:
+        ids_arr = np.fromiter(idx.keys(), dtype=np.int64, count=len(idx))
+        order = np.argsort(ids_arr)
+        sorted_ids = ids_arr[order]
+        perm = np.fromiter(idx.values(), dtype=np.int64,
+                           count=len(idx))[order]
+        bc_lut = spark.sparkContext.broadcast((sorted_ids, perm))
+    else:
+        bc_lut = spark.sparkContext.broadcast(idx)
+    bc_mat = spark.sparkContext.broadcast(mat)
+
+    @F.pandas_udf("double")
+    def pair_cos_g(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        if len(ia) == 0:
+            return pd.Series([], dtype="float64")
+        M = bc_mat.value
+        if int_ids:
+            sorted_ids_, perm_ = bc_lut.value
+            ra = perm_[np.searchsorted(sorted_ids_,
+                                       ia.to_numpy(dtype=np.int64))]
+            rb = perm_[np.searchsorted(sorted_ids_,
+                                       ib.to_numpy(dtype=np.int64))]
+        else:
+            lut = bc_lut.value
+            ra = ia.map(lut).to_numpy(dtype=np.int64)
+            rb = ib.map(lut).to_numpy(dtype=np.int64)
+        a = M[ra]
+        b = M[rb]
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    # same filter-duplication guard as pair_cosine_udf
+    return pair_cos_g.asNondeterministic()
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -366,7 +413,9 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
                               exact: bool = False,
                               bands: int | str | None = None,
                               planes_per_band: int = 3,
-                              dedup_before_verify: bool | None = None) \
+                              dedup_before_verify: bool | None = None,
+                              broadcast_verify: bool | None = None,
+                              broadcast_verify_max: int = 100_000) \
         -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
 
@@ -443,18 +492,47 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     # ~30 s for verify-then-dedup. The pre-verify exchange carries only
     # (id_a, id_b) scalars, so it is always the cheaper side; default
     # True, parameterized for experimentation only.
+    # verify-stage transport: attaching vectors to every candidate pair
+    # ships 2*dim doubles per pair through the Arrow boundary (1.8 GB at
+    # sf0.1's 1.74M candidates). When the vector table is small enough to
+    # broadcast — the same data volume a broadcast-hash join would ship
+    # per executor anyway — gather vectors from a broadcast matrix INSIDE
+    # the pandas UDF instead, so Arrow moves only (id_a, id_b). Same
+    # einsum, same fp order, same 6dp rounding. Above the cap the join
+    # path keeps linear-scale semantics.
+    if broadcast_verify is None:
+        broadcast_verify = v.count() <= broadcast_verify_max
     if dedup_before_verify is None:
+        # dedup first on BOTH paths: true near-dups collide in up to all
+        # `bands` bands, and every surviving candidate row pays the
+        # verify transport (vector-attach join + 2*dim doubles on the
+        # join path; the Python-side id gather on the broadcast path) —
+        # A/B at sf0.1: gather+prededup 5.7s, gather+postdedup 9.1s,
+        # join+prededup 8.3s on the same session
         dedup_before_verify = True
     if dedup_before_verify:
         cand = cand.dropDuplicates(["id_a", "id_b"])
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    out = (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                pair_cosine_udf()(F.col("va"), F.col("vb")).alias("sim"))
-        .where(F.col("sim") >= threshold)
-    )
+    if broadcast_verify:
+        rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+        idx = {r[0]: i for i, r in enumerate(rows)}
+        mat = np.asarray([np.asarray(r[1], dtype=np.float64)
+                          for r in rows], dtype=np.float64)
+        pc = pair_cosine_gather_udf(df.sparkSession, idx, mat)
+        out = (
+            cand.select("id_a", "id_b",
+                        pc(F.col("id_a"), F.col("id_b")).alias("sim"))
+            .where(F.col("sim") >= threshold)
+        )
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        out = (
+            cand.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    pair_cosine_udf()(F.col("va"), F.col("vb"))
+                    .alias("sim"))
+            .where(F.col("sim") >= threshold)
+        )
     if not dedup_before_verify:
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
