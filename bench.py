@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
     "ks_events_value", "chisq_events_halves", "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
+    "simhash_pairs",
     "minhash_pairs", "jaccard_pairs", "curate_docs", "sim_topk",
     "ann_lsh", "ann_ivf",
     "ndcos_pairs", "rollup_events", "mm_features", "output_units_docs",

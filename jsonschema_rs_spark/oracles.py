@@ -525,6 +525,17 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h
 
 SIMHASH_VALS = _simhash_sql(32)
 
+# exact all-pairs hamming check (queries.simhash_pairs): the engine's
+# pigeonhole-banded join has guaranteed full recall for
+# max_hamming < chunks, so exact equality against the O(N^2) oracle is
+# the correct expectation
+SIMHASH_PAIRS = f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM ({SIMHASH_VALS}) a JOIN ({SIMHASH_VALS}) b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 def _curate_sql(num_hashes: int = 16, bands: int = 8,
                 quality_threshold: float = 0.7,
                 jaccard_threshold: float = 0.6) -> str:
@@ -810,6 +821,7 @@ ORACLES = {
     "fp_counts": FP_COUNTS,
     "minhash_sigs": MINHASH_SIGS,
     "simhash_vals": SIMHASH_VALS,
+    "simhash_pairs": SIMHASH_PAIRS,
     "curate_docs": CURATE_DOCS,
     "minhash_pairs": MINHASH_PAIRS,
     "jaccard_pairs": JACCARD_PAIRS,

@@ -449,6 +449,16 @@ def simhash_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.with_simhash(docs, "text").select("doc_id", "simhash")
 
 
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via the pigeonhole-banded hamming
+    join. With max_hamming < chunks the pigeonhole guarantees FULL
+    recall, so the all-pairs DuckDB oracle is an equality check on the
+    result, not a recall bound."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    return dd.simhash_near_duplicates(docs, "text", "doc_id",
+                                      max_hamming=3, chunks=4)
+
+
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no SQL oracle (banded-LSH pipeline); driver records rows-only check
     docs = _read_wide(spark, sf_dir, "documents")
@@ -588,6 +598,7 @@ QUERIES = {
     "fp_counts": fp_counts,
     "minhash_sigs": minhash_sigs,
     "simhash_vals": simhash_vals,
+    "simhash_pairs": simhash_pairs,
     "minhash_pairs": minhash_pairs,
     "jaccard_pairs": jaccard_pairs,
     "curate_docs": curate_docs,
