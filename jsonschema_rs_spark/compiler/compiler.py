@@ -44,7 +44,8 @@ class CompileContext:
         # active (ref_pointer, dtype) pairs — structural-progress cycle guard
         self._active_refs: set[tuple[str, str]] = set()
         self.registry = RefRegistry(root_schema, options.resources,
-                                    legacy_id=self.dialect.legacy_id)
+                                    legacy_id=self.dialect.legacy_id,
+                                    retriever=options.retriever)
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the

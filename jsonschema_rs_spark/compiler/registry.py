@@ -47,7 +47,7 @@ _MAP_OF_SCHEMAS_KEYS = frozenset([
 
 class RefRegistry:
     def __init__(self, root: Any, resources: dict[str, Any] | None = None,
-                 legacy_id: bool = False):
+                 legacy_id: bool = False, retriever=None):
         """`resources`: extra documents keyed by absolute URI — the
         offline analog of the reference's referencing::Registry /
         ValidationOptions::with_retriever (retriever.rs), letting
@@ -57,8 +57,15 @@ class RefRegistry:
 
         `legacy_id`: draft-4 dialect — the base-URI keyword is `id`
         (specification/mod.rs draft-4 id_of); `$id` in a draft-4
-        document is just an unknown property."""
+        document is just an unknown property.
+
+        `retriever`: callable (absolute URI) -> document, consulted
+        lazily at resolve time for URIs in neither the embedded
+        resources nor `resources` — the reference's Retriever trait
+        (retriever.rs; jsonschema-py `retriever=` kwarg). The registry
+        performs no I/O itself."""
         self.legacy_id = legacy_id
+        self.retriever = retriever
         self.root = root
         self.base_by_oid: dict[int, str] = {}
         # node id → JSON-pointer within its enclosing resource ("" for a
@@ -80,15 +87,38 @@ class RefRegistry:
         self.by_uri[root_base] = root
         self._walk(root, root_base, is_root=True)
         for uri, doc in (resources or {}).items():
-            base = urldefrag(uri).url
-            self.by_uri.setdefault(base, doc)
-            if isinstance(doc, dict) \
-                    and isinstance(doc.get(self._id_key), str):
-                # registered under its retrieval URI AND its declared $id
-                declared = urljoin(base, urldefrag(doc[self._id_key]).url)
-                self.by_uri.setdefault(declared, doc)
-                base = declared
-            self._walk(doc, base, is_root=True)
+            self._register_resource(uri, doc)
+
+    def _register_resource(self, uri: str, doc: Any) -> None:
+        """Register an external document under its retrieval URI (and
+        its declared $id, if any); its anchors and nested $ids walk like
+        an embedded resource."""
+        base = urldefrag(uri).url
+        self.by_uri.setdefault(base, doc)
+        if isinstance(doc, dict) \
+                and isinstance(doc.get(self._id_key), str):
+            # registered under its retrieval URI AND its declared $id
+            declared = urljoin(base, urldefrag(doc[self._id_key]).url)
+            self.by_uri.setdefault(declared, doc)
+            base = declared
+        self._walk(doc, base, is_root=True)
+
+    def _retrieve(self, uri: str) -> Any:
+        """Consult the user retriever for an unknown absolute URI and
+        register the returned document (Retriever trait analog,
+        retriever.rs; errors become SchemaError like the reference's
+        Resolve error propagation)."""
+        try:
+            doc = self.retriever(uri)
+        except Exception as exc:
+            raise SchemaError(
+                f"retriever failed for {uri!r}: {exc}", "$ref") from exc
+        if not isinstance(doc, (dict, bool)):
+            raise SchemaError(
+                f"retriever returned a non-schema ({type(doc).__name__}) "
+                f"for {uri!r}", "$ref")
+        self._register_resource(uri, doc)
+        return self.by_uri[urldefrag(uri).url]
 
     # -- collection --------------------------------------------------------
 
@@ -175,12 +205,16 @@ class RefRegistry:
         the referring schema's base URI to an in-document subschema."""
         base = self.base_of(referrer)
         uri, frag = urldefrag(ref)
-        doc = self.by_uri.get(urljoin(base, uri) if uri else base)
+        target_uri = urljoin(base, uri) if uri else base
+        doc = self.by_uri.get(target_uri)
+        if doc is None and self.retriever is not None and target_uri:
+            doc = self._retrieve(target_uri)
         if doc is None:
             raise SchemaError(
                 f"unresolvable $ref {ref!r}: no embedded or registered "
-                f"resource for {urljoin(base, uri)!r} (supply it via "
-                f"ValidationOptions.resources; network retrieval is a "
+                f"resource for {target_uri!r} (supply it via "
+                f"ValidationOptions.resources or a compile-time "
+                f"ValidationOptions.retriever; network retrieval is a "
                 f"non-goal)", "$ref")
         if not frag:
             return doc

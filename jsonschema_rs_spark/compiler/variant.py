@@ -220,7 +220,8 @@ class VariantCompileContext:
         # static outermost-anchor approximation's documented divergence)
         self._dyn_scope: list[str] = []
         self.registry = RefRegistry(root, options.resources,
-                                    legacy_id=self.dialect.legacy_id)
+                                    legacy_id=self.dialect.legacy_id,
+                                    retriever=options.retriever)
         # (schema_path, contains-Node) sites collected during compile —
         # drives the contains match-index annotations
         # (reference contains.rs:60-105 evaluate())

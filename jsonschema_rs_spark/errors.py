@@ -80,6 +80,15 @@ class ValidationOptions:
     # with_retriever (retriever.rs). No network is ever touched; a URI
     # not present here (or embedded via $id) fails compilation.
     resources: dict = field(default_factory=dict)
+    # callable (absolute URI) -> schema document, consulted at COMPILE
+    # time for URIs not in `resources` — the direct analog of the
+    # reference's Retriever trait (retriever.rs; jsonschema-py
+    # `retriever=` kwarg). The engine itself never performs I/O: the
+    # callable decides where documents come from (a dict, a file tree,
+    # an artifact store...). Raising (or returning a non-schema) turns
+    # into a SchemaError naming the URI. Retrieved documents register
+    # like resources: their $ids, anchors and nested resources all walk.
+    retriever: object = None
     # False -> an asserted `format` name with no built-in or custom
     # checker is a COMPILE error (reference should_ignore_unknown_formats,
     # options.rs:434-440). True (default, like the reference): unknown

@@ -457,3 +457,88 @@ def test_dynamic_ref_typical_resolution_still_works(spark):
     v = jsonschema.Draft202012Validator(schema)
     docs = [["a"], [1], [], ["a", "b"], ["a", 1]]
     check(spark, schema, [(_json.dumps(d), v.is_valid(d)) for d in docs])
+
+
+# -- compile-time retriever (Retriever trait analog, retriever.rs) ----------
+
+
+def test_retriever_resolves_unknown_uri(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    store = {
+        "https://example.com/leaf.json": {"type": "integer", "minimum": 5},
+        # chained retrieval: one retrieved doc $refs another
+        "https://example.com/mid.json": {
+            "properties": {"v": {"$ref": "leaf.json"}}},
+    }
+    calls = []
+
+    def retriever(uri):
+        calls.append(uri)
+        return store[uri]
+
+    plan = compile_json_schema(
+        {"$id": "https://example.com/root.json",
+         "$ref": "mid.json"},
+        ValidationOptions(retriever=retriever))
+    import json as _json
+    df = spark.createDataFrame(
+        [( _json.dumps(d),) for d in
+         [{"v": 7}, {"v": 3}, {"v": "x"}, {}]], "j string")
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False, False, True]
+    assert calls == ["https://example.com/mid.json",
+                     "https://example.com/leaf.json"]
+
+
+def test_retriever_anchor_and_id_in_retrieved_doc(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    def retriever(uri):
+        assert uri == "https://example.com/anch.json"
+        return {"$defs": {"n": {"$anchor": "num", "type": "number"}}}
+
+    plan = compile_json_schema(
+        {"$id": "https://example.com/root.json",
+         "$ref": "anch.json#num"},
+        ValidationOptions(retriever=retriever))
+    import json as _json
+    df = spark.createDataFrame([("1.5",), ("\"s\"",)], "j string")
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False]
+
+
+def test_retriever_failure_is_schema_error():
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    def retriever(uri):
+        raise FileNotFoundError(uri)
+
+    with pytest.raises(SchemaError, match="retriever failed"):
+        compile_json_schema({"$ref": "https://example.com/missing.json"},
+                            ValidationOptions(retriever=retriever))
+
+    with pytest.raises(SchemaError, match="non-schema"):
+        compile_json_schema(
+            {"$ref": "https://example.com/bad.json"},
+            ValidationOptions(retriever=lambda uri: "not a schema"))
+
+
+def test_resources_take_precedence_over_retriever(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    def retriever(uri):  # pragma: no cover - must not be called
+        raise AssertionError("retriever consulted despite resources")
+
+    plan = compile_json_schema(
+        {"$ref": "https://example.com/r.json"},
+        ValidationOptions(
+            resources={"https://example.com/r.json": {"type": "string"}},
+            retriever=retriever))
+    import json as _json
+    df = spark.createDataFrame([("\"ok\"",), ("3",)], "j string")
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False]
