@@ -257,3 +257,65 @@ def test_streaming_violation_sessions(spark, tmp_path):
     r = rows[0]
     assert r["key"] == "u1" and r["n_violations"] == 3
     assert r["session_end"] - r["session_start"] == 8.0
+
+
+def test_chi_square_drift_stream_matches_batch_and_oracle(spark, tmp_path):
+    """Stream == batch == hand-computed chi-square per window; novel
+    categories surface in n_unexpected, not the statistic."""
+    from collections import Counter, defaultdict
+
+    from jsonschema_rs_spark.streaming.drift import (
+        chi_square_drift_stream, reference_proportions)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("ts", "event_type")
+    ref_probs = reference_proportions(ev, "event_type")
+    assert abs(sum(ref_probs.values()) - 1.0) < 1e-9
+
+    # drop one category from the reference so n_unexpected is exercised
+    dropped, probs = max(ref_probs), dict(ref_probs)
+    p = probs.pop(dropped)
+    probs = {k: v / (1 - p) for k, v in probs.items()}
+
+    src = str(tmp_path / "drift_src")
+    ev.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = chi_square_drift_stream(stream, "event_type", "ts", probs,
+                                  window="6 hours", watermark="12 hours")
+    q = (out.writeStream.format("memory").queryName("t_drift")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["window_start"]: r for r in
+           spark.sql("select * from t_drift").collect()}
+    assert got, "stream produced no windows"
+
+    # batch path: same function, batch input
+    batch = {r["window_start"]: r for r in
+             chi_square_drift_stream(ev, "event_type", "ts", probs,
+                                     window="6 hours").collect()}
+    assert set(got) == set(batch)
+    for ws, g in got.items():
+        b = batch[ws]
+        assert (g["n"], g["chi2"], g["dof"], g["n_unexpected"]) == \
+            (b["n"], b["chi2"], b["dof"], b["n_unexpected"]), ws
+
+    # oracle: recompute per window in pure Python
+    rows = ev.collect()
+    win = defaultdict(Counter)
+    for r in rows:
+        ts = r["ts"]
+        bucket = ts.replace(hour=(ts.hour // 6) * 6, minute=0, second=0,
+                            microsecond=0)
+        win[bucket][r["event_type"]] += 1
+    for ws, g in got.items():
+        counts = win[ws]
+        n = sum(counts.values())
+        chi2 = 0.0
+        for cat, pc in probs.items():
+            exp = n * pc
+            if exp >= 1.0:
+                chi2 += (counts.get(cat, 0) - exp) ** 2 / exp
+        assert g["n"] == n, ws
+        assert abs(g["chi2"] - round(chi2, 6)) < 1e-6, ws
+        assert g["n_unexpected"] == counts.get(dropped, 0), ws
+        assert g["dof"] == len(probs) - 1
