@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "val_spans_flag", "val_events_violations", "val_json_props",
     "val_events_composed", "val_docs_hierarchy", "val_spans_unevaluated",
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
-    "ks_events_value", "chisq_events_halves", "hist_orders_total",
+    "ks_events_value", "chisq_events_halves", "drift_windows",
+    "hist_orders_total",
     "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
     "simhash_pairs",
     "minhash_pairs", "jaccard_pairs", "curate_docs", "sim_topk",

@@ -411,6 +411,35 @@ SELECT
 FROM j
 """
 
+# windowed goodness-of-fit drift (queries.drift_windows): 6h event-time
+# windows vs the table's global event_type distribution. time_bucket and
+# Spark's window() are both epoch-aligned for sub-day intervals, so
+# boundaries agree; p = n_c/N is the same IEEE double both sides.
+DRIFT_WINDOWS = """
+WITH ref AS (
+  SELECT event_type AS cat,
+         count(*) / CAST((SELECT count(*) FROM events) AS DOUBLE) AS p
+  FROM events GROUP BY 1),
+wc AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type AS cat,
+         count(*) AS n_c
+  FROM events GROUP BY 1, 2),
+wn AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1),
+terms AS (
+  SELECT wn.ws, wn.n, ref.p, coalesce(wc.n_c, 0) AS n_c
+  FROM wn CROSS JOIN ref
+  LEFT JOIN wc ON wc.ws = wn.ws AND wc.cat IS NOT DISTINCT FROM ref.cat)
+SELECT ws, n,
+       round(sum(CASE WHEN n * p >= 1.0
+                      THEN pow(n_c - n * p, 2) / (n * p)
+                      ELSE 0.0 END), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM ref) AS BIGINT) AS dof,
+       CAST(max(n) - sum(n_c) AS BIGINT) AS n_unexpected
+FROM terms GROUP BY ws, n
+"""
+
 # Spark width_bucket(v, lo, hi, n): 0 below lo, n+1 at/above hi, else
 # floor((v-lo)/((hi-lo)/n)) + 1
 HIST_ORDERS_TOTAL = """
@@ -816,6 +845,7 @@ ORACLES = {
     "ri_events_customer": RI_EVENTS_CUSTOMER,
     "ks_events_value": KS_EVENTS_VALUE,
     "chisq_events_halves": CHISQ_EVENTS_HALVES,
+    "drift_windows": DRIFT_WINDOWS,
     "hist_orders_total": HIST_ORDERS_TOTAL,
     "text_features": TEXT_FEATURES,
     "fp_counts": FP_COUNTS,

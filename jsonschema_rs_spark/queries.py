@@ -406,6 +406,22 @@ def chisq_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(F.round("chi2", 6).alias("chi2"), "dof", "n_obs", "n_ref")
 
 
+def drift_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch path of the streaming drift operator: 6-hour event-time
+    windows of events.event_type, goodness-of-fit chi-square vs the
+    table's own global distribution (reference_proportions — one
+    groupBy, category-count sized)."""
+    from jsonschema_rs_spark.streaming.drift import (
+        chi_square_drift_stream, reference_proportions)
+
+    ev = _read(spark, sf_dir, "events")
+    probs = reference_proportions(ev, "event_type")
+    out = chi_square_drift_stream(ev, "event_type", "ts", probs,
+                                  window="6 hours")
+    return out.select(F.col("window_start").alias("ws"), "n", "chi2",
+                      "dof", "n_unexpected")
+
+
 def hist_orders_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return tc.numeric_histogram(orders, "o_totalprice", n_buckets=10,
@@ -593,6 +609,7 @@ QUERIES = {
     "ri_events_customer": ri_events_customer,
     "ks_events_value": ks_events_value,
     "chisq_events_halves": chisq_events_halves,
+    "drift_windows": drift_windows,
     "hist_orders_total": hist_orders_total,
     "text_features": text_features,
     "fp_counts": fp_counts,
