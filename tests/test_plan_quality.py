@@ -216,3 +216,19 @@ def test_explode_does_not_inline_generator_into_scan_filter(spark, docs):
     # regexes ~5x; with it the pipeline appears exactly twice (the two
     # staged regexp_replace calls)
     assert o.count("regexp_replace") <= 2, o
+
+
+def test_gather_verify_ships_ids_only(spark):
+    """Broadcast-gather verify: candidate pairs reach the Arrow boundary
+    as bare ids — no vector-attach joins after candidate generation (the
+    join path has 3 joins: bucket self-join + 2 vector attaches; the
+    gather path keeps only the bucket self-join)."""
+    from jsonschema_rs_spark.operators import similarity as sim
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pg = physical(sim.near_duplicates_by_cosine(emb, threshold=0.5,
+                                                broadcast_verify=True))
+    pj = physical(sim.near_duplicates_by_cosine(emb, threshold=0.5,
+                                                broadcast_verify=False))
+    assert pg.count("Join") == 1 and pj.count("Join") == 3
+    # verify runs once on both paths
+    assert pg.count("pair_cos") == 1 and pj.count("pair_cos") == 1
