@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "stats_documents", "uniq_orders_custkey", "ri_orders_customer",
     "ks_events_value", "chisq_events_halves", "drift_windows",
     "hist_orders_total",
-    "text_features", "fp_counts", "minhash_sigs", "simhash_vals",
+    "text_features", "fp_counts", "pack_docs", "minhash_sigs",
+    "simhash_vals",
     "simhash_pairs",
     "minhash_pairs", "jaccard_pairs", "curate_docs", "sim_topk",
     "ann_lsh", "ann_ivf",

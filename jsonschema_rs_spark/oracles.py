@@ -761,6 +761,21 @@ WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
 
 MINHASH_PAIRS = _minhash_pairs_sql()
 
+# sequence packing (queries.pack_docs): exclusive prefix sum of
+# whitespace token counts in doc_id order within each language shard;
+# pack_id = start_offset // 512 (concatenate-then-chunk semantics)
+PACK_DOCS = f"""
+WITH t AS (SELECT doc_id, lang, CAST({_WS_COUNT} AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM c
+"""
+
 # exact pairwise n-gram Jaccard (queries.jaccard_pairs): distinct 3-gram
 # shingles over normalized text, the deterministic stopword-shingle skew
 # guard (drop shingles in > 1000 docs, |A|/|B| still counted pre-drop,
@@ -855,6 +870,7 @@ ORACLES = {
     "curate_docs": CURATE_DOCS,
     "minhash_pairs": MINHASH_PAIRS,
     "jaccard_pairs": JACCARD_PAIRS,
+    "pack_docs": PACK_DOCS,
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,
     "ann_ivf": ANN_IVF,

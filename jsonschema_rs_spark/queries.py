@@ -482,6 +482,17 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.5)
 
 
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-then-chunk) of documents into
+    512-token packs, sharded by language — one shuffle + one per-shard
+    ordered window (operators/packing.py)."""
+    from jsonschema_rs_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "text", "doc_id", budget=512,
+                          shard_col="lang")
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs with the stopword-
     shingle skew guard at its production default: a shingle shared by k
@@ -618,6 +629,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "minhash_pairs": minhash_pairs,
     "jaccard_pairs": jaccard_pairs,
+    "pack_docs": pack_docs,
     "curate_docs": curate_docs,
     "sim_topk": sim_topk,
     "ann_lsh": ann_lsh,

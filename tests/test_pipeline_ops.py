@@ -358,3 +358,36 @@ def test_near_duplicates_auto_banding(spark):
     with pytest.raises(ValueError):
         sim.near_duplicates_by_cosine(df, threshold=0.95, dim=16,
                                       bands="auto", n_planes=12)
+
+
+def test_pack_sequences_chunk_semantics(spark):
+    from jsonschema_rs_spark.operators.packing import pack_sequences
+    rows = [
+        # shard a: 3+4=7 tokens before doc 3 starts -> doc 3 starts in
+        # pack 0 (offset 7 < 10), doc 4 starts at 7+6=13 -> pack 1
+        (1, "a", "t1 t2 t3"),
+        (2, "a", "t t t t"),
+        (3, "a", "x x x x x x"),
+        (4, "a", "y"),
+        # shard b: a doc longer than the budget spans packs; the next
+        # doc starts at its end offset
+        (5, "b", " ".join(["w"] * 25)),
+        (6, "b", "z z"),
+        # empty text = 0 tokens
+        (7, "b", "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+           for r in pack_sequences(df, budget=10,
+                                   shard_col="lang").collect()}
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (4, 3, 0)
+    assert got[3] == (6, 7, 0)
+    assert got[4] == (1, 13, 1)
+    assert got[5] == (25, 0, 0)
+    assert got[6] == (2, 25, 2)
+    assert got[7] == (0, 27, 2)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
