@@ -189,6 +189,15 @@ def banded_signature_udf(planes: list[list[int]], planes_per_band: int):
     return sig
 
 
+def _batch_cosine(a: "np.ndarray", b: "np.ndarray") -> "pd.Series":
+    """Shared cosine kernel for BOTH verify transports — the single
+    place the fp order and 6dp rounding live, so the join and
+    broadcast-gather paths stay bit-identical by construction."""
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    return pd.Series(np.round(num / den, 6))
+
+
 def pair_cosine_udf():
     """Vectorized exact-cosine verify for candidate pairs: one numpy
     einsum per Arrow batch instead of an interpreted zip_with+aggregate
@@ -203,9 +212,7 @@ def pair_cosine_udf():
             return pd.Series([], dtype="float64")
         a = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
         b = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        return pd.Series(np.round(num / den, 6))
+        return _batch_cosine(a, b)
 
     # the UDF IS deterministic; asNondeterministic only stops Catalyst
     # from pushing the `sim >= threshold` filter through the projection,
@@ -215,16 +222,35 @@ def pair_cosine_udf():
     return pair_cos.asNondeterministic()
 
 
+# broadcasts created by pair_cosine_gather_udf, kept so callers running
+# many near-dup passes in one SparkSession can reclaim executor storage
+# between actions (a Broadcast cannot be destroyed from inside the plan
+# that still references it, so the operator can't auto-release)
+_GATHER_BROADCASTS: list = []
+
+
+def release_gather_broadcasts() -> int:
+    """Destroy every broadcast the gather-verify path has created so
+    far. Call BETWEEN actions (after the near-dup DataFrames built from
+    them have been fully materialized); returns how many were freed."""
+    n = 0
+    while _GATHER_BROADCASTS:
+        _GATHER_BROADCASTS.pop().destroy()
+        n += 1
+    return n
+
+
 def pair_cosine_gather_udf(spark, idx: dict, mat):
     """Broadcast-gather variant of pair_cosine_udf: the raw vector
     matrix ships ONCE per executor (exactly the data volume a
     broadcast-hash join would ship) and candidate rows cross the Arrow
     boundary as bare (id_a, id_b) — 2 scalars instead of 2*dim doubles
-    per pair. Same einsum, same fp order, same 6dp rounding, so results
-    are bit-identical to the join path. Integer ids resolve via
-    vectorized searchsorted over the sorted id array (a Python-level
-    dict .map() costs seconds at millions of candidate rows); other id
-    types fall back to the dict."""
+    per pair. Same kernel (_batch_cosine), so results are bit-identical
+    to the join path. Integer ids resolve via vectorized searchsorted
+    over the sorted id array (a Python-level dict .map() costs seconds
+    at millions of candidate rows); other id types fall back to the
+    dict. Unknown candidate ids raise rather than gathering a wrong
+    vector. Broadcasts live until release_gather_broadcasts()."""
     int_ids = all(isinstance(k, int) for k in idx)
     if int_ids:
         ids_arr = np.fromiter(idx.keys(), dtype=np.int64, count=len(idx))
@@ -236,6 +262,18 @@ def pair_cosine_gather_udf(spark, idx: dict, mat):
     else:
         bc_lut = spark.sparkContext.broadcast(idx)
     bc_mat = spark.sparkContext.broadcast(mat)
+    _GATHER_BROADCASTS.extend((bc_lut, bc_mat))
+
+    def _rows(series: pd.Series, sorted_ids_, perm_) -> "np.ndarray":
+        ids = series.to_numpy(dtype=np.int64)
+        pos = np.searchsorted(sorted_ids_, ids)
+        pos = np.minimum(pos, len(sorted_ids_) - 1)
+        if not np.array_equal(sorted_ids_[pos], ids):
+            missing = ids[sorted_ids_[pos] != ids]
+            raise KeyError(
+                f"candidate ids not in the broadcast vector table "
+                f"(first few: {missing[:5].tolist()})")
+        return perm_[pos]
 
     @F.pandas_udf("double")
     def pair_cos_g(ia: pd.Series, ib: pd.Series) -> pd.Series:
@@ -244,19 +282,13 @@ def pair_cosine_gather_udf(spark, idx: dict, mat):
         M = bc_mat.value
         if int_ids:
             sorted_ids_, perm_ = bc_lut.value
-            ra = perm_[np.searchsorted(sorted_ids_,
-                                       ia.to_numpy(dtype=np.int64))]
-            rb = perm_[np.searchsorted(sorted_ids_,
-                                       ib.to_numpy(dtype=np.int64))]
+            ra = _rows(ia, sorted_ids_, perm_)
+            rb = _rows(ib, sorted_ids_, perm_)
         else:
             lut = bc_lut.value
             ra = ia.map(lut).to_numpy(dtype=np.int64)
             rb = ib.map(lut).to_numpy(dtype=np.int64)
-        a = M[ra]
-        b = M[rb]
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        return pd.Series(np.round(num / den, 6))
+        return _batch_cosine(M[ra], M[rb])
 
     # same filter-duplication guard as pair_cosine_udf
     return pair_cos_g.asNondeterministic()
@@ -415,7 +447,7 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
                               planes_per_band: int = 3,
                               dedup_before_verify: bool | None = None,
                               broadcast_verify: bool | None = None,
-                              broadcast_verify_max: int = 100_000) \
+                              broadcast_verify_max_bytes: int = 64 << 20) \
         -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold).
 
@@ -498,10 +530,15 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     # broadcast — the same data volume a broadcast-hash join would ship
     # per executor anyway — gather vectors from a broadcast matrix INSIDE
     # the pandas UDF instead, so Arrow moves only (id_a, id_b). Same
-    # einsum, same fp order, same 6dp rounding. Above the cap the join
-    # path keeps linear-scale semantics.
+    # kernel, so results are bit-identical. Above the BYTE cap
+    # (rows*dim*8, default 64 MB) the join path keeps linear-scale
+    # semantics. The auto-decision costs one count() job and the gather
+    # path collects the vector table to the driver (what a BHJ build
+    # side does) — pass broadcast_verify explicitly to skip both; call
+    # release_gather_broadcasts() between repeated passes in one session.
     if broadcast_verify is None:
-        broadcast_verify = v.count() <= broadcast_verify_max
+        broadcast_verify = (v.count() * dim * 8 <=
+                            broadcast_verify_max_bytes)
     if dedup_before_verify is None:
         # dedup first on BOTH paths: true near-dups collide in up to all
         # `bands` bands, and every surviving candidate row pays the
@@ -515,6 +552,10 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
     if broadcast_verify:
         rows = df.select(F.col(id_col), F.col(vec_col)).collect()
         idx = {r[0]: i for i, r in enumerate(rows)}
+        if len(idx) != len(rows):
+            raise ValueError(
+                f"duplicate {id_col} values: near-duplicate pairs are "
+                f"ill-defined over non-unique ids (deduplicate first)")
         mat = np.asarray([np.asarray(r[1], dtype=np.float64)
                           for r in rows], dtype=np.float64)
         pc = pair_cosine_gather_udf(df.sparkSession, idx, mat)
