@@ -24,7 +24,8 @@ from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
-from jsonschema_rs_spark.api import (ValidationError, validator_for,
+from jsonschema_rs_spark.api import (Registry,
+                                     ValidationError, validator_for,
                                      is_valid, validate, iter_errors,
                                      evaluate, meta,
                                      Draft4Validator, Draft6Validator,
@@ -40,6 +41,7 @@ __all__ = [
     "ValidationOptions",
     "get_spark",
     # jsonschema-py-parity module surface (api.py)
+    "Registry",
     "ValidationError",
     "validator_for",
     "is_valid",

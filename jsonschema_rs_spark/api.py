@@ -13,9 +13,11 @@ its dataset scans are the user's loop).
 
 Reference-kwarg mapping: draft= (int 4/6/7/201909/202012) →
 ValidationOptions.dialect; validate_formats= → same tri-state;
-mask= → options.mask; registry=/resources dict → options.resources;
-formats= → options.custom_formats; keywords → options.custom_keywords.
-Network `retriever=` is a documented non-goal (offline resources only).
+mask= → options.mask; registry= (Registry or dict) →
+options.resources (+ its retriever); retriever= → options.retriever (a
+compile-time URI→document callable — the engine performs no network
+I/O itself); formats= → options.custom_formats; keywords= →
+options.custom_keywords.
 """
 
 from __future__ import annotations
@@ -42,8 +44,20 @@ class ValidationError(ValueError):
         self.keyword = keyword
 
 
+class Registry:
+    """jsonschema-py `Registry` analog (lib.rs registry class;
+    referencing::Registry): bundled external resources plus an optional
+    compile-time retriever for URIs outside the bundle. Accepts a dict
+    {uri: schema} or an iterable of (uri, schema) pairs."""
+
+    def __init__(self, resources=None, retriever=None):
+        self.resources = dict(resources or {})
+        self.retriever = retriever
+
+
 def _options(draft=None, validate_formats=None, mask=None, registry=None,
              formats=None, keywords=None, ignore_unknown_formats=True,
+             retriever=None,
              base: ValidationOptions | None = None) -> ValidationOptions:
     if base is not None:
         return base
@@ -53,12 +67,16 @@ def _options(draft=None, validate_formats=None, mask=None, registry=None,
             raise SchemaError(f"unknown draft {draft!r}; expected one of "
                               f"{sorted(_DRAFT_INTS)}")
         dialect = _DRAFT_INTS[draft]
+    if isinstance(registry, Registry):
+        retriever = retriever or registry.retriever
+        registry = registry.resources
     return ValidationOptions(
         dialect=dialect, validate_formats=validate_formats, mask=mask,
         resources=dict(registry or {}),
         custom_formats=dict(formats or {}),
         custom_keywords=dict(keywords or {}),
-        ignore_unknown_formats=ignore_unknown_formats)
+        ignore_unknown_formats=ignore_unknown_formats,
+        retriever=retriever)
 
 
 def validator_for(schema: Any, **kwargs):
@@ -179,8 +197,8 @@ class meta:
 
 
 __all__ = [
-    "ValidationError", "validator_for", "is_valid", "validate",
-    "iter_errors", "evaluate", "meta",
+    "Registry", "ValidationError", "validator_for", "is_valid",
+    "validate", "iter_errors", "evaluate", "meta",
     "Draft4Validator", "Draft6Validator", "Draft7Validator",
     "Draft201909Validator", "Draft202012Validator",
 ]

@@ -108,3 +108,18 @@ def test_ignore_unknown_formats(spark):
     got = [r[0] for r in
            df.select(v.valid_column(F.col("doc"))).collect()]
     assert got == [True, False]
+
+
+def test_registry_class_with_retriever():
+    from jsonschema_rs_spark import Registry, is_valid
+
+    reg = Registry({"https://e.com/t.json": {"type": "integer"}},
+                   retriever=lambda uri: {"minimum": 5})
+    assert is_valid({"$ref": "https://e.com/t.json"}, 7, registry=reg)
+    # URI outside the bundle falls through to the registry's retriever
+    assert is_valid({"$ref": "https://e.com/other.json"}, 7, registry=reg)
+    assert not is_valid({"$ref": "https://e.com/other.json"}, 3,
+                        registry=reg)
+    # plain dicts still work as registry=
+    assert is_valid({"$ref": "https://e.com/t.json"}, 7,
+                    registry={"https://e.com/t.json": {"type": "integer"}})
