@@ -24,7 +24,7 @@ from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
-from jsonschema_rs_spark.api import (Registry,
+from jsonschema_rs_spark.api import (Evaluation, Registry,
                                      ValidationError, validator_for,
                                      is_valid, validate, iter_errors,
                                      evaluate, meta,
@@ -41,6 +41,7 @@ __all__ = [
     "ValidationOptions",
     "get_spark",
     # jsonschema-py-parity module surface (api.py)
+    "Evaluation",
     "Registry",
     "ValidationError",
     "validator_for",

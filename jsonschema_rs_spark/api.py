@@ -176,6 +176,46 @@ def evaluate(schema: Any, instance: Any, output_format: str = "flag",
     return json.loads(df.select(col.alias("o")).first()["o"])
 
 
+class Evaluation:
+    """Reference `Evaluation` analog (lib.rs PyEvaluation :181-230):
+    one evaluation of `instance` against `schema`, viewable as Output v1
+    flag / list / hierarchical, with annotations() and errors()
+    extracted from the list format's units. Views are computed lazily
+    and cached (one 1-row Spark job per requested format)."""
+
+    def __init__(self, schema: Any, instance: Any, **kwargs):
+        self._schema, self._instance = schema, instance
+        self._kwargs = kwargs
+        self._cache: dict = {}
+
+    def _get(self, fmt: str) -> dict:
+        if fmt not in self._cache:
+            self._cache[fmt] = evaluate(self._schema, self._instance,
+                                        output_format=fmt, **self._kwargs)
+        return self._cache[fmt]
+
+    @property
+    def valid(self) -> bool:
+        return self.flag()["valid"]
+
+    def flag(self) -> dict:
+        return self._get("flag")
+
+    def list(self) -> dict:
+        return self._get("list")
+
+    def hierarchical(self) -> dict:
+        return self._get("hierarchical")
+
+    def annotations(self) -> list:
+        return [u for u in self.list().get("details", [])
+                if "annotations" in u]
+
+    def errors(self) -> list:
+        return [u for u in self.list().get("details", [])
+                if u.get("errors")]
+
+
 # -- meta (schema-against-metaschema) ----------------------------------------
 
 class meta:
@@ -197,8 +237,8 @@ class meta:
 
 
 __all__ = [
-    "Registry", "ValidationError", "validator_for", "is_valid",
-    "validate", "iter_errors", "evaluate", "meta",
+    "Registry", "Evaluation", "ValidationError", "validator_for",
+    "is_valid", "validate", "iter_errors", "evaluate", "meta",
     "Draft4Validator", "Draft6Validator", "Draft7Validator",
     "Draft201909Validator", "Draft202012Validator",
 ]

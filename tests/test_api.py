@@ -123,3 +123,22 @@ def test_registry_class_with_retriever():
     # plain dicts still work as registry=
     assert is_valid({"$ref": "https://e.com/t.json"}, 7,
                     registry={"https://e.com/t.json": {"type": "integer"}})
+
+
+def test_evaluation_class_views():
+    from jsonschema_rs_spark import Evaluation
+
+    ev = Evaluation({"type": "object", "required": ["a"],
+                     "properties": {"a": {"type": "integer"}}},
+                    {"a": "nope"})
+    assert ev.valid is False
+    assert ev.flag() == {"valid": False}
+    lst = ev.list()
+    assert lst["valid"] is False and lst["details"]
+    assert ev.errors(), "failing evaluation must expose error units"
+    h = ev.hierarchical()
+    assert h["valid"] is False
+
+    ok = Evaluation({"properties": {"a": {"type": "integer"}}}, {"a": 1})
+    assert ok.valid is True
+    assert ok.annotations(), "properties must annotate evaluated names"
