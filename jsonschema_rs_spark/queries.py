@@ -596,8 +596,40 @@ def _suite_queries():
     return suite_queries()
 
 
+# Registry ORDER is load-bearing: the driver's correctness harness
+# reports the first 50 entries, so the similarity/dedup pipeline plans
+# (rewritten round 3, truncated out of CORRECTNESS_r03) lead, the
+# vendored-suite block (consolidated 21 -> 9 merged families, suite.py
+# MERGED_FAMILIES) closes. 47 entries total — all inside the cap.
 QUERIES = {
-    **_suite_queries(),
+    # similarity / dedup / pipeline (the 10 r3-truncated queries first)
+    "ndcos_pairs": ndcos_pairs,
+    "ann_ivf": ann_ivf,
+    "minhash_pairs": minhash_pairs,
+    "jaccard_pairs": jaccard_pairs,
+    "pack_docs": pack_docs,
+    "curate_docs": curate_docs,
+    "sim_topk": sim_topk,
+    "ann_lsh": ann_lsh,
+    "rollup_events": rollup_events,
+    "mm_features": mm_features,
+    # dedup signatures / text analysis
+    "simhash_pairs": simhash_pairs,
+    "simhash_vals": simhash_vals,
+    "minhash_sigs": minhash_sigs,
+    "fp_counts": fp_counts,
+    "text_features": text_features,
+    # table-level checks
+    "stats_documents": stats_documents,
+    "uniq_orders_custkey": uniq_orders_custkey,
+    "uniq_ratio_orders": uniq_ratio_orders,
+    "ri_orders_customer": ri_orders_customer,
+    "ri_events_customer": ri_events_customer,
+    "ks_events_value": ks_events_value,
+    "chisq_events_halves": chisq_events_halves,
+    "drift_windows": drift_windows,
+    "hist_orders_total": hist_orders_total,
+    # validation over real tables
     "val_events_flag": val_events_flag,
     "val_events_violations": val_events_violations,
     "val_docs_flag": val_docs_flag,
@@ -613,28 +645,6 @@ QUERIES = {
     "val_docs_hierarchy": val_docs_hierarchy,
     "output_units_docs": output_units_docs,
     "output_units_ext": output_units_ext,
-    "stats_documents": stats_documents,
-    "uniq_orders_custkey": uniq_orders_custkey,
-    "uniq_ratio_orders": uniq_ratio_orders,
-    "ri_orders_customer": ri_orders_customer,
-    "ri_events_customer": ri_events_customer,
-    "ks_events_value": ks_events_value,
-    "chisq_events_halves": chisq_events_halves,
-    "drift_windows": drift_windows,
-    "hist_orders_total": hist_orders_total,
-    "text_features": text_features,
-    "fp_counts": fp_counts,
-    "minhash_sigs": minhash_sigs,
-    "simhash_vals": simhash_vals,
-    "simhash_pairs": simhash_pairs,
-    "minhash_pairs": minhash_pairs,
-    "jaccard_pairs": jaccard_pairs,
-    "pack_docs": pack_docs,
-    "curate_docs": curate_docs,
-    "sim_topk": sim_topk,
-    "ann_lsh": ann_lsh,
-    "ann_ivf": ann_ivf,
-    "ndcos_pairs": ndcos_pairs,
-    "rollup_events": rollup_events,
-    "mm_features": mm_features,
+    # vendored-suite verdict parity (merged families)
+    **_suite_queries(),
 }
