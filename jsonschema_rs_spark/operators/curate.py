@@ -25,7 +25,7 @@ from jsonschema_rs_spark.operators import text_analysis as ta
 
 def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            quality_threshold: float = 0.7,
-           num_hashes: int = 16, bands: int = 8,
+           num_hashes: int | str = 16, bands: int = 8,
            jaccard_threshold: float = 0.6,
            strategy: str = "greedy") -> DataFrame:
     """Returns the surviving rows of `docs` (original columns).
@@ -33,7 +33,10 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     strategy='greedy': drop the larger id of each confirmed pair (one
     pass). strategy='cc': connected components over the pair graph, keep
     the minimum id per cluster (a few extra tiny shuffles; never
-    over-deletes chains a-b, b-c)."""
+    over-deletes chains a-b, b-c).
+
+    num_hashes="auto" derives the LSH banding from jaccard_threshold
+    (dedup.adaptive_minhash_banding); `bands` is then ignored."""
     feats = ta.with_text_features(docs, text_col)
     gated = feats.where(F.col("quality") >= quality_threshold)
 

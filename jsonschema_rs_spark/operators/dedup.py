@@ -22,6 +22,8 @@ re-derives identical signatures from SQL.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -158,6 +160,43 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne); products stay < 2^62
+
+
+def adaptive_minhash_banding(threshold: float, target_recall: float = 0.95,
+                             max_hashes: int = 64, max_rows: int = 8
+                             ) -> tuple[int, int]:
+    """Threshold-adaptive MinHash banding: (num_hashes, bands) for the
+    OR-of-ANDs construction so a pair at Jaccard exactly `threshold` is
+    recalled with probability >= `target_recall`, maximizing the AND
+    width r (rows per band) for selectivity — the Jaccard analog of
+    similarity.adaptive_banding (a MinHash collides per hash with
+    probability exactly j, so recall is 1 - (1 - j^r)^b).
+
+    The minimal band count for width r is b(r) = ceil(ln(1-target) /
+    ln(1-threshold^r)); num_hashes = b*r is the signature length (and
+    the per-doc HOF cost), so the largest r with b(r)*r <= max_hashes
+    wins. Defaults (0.95, 64): threshold 0.5 -> (22, 11) with r=2;
+    0.6 -> (39, 13) with r=3; 0.8 -> (60, 10) with r=6.
+    """
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    import math
+
+    best: tuple[int, int] | None = None
+    for r in range(1, max_rows + 1):
+        pr = threshold ** r
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+        if b * r <= max_hashes:
+            best = (b * r, b)
+        else:
+            break  # b(r)*r grows with r past this point
+    if best is None:
+        raise ValueError(
+            f"no banding with <= {max_hashes} hashes reaches recall "
+            f"{target_recall} at threshold {threshold}; raise max_hashes")
+    return best
 
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -315,11 +354,33 @@ def lsh_bucket_metrics(df: DataFrame, text_col: str = "text",
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            num_hashes: int = 16, bands: int = 4,
-                            n: int = 3, threshold: float = 0.7) -> DataFrame:
+                            num_hashes: int | str = 16, bands: int = 4,
+                            n: int = 3, threshold: float = 0.7,
+                            log_metrics: bool = False) -> DataFrame:
     """LSH candidates verified by exact Jaccard (the standard two-stage
     pipeline: cheap recall then exact precision on the tiny candidate set).
+
+    num_hashes="auto" derives (num_hashes, bands) from the verify
+    threshold via adaptive_minhash_banding (bands is then ignored) —
+    recall >= 0.95 at the boundary with the widest AND that fits 64
+    hashes. log_metrics=True additionally runs lsh_bucket_metrics (one
+    extra ids-only job) and logs the bucket/skew report at INFO — the
+    no-silent-caps discipline for the star-pair guard.
     """
+    if num_hashes == "auto":
+        num_hashes, bands = adaptive_minhash_banding(threshold)
+        logging.getLogger(__name__).info(
+            "minhash_near_duplicates: adaptive banding at threshold "
+            "%.3f -> num_hashes=%d, bands=%d (r=%d)", threshold,
+            num_hashes, bands, num_hashes // bands)
+    if log_metrics:
+        m = lsh_bucket_metrics(df, text_col, id_col, num_hashes, bands,
+                               n).first()
+        logging.getLogger(__name__).info(
+            "minhash_near_duplicates: %s buckets, %s oversized (star-pair "
+            "path), max bucket %s, %s ids in oversized buckets",
+            m["n_buckets"], m["n_oversized"], m["max_bucket_size"],
+            m["n_ids_in_oversized"])
     cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, n)
     sides = with_shingles(df, text_col, "sh", n).select(
         F.col(id_col).alias("id"), "sh")

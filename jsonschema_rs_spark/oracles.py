@@ -610,7 +610,15 @@ WHERE doc_id NOT IN (SELECT ib FROM dropped)
 """
 
 
-CURATE_DOCS = _curate_sql()
+# banding mirrors queries.curate_docs: num_hashes="auto" at Jaccard 0.6
+# derives (39, 13) via dedup.adaptive_minhash_banding
+def _adaptive_minhash(threshold: float) -> tuple[int, int]:
+    from jsonschema_rs_spark.operators.dedup import adaptive_minhash_banding
+
+    return adaptive_minhash_banding(threshold)
+
+
+CURATE_DOCS = _curate_sql(*_adaptive_minhash(0.6))
 
 # ---------------------------------------------------------------------------
 # similarity
@@ -759,7 +767,8 @@ WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
 """
 
 
-MINHASH_PAIRS = _minhash_pairs_sql()
+# banding mirrors queries.minhash_pairs: "auto" at threshold 0.5 → (22, 11)
+MINHASH_PAIRS = _minhash_pairs_sql(*_adaptive_minhash(0.5), threshold=0.5)
 
 # sequence packing (queries.pack_docs): exclusive prefix sum of
 # whitespace token counts in doc_id order within each language shard;

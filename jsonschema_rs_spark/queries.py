@@ -476,9 +476,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (banded-LSH pipeline); driver records rows-only check
+    """MinHash-LSH near-duplicate pairs with threshold-adaptive banding
+    (dedup.adaptive_minhash_banding: (22 hashes, 11 bands, r=2) at
+    threshold 0.5); the DuckDB oracle re-derives the identical pipeline
+    at the same derived banding."""
     docs = _read_wide(spark, sf_dir, "documents")
-    return dd.minhash_near_duplicates(docs, num_hashes=16, bands=8,
+    return dd.minhash_near_duplicates(docs, num_hashes="auto",
                                       threshold=0.5)
 
 
@@ -508,11 +511,13 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation pipeline: quality gate → exact dedup → MinHash-LSH
-    near-dedup → surviving doc_ids."""
+    near-dedup → surviving doc_ids. Banding is threshold-adaptive
+    ((39 hashes, 13 bands, r=3) at Jaccard 0.6), mirrored exactly by
+    the DuckDB oracle."""
     from jsonschema_rs_spark.operators.curate import curate
 
     docs = _read_wide(spark, sf_dir, "documents")
-    return curate(docs, quality_threshold=0.7, num_hashes=16, bands=8,
+    return curate(docs, quality_threshold=0.7, num_hashes="auto",
                   jaccard_threshold=0.6).select("doc_id")
 
 

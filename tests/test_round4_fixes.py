@@ -1,0 +1,127 @@
+"""Round-4 regression tests: VERDICT r3 prescriptions and ADVICE r3
+bug fixes stay fixed.
+
+- near_duplicates_by_cosine defaults to threshold-adaptive banding
+  (VERDICT r3 "What's wrong" #1) and keeps full recall on the testdata
+- MinHash banding derivation (adaptive_minhash_banding) satisfies the
+  1-(1-j^r)^b recall bound and is monotone in threshold
+- duplicate-id rejection is uniform across BOTH verify transports
+  (ADVICE r3: it used to raise only on the broadcast-gather path)
+- the gather-broadcast registry holds weakrefs (ADVICE r3: strong refs
+  leaked two broadcasts per call and blocked ContextCleaner)
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_rs_spark.operators import dedup as dd
+from jsonschema_rs_spark.operators import similarity as sim
+
+
+# -- adaptive banding is the default ----------------------------------------
+
+
+def test_default_banding_is_adaptive(spark):
+    """No bands/n_planes → adaptive_banding(threshold); recall on the
+    sf0.001 embeddings must equal the exact O(N^2) result."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["id_a"], r["id_b"])
+           for r in sim.near_duplicates_by_cosine(
+               emb, threshold=0.5).collect()}
+    want = {(r["id_a"], r["id_b"])
+            for r in sim.near_duplicates_by_cosine(
+                emb, threshold=0.5, exact=True).collect()}
+    assert got == want
+
+
+def test_default_banding_selectivity(spark):
+    """The derived banding at threshold 0.5 must have a wider AND than
+    the old fixed (16, 3) default — the selectivity fix itself."""
+    b, r = sim.adaptive_banding(0.5)
+    assert r > 3
+    # boundary recall bound the derivation promises
+    p = 1.0 - math.acos(0.5) / math.pi
+    assert 1.0 - (1.0 - p ** r) ** b >= 0.995
+
+
+# -- MinHash adaptive banding ------------------------------------------------
+
+
+def test_adaptive_minhash_banding_bounds():
+    for th in (0.3, 0.5, 0.6, 0.7, 0.8, 0.9):
+        num_hashes, bands = dd.adaptive_minhash_banding(th)
+        r = num_hashes // bands
+        assert num_hashes == bands * r
+        assert num_hashes <= 64
+        # the recall bound the derivation promises, at the boundary
+        assert 1.0 - (1.0 - th ** r) ** bands >= 0.95
+    # higher threshold → wider AND (more selective)
+    assert (dd.adaptive_minhash_banding(0.9)[0] //
+            dd.adaptive_minhash_banding(0.9)[1]) > \
+           (dd.adaptive_minhash_banding(0.5)[0] //
+            dd.adaptive_minhash_banding(0.5)[1])
+    with pytest.raises(ValueError, match="target_recall"):
+        dd.adaptive_minhash_banding(0.5, target_recall=0)
+    with pytest.raises(ValueError, match="threshold"):
+        dd.adaptive_minhash_banding(0.0)
+
+
+def test_minhash_auto_banding_finds_near_dups(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(60)
+    base = docs.limit(1).select(F.col("text")).first()["text"]
+    near = base + " extra"
+    extra = spark.createDataFrame(
+        [(900000, base), (900001, near)], "doc_id long, text string")
+    df = docs.select("doc_id", "text").union(extra)
+    pairs = dd.minhash_near_duplicates(df, num_hashes="auto",
+                                       threshold=0.5, log_metrics=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (900000, 900001) in got
+
+
+# -- uniform duplicate-id rejection ------------------------------------------
+
+
+def test_duplicate_ids_raise_on_both_paths(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(20)
+    dup = emb.union(emb.limit(1))  # one duplicated vec_id
+    # auto decision (would pick broadcast at this size)
+    with pytest.raises(ValueError, match="duplicate"):
+        sim.near_duplicates_by_cosine(dup, threshold=0.9)
+    # force the JOIN transport through the same auto decision job by
+    # shrinking the byte cap to zero — same input, same error
+    with pytest.raises(ValueError, match="duplicate"):
+        sim.near_duplicates_by_cosine(dup, threshold=0.9,
+                                      broadcast_verify_max_bytes=0)
+
+
+# -- weakref broadcast registry ----------------------------------------------
+
+
+def test_gather_broadcasts_weakref_release(spark):
+    """The registry must NOT keep the Python Broadcast wrappers alive
+    (ADVICE r3: strong refs leaked two per call and blocked
+    ContextCleaner). Once the UDF is serialized into the plan, the JVM
+    side holds its own broadcast refs — the Python wrappers are free to
+    die immediately, execution still works, and release() is a no-op
+    rather than a leak-recovery requirement."""
+    import gc
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(30)
+    sim._GATHER_BROADCASTS.clear()
+    out = sim.near_duplicates_by_cosine(emb, threshold=0.9,
+                                        broadcast_verify=True)
+    out.count()  # executes fine regardless of wrapper lifetime
+    assert len(sim._GATHER_BROADCASTS) == 2
+    refs = list(sim._GATHER_BROADCASTS)
+    del out
+    gc.collect()
+    # weakrefs: every wrapper is reclaimable by GC → no leak
+    assert all(ref() is None for ref in refs)
+    assert sim.release_gather_broadcasts() == 0
+    assert not sim._GATHER_BROADCASTS
