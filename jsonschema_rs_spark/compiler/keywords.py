@@ -235,21 +235,40 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     if not isinstance(m, (int, float)) or isinstance(m, bool) or m <= 0:
         raise SchemaError("multipleOf must be a positive number", sp + "/multipleOf")
     msg = f"not a multiple of {m}"
+    # divisors whose decimal form the JVM can't hold as a literal
+    # (integers beyond LONG, odd parts beyond LONG, magnitudes beyond
+    # double) must not surface as raw OverflowError/IllegalArgument at
+    # compile (ADVICE r3) — probe once here and route them below
+    try:
+        from jsonschema_rs_spark.functions.numerics import _divisor_parts
+
+        t_prime = _divisor_parts(m)[0]
+    except (ValueError, ArithmeticError) as e:
+        raise SchemaError(f"invalid multipleOf divisor {m!r}: {e}",
+                          sp + "/multipleOf") from e
     if isinstance(dt, INTEGRAL) and isinstance(m, int):
-        return [_num_rule("multipleOf", sp, msg, lambda c, m=m: c % F.lit(m) == 0)]
+        if m < 2 ** 63:
+            return [_num_rule("multipleOf", sp, msg,
+                              lambda c, m=m: c % F.lit(m) == 0)]
+        # divisor exceeds every int64: only 0 is a multiple (the
+        # reference's BigInt validator reaches the same verdicts,
+        # ext/numeric.rs:95-117)
+        return [_num_rule("multipleOf", sp, msg, lambda c: c == 0)]
     if isinstance(m, float) and m.is_integer() and isinstance(dt, INTEGRAL):
         mi = int(m)
-        return [_num_rule("multipleOf", sp, msg, lambda c, mi=mi: c % F.lit(mi) == 0)]
-    if (float(m).is_integer() and not isinstance(dt, T.DecimalType)
-            and (not isinstance(m, int)
-                 or (abs(m) < 2 ** 53 and m == int(float(m))))):
+        if mi < 2 ** 63:
+            return [_num_rule("multipleOf", sp, msg,
+                              lambda c, mi=mi: c % F.lit(mi) == 0)]
+        return [_num_rule("multipleOf", sp, msg, lambda c: c == 0)]
+    if (not isinstance(m, int) or abs(m) < 2 ** 53) \
+            and float(m).is_integer() and not isinstance(dt, T.DecimalType):
         # integer divisor over a float/double column: IEEE fmod of
         # doubles is EXACT (no rounding step), so plain double pmod
         # decides multiple-ness correctly for every double value — no
         # BigDecimal cost (measured 1.6x on val_lineitem_flag).
         # Decimal columns keep the decimal path below (exact natively);
         # int divisors at/above 2^53 would silently round in float(m)
-        # (ADVICE r2) so they fall through to the decimal path too.
+        # (ADVICE r2) so they fall through to the exact paths below.
         mf = float(m)
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mf=mf:
@@ -260,12 +279,33 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         from decimal import Decimal
 
         mdec = Decimal(str(m))
+        if mdec.adjusted() >= 38:
+            # divisor magnitude exceeds every decimal(38,*) value:
+            # only 0 is a multiple (a literal this wide cannot be lit())
+            return [_num_rule("multipleOf", sp, msg, lambda c: c == 0)]
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mdec=mdec:
                           F.pmod(c, F.lit(mdec)) == F.lit(0))]
+    if isinstance(m, int) and t_prime >= 2 ** 63:
+        # huge integer divisor whose odd part exceeds LONG (e.g. a
+        # 100-digit prime, or 10**400): the codegen kernel can't embed
+        # t' — exact Fraction verdicts via the Arrow-batched fallback
+        from jsonschema_rs_spark.functions.numerics import (
+            fraction_multiple_of_udf,
+        )
+
+        def frac_pred(c, m=m):
+            d = c.cast("double")
+            ok = fraction_multiple_of_udf(m)(d)
+            return F.when(d.isNull(), F.lit(None).cast("boolean")) \
+                .otherwise(F.coalesce(ok, F.lit(False)))
+
+        return [_num_rule("multipleOf", sp, msg, frac_pred)]
     # float path: bit-exact parity with the reference's BigFraction
     # kernel (ext/numeric.rs:62-86) — exact rational divisibility of the
     # value's shortest-decimal form, fully JVM-side (functions/numerics)
+    # except the rare non-shortest-rendering rows, which take the
+    # Fraction fallback inside exact_multiple_of_double
     from jsonschema_rs_spark.functions.numerics import (
         exact_multiple_of_double,
     )

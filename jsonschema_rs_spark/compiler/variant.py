@@ -120,6 +120,26 @@ def _as_array(v: Column) -> Column:
     return F.try_variant_get(v, "$", "array<variant>")
 
 
+def _is_integer_strict(v: Column) -> Column:
+    """draft-4 integer: lexical JSON integers only — 1.0 is NOT an
+    integer (reference legacy type_draft_4.rs:91-155; drafts >= 6
+    switched to the zero-fraction rule below). The variant parser keeps
+    the lexical class: integer forms land in the int types, or in
+    scale-0 DECIMAL beyond int64 ("18446744073709551615"); fraction
+    forms land in DECIMAL with their own scale (normalized, so "1.0" ->
+    DECIMAL(1,0) stays inside int64 and is rejected by the magnitude
+    test); exponent forms land in DOUBLE. Residual corner (documented
+    in COVERAGE.md): an integer-valued fraction form beyond int64
+    ("...615.0") is indistinguishable from its integer form after parse
+    and is accepted."""
+    t = _vtype(v)
+    ints = t.rlike("^(TINYINT|SMALLINT|INT|BIGINT)$")
+    dec = F.try_variant_get(v, "$", "decimal(38,0)")
+    big = (t.rlike("^DECIMAL\\(\\d+,\\s*0\\)$") & dec.isNotNull()
+           & (F.abs(dec) > F.lit(2 ** 63 - 1).cast("decimal(38,0)")))
+    return ints | big
+
+
 def _is_integer(v: Column) -> Column:
     # draft 2020-12: integer == number with zero fraction
     # (types.rs:186-204). pmod-1, NOT floor: Spark's floor(double)
@@ -301,11 +321,17 @@ def _compile_variant_body(orig: Any, schema: dict,
         for t in ts:
             if t not in _TYPE_PREDS:
                 raise SchemaError(f"unknown type {t!r}", sp + "/type")
+        # draft-4 keeps the lexical integer rule (1.0 ∉ integer)
+        strict_int = ctx.dialect.draft4_numbers
 
-        def type_pred(v: Column, ts=tuple(ts)) -> Column:
+        def type_pred(v: Column, ts=tuple(ts),
+                      strict_int=strict_int) -> Column:
             out = F.lit(False)
             for t in ts:
-                out = out | _TYPE_PREDS[t](v)
+                if t == "integer" and strict_int:
+                    out = out | _is_integer_strict(v)
+                else:
+                    out = out | _TYPE_PREDS[t](v)
             return out
 
         add(Rule("type", sp + "/type", f"not of type {ts}", type_pred,
@@ -379,26 +405,61 @@ def _compile_variant_body(orig: Any, schema: dict,
             # value's shortest-decimal form — a JSON number's decimal
             # meaning — so 0.0075 IS a multiple of 0.0001 while
             # 2.0000000000000004e-15 is NOT a multiple of 1e-15. Integer
-            # divisors additionally take the IEEE-fmod fast path
-            # (fmod of doubles is exact, ext/numeric.rs:118-124 analog).
+            # divisors take a three-tier exact ladder instead
+            # (is_multiple_of_integer's u64/BigInt analog,
+            # ext/numeric.rs:95-117):
+            #   1. int64 variants → exact long mod
+            #   2. any value the decimal(38,15) view holds exactly
+            #      (JSON integers up to 10^23, e.g. u64 beyond int64 —
+            #      ADVICE r3: these used to fall to fmod on the ROUNDED
+            #      double) → exact decimal pmod
+            #   3. residue (|v| >= 10^23 or more fraction digits than
+            #      the decimal view holds, stored as double anyway) →
+            #      the shortest-decimal rational kernel (IEEE fmod on
+            #      the raw binary would judge 1e30 % 5 != 0, because
+            #      10^30 doesn't round-trip through double — the
+            #      JSON literal's decimal meaning is what counts)
             from jsonschema_rs_spark.functions.numerics import (
                 exact_multiple_of_double,
             )
 
             d = _as_double(v)
-            if (isinstance(mraw, int) or float(mraw).is_integer()) and \
-                    abs(float(mraw)) < 2 ** 53 and \
-                    int(float(mraw)) == float(mraw):
-                # integer divisor: int64 variants take exact long mod
-                # (is_multiple_of_integer's BigInt branch analog,
-                # ext/numeric.rs:95-117); double variants take IEEE
-                # fmod, which is exact — no decimal round-trip
-                vl = F.try_variant_get(v, "$", "long")
-                ok = F.when(
-                    vl.isNotNull() & (_as_decimal(v) == vl.cast(
-                        "decimal(38,15)")),
-                    F.pmod(vl, F.lit(int(float(mraw)))) == 0,
-                ).otherwise(F.pmod(d, F.lit(float(mraw))) == 0)
+            mi = None
+            if isinstance(mraw, int):
+                mi = mraw
+            elif float(mraw).is_integer() and abs(mraw) < 2 ** 53:
+                mi = int(mraw)
+            if mi is not None:
+                from decimal import Decimal
+
+                dec = _as_decimal(v)
+                ok = None
+                if mi < 2 ** 63:
+                    vl = F.try_variant_get(v, "$", "long")
+                    ok = F.when(
+                        vl.isNotNull() & (dec == vl.cast("decimal(38,15)")),
+                        F.pmod(vl, F.lit(mi)) == 0)
+                if mi < 10 ** 38:  # literal fits decimal(38,0)
+                    dec_ok = F.pmod(dec, F.lit(Decimal(mi))) == F.lit(0)
+                    ok = ok.when(dec.isNotNull(), dec_ok) if ok is not None \
+                        else F.when(dec.isNotNull(), dec_ok)
+                if mi < 2 ** 63:
+                    fmod_ok = exact_multiple_of_double(d, mi)
+                else:
+                    # divisor itself doesn't round-trip through double:
+                    # residual rows (beyond the decimal view) decide via
+                    # the exact Arrow-batched Fraction kernel; decided
+                    # rows cross as NULL so Python does no work for them
+                    from jsonschema_rs_spark.functions.numerics import (
+                        fraction_multiple_of_udf,
+                    )
+
+                    mask = d if ok is None else \
+                        F.when(dec.isNull(), d).otherwise(
+                            F.lit(None).cast("double"))
+                    fmod_ok = F.coalesce(
+                        fraction_multiple_of_udf(mi)(mask), F.lit(False))
+                ok = ok.otherwise(fmod_ok) if ok is not None else fmod_ok
             else:
                 ok = exact_multiple_of_double(d, mraw)
             return ~_is_number(v) | F.coalesce(ok, F.lit(False))

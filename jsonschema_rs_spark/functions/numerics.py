@@ -31,8 +31,14 @@ Known deviations (documented in COVERAGE.md):
 
 * Java 17's Double.toString occasionally emits one more digit than the
   Ryu-shortest form the Rust fraction crate uses (e.g. the denormal
-  5e-324 renders as "4.9E-324"); for such corner values the decimal
-  rational judged differs. Normal-range values agree.
+  5e-324 renders as "4.9E-324"). Since round 4 such rows are ROUTED
+  AROUND the JVM rendering: values whose rendering exceeds the
+  15-significant-digit safe zone, or that live in/near the subnormal
+  range, go through an Arrow-batched Fraction fallback that uses
+  Python's repr (true shortest decimal, Ryu-equivalent) — the codegen
+  kernel is unchanged for normal values, and the Python side sees NULL
+  for every hot-path row. Disable with fraction_fallback=False to keep
+  the plan pure-codegen (restoring the documented deviation).
 * The reference fast-bails ``value < multiple -> false``
   (ext/numeric.rs:71), which rejects every NEGATIVE value for a
   positive non-integer divisor (-0.02 would not be a multiple of 0.01).
@@ -46,10 +52,13 @@ from __future__ import annotations
 from decimal import Decimal
 from fractions import Fraction
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["exact_multiple_of_double", "exact_multiple_of_fraction"]
+__all__ = ["exact_multiple_of_double", "exact_multiple_of_fraction",
+           "fraction_multiple_of_udf"]
 
 _POW5 = [5 ** j for j in range(1, 27)]  # 5^26 = 1.49e18 still fits LONG
 
@@ -74,11 +83,22 @@ def _divisor_parts(m) -> tuple[int, int, int, int, int]:
     return t, a, b, f
 
 
-def exact_multiple_of_double(d: Column, m) -> Column:
+def exact_multiple_of_double(d: Column, m,
+                             fraction_fallback: bool = True) -> Column:
     """True iff the shortest-decimal rational of double ``d`` is an
     exact multiple of literal divisor ``m`` (non-integer decimal).
 
     NULL yields NULL (callers gate nulls); NaN/Infinity yield False.
+
+    fraction_fallback (default True) routes rows whose JVM rendering
+    falls outside the 15-significant-digit safe zone — or sits in/near
+    the subnormal range, where Java 17's pre-Ryu Double.toString is
+    known to emit a non-shortest form (e.g. 5e-324 -> "4.9E-324") —
+    through an Arrow-batched Fraction kernel keyed on Python's repr
+    (true shortest decimal). Hot-path rows cross the Arrow boundary as
+    NULL, so Python does no work for them; the codegen kernel decides
+    every normal value exactly as before. Set False for a pure-codegen
+    plan with the documented corner deviation.
     """
     t_prime, a, b, f = _divisor_parts(m)
 
@@ -114,10 +134,48 @@ def exact_multiple_of_double(d: Column, m) -> Column:
     # s.isNotNull() also rejects NaN/Infinity, whose renderings have no
     # digits to parse (and t'=1, a=b=0 divisors never consult s)
     kernel = s.isNotNull() & ok_odd & ok2 & ok5
+    if fraction_fallback:
+        # significant digits of the rendering (leading/trailing zeros
+        # stripped); > 15 means the JVM form may not be shortest
+        sig = F.length(F.regexp_replace(
+            F.concat(intpart, fracpart), "^0+|0+$", ""))
+        needs = s.isNotNull() & (d != 0) & \
+            ((sig > 15) | (F.abs(d) < F.lit(1e-305)))
+        frac = fraction_multiple_of_udf(m)(
+            F.when(needs, d).otherwise(F.lit(None).cast("double")))
+        kernel = F.when(needs, frac).otherwise(kernel)
     # zero is a multiple of anything; NaN/Infinity parse to NULL -> False
     res = F.when(d == 0, F.lit(True)).otherwise(
         F.coalesce(kernel, F.lit(False)))
     return F.when(d.isNull(), F.lit(None).cast("boolean")).otherwise(res)
+
+
+def fraction_multiple_of_udf(m):
+    """Arrow-batched exact-Fraction multipleOf for the rare rows the
+    codegen kernel can't decide (non-shortest JVM renderings; integer
+    divisors too large for LONG/decimal literals). The caller masks
+    hot-path rows to NULL before the Arrow crossing, so the Python loop
+    touches only the flagged rows; NULL (NaN after Arrow) returns NULL.
+    Python's repr is the shortest-decimal rendering (Ryu-equivalent),
+    matching the reference's fraction-crate construction
+    (ext/numeric.rs:62-86) on exactly the corners Java 17 misses."""
+    md = Fraction(Decimal(str(m)))
+
+    @F.pandas_udf("boolean")
+    def frac_mult(vs: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None or x != x:  # masked row (NULL arrives as NaN)
+                return None
+            if x in (float("inf"), float("-inf")):
+                return False
+            if x == 0:
+                return True
+            q = Fraction(Decimal(repr(abs(float(x))))) / md
+            return q.denominator == 1
+
+        return pd.Series([one(x) for x in vs], dtype=object)
+
+    return frac_mult
 
 
 def exact_multiple_of_fraction(value: float, m) -> bool:

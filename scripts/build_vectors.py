@@ -1008,6 +1008,38 @@ g("numeric", "multipleOf huge-int instance keeps exact integer mod",
   [(3 * BIG, True), (3 * BIG + 1, False)])
 
 # ---------------------------------------------------------------------------
+# round 4: integer exactness beyond int64 (ADVICE r3: u64-class JSON
+# integers used to fall to IEEE fmod on the rounded double; now the
+# variant decimal(38,15) view decides them exactly) and divisors beyond
+# LONG/double literals (SchemaError-free compile, exact verdicts via
+# the Fraction fallback). python-jsonschema's pure-Python int arithmetic
+# is exact here, so these use the standard oracle.
+# ---------------------------------------------------------------------------
+
+g("numeric", "multipleOf u64-beyond-int64 instance decides exactly",
+  {"multipleOf": 5},
+  [(18446744073709551615, True), (18446744073709551616, False),
+   (18446744073709551620, True), (0, True)])
+g("numeric", "multipleOf divisor beyond int64",
+  {"multipleOf": 18446744073709551615},
+  [(18446744073709551615, True), (36893488147419103230, True),
+   (5, False), (0, True)])
+g("numeric", "multipleOf huge power-of-ten divisor",
+  {"multipleOf": 10 ** 40},
+  [(10 ** 40, True), (3 * 10 ** 40, True), (7, False), (0, True)])
+# Java 17 renders this double as 6.7825399896329052E18 (17 digits, NOT
+# shortest; significand divisible by 3) while the true shortest form
+# 6.782539989632905e18 is not divisible — the r4 Fraction fallback must
+# side-step the JVM rendering to match the reference's Ryu-based kernel
+g("numeric", "multipleOf non-shortest JVM rendering corner",
+  {"multipleOf": 0.3},
+  [(6.782539989632905e+18, False), (0.6, True), (1e30, False),
+   (0.8999999999999999, False)], oracle="fraction")
+g("numeric", "multipleOf integer divisor over huge float instance",
+  {"multipleOf": 5},
+  [(1e30, True), (2e30, True)], oracle="fraction")
+
+# ---------------------------------------------------------------------------
 # round 3: depth for the thinner dialect families
 # ---------------------------------------------------------------------------
 
@@ -1054,6 +1086,24 @@ g("draft4", "draft-4 multipleOf fractional works",
 g("draft4", "draft-4 enum with heterogeneous values",
   {"enum": [1, "a", [2], {"b": 3}, None]},
   [(1, True), ([2], True), ({"b": 3}, True), (2, False)], draft="4")
+
+# round 4: draft-4 keeps the LEXICAL integer rule — 1.0 is NOT an
+# integer (legacy type_draft_4.rs:91-155); drafts >= 6 accept any
+# zero-fraction number. The variant parser preserves the lexical class
+# (integer forms -> int types; fraction forms -> scale-carrying
+# DECIMAL; exponent forms -> DOUBLE), which _is_integer_strict uses.
+g("draft4", "draft-4 integer excludes 1.0",
+  {"type": "integer"},
+  [(1, True), (1.0, False), (-3, True), (-3.0, False), (1.5, False),
+   (100, True), (18446744073709551615, True), (True, False),
+   ("1", False)], draft="4")
+g("draft4", "draft-4 integer in a property and type list",
+  {"properties": {"n": {"type": ["integer", "string"]}}},
+  [({"n": 2}, True), ({"n": 2.0}, False), ({"n": "x"}, True),
+   ({"n": 2.5}, False)], draft="4")
+g("draft6", "draft-6 integer accepts 1.0 (zero-fraction rule)",
+  {"type": "integer"},
+  [(1.0, True), (1.5, False), (1, True)], draft="6")
 
 # ---------------------------------------------------------------------------
 # validate + write

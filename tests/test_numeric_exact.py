@@ -169,10 +169,12 @@ def test_variant_big_int_value_integer_divisor(spark):
 
 
 def test_exact_kernel_vs_fraction_oracle(spark):
-    """Randomized differential: the JVM kernel against a driver-side
-    Fraction recomputation over the SAME shortest-decimal rendering the
-    JVM produced (isolates the number theory from the rare Java-17
-    non-Ryu digit corners, which are documented in COVERAGE.md)."""
+    """Randomized differential: the full kernel (codegen LONG conditions
+    + the r4 Fraction fallback for non-shortest JVM renderings) against
+    a driver-side Fraction recomputation over the TRUE shortest-decimal
+    form (Python repr, Ryu-equivalent — the reference's construction).
+    Rows where Java 17 emits an extra digit are exactly the ones the
+    fallback must now catch, so the oracle no longer trusts r.s."""
     import random
     from decimal import Decimal
     from fractions import Fraction
@@ -207,5 +209,6 @@ def test_exact_kernel_vs_fraction_oracle(spark):
             elif not math.isfinite(r.v):
                 exp = False
             else:
-                exp = (Fraction(Decimal(r.s)) / mfrac).denominator == 1
+                exp = (Fraction(Decimal(repr(abs(r.v)))) /
+                       mfrac).denominator == 1
             assert bool(r.ok) == exp, (r.v, r.s, m)

