@@ -141,6 +141,8 @@ def _compile_node_body(orig: Any, schema: dict, dt: T.DataType,
             if rule is not None:
                 rules.append(rule)
 
+    from jsonschema_rs_spark.compiler.nodes import apply_reference_messages
+    apply_reference_messages(rules, schema)
     return Node(rules)
 
 

@@ -546,11 +546,16 @@ def _struct_object_rules(schema: dict, dt: T.StructType, ctx, sp: str,
                     f"missing required property {k!r}",
                     (lambda c, k=k: c.getField(k).isNotNull()),
                     priority=7,
+                    value_message=f"{json.dumps(k)} is a required property",
+                    headless=True,
                 ))
         for k in missing_static:
             rules.append(Rule("required", sp + "/required",
                               f"missing required property {k!r}",
-                              lambda c: F.lit(False), priority=7))
+                              lambda c: F.lit(False), priority=7,
+                              value_message=f"{json.dumps(k)} "
+                                            "is a required property",
+                              headless=True))
 
     props = schema.get("properties", {})
     for name, sub in props.items():
@@ -737,7 +742,10 @@ def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
             rules.append(Rule("required", sp + "/required",
                               f"missing required property {k!r}",
                               (lambda c, k=k: F.map_contains_key(c, F.lit(k))),
-                              priority=7))
+                              priority=7,
+                              value_message=f"{json.dumps(k)} "
+                                            "is a required property",
+                              headless=True))
 
     props = schema.get("properties", {})
     known = list(props)

@@ -69,6 +69,91 @@ def masked_message(template: str, col: Column, *,
                     F.lit(f" {template}"))
 
 
+# reference-parity message catalog (error.rs:1330-1560 Display impl):
+# TAILS that follow the embedded instance head under message_values /
+# mask mode. Entries marked headless are complete messages (the
+# reference embeds no instance for them). Values/limits render as
+# compact JSON, matching serde_json Display.
+def reference_message(keyword: str, schema: dict):
+    """(message, headless) for the value-embedding mode, or None when
+    the engine's static template should be kept. `schema` is the node's
+    schema dict (the keyword's operands come from it)."""
+    import json as _json
+
+    def j(x):
+        return _json.dumps(x, separators=(",", ":"))
+
+    def plural(n, one, many):
+        return one if n == 1 else many
+
+    if keyword not in schema:
+        return None
+    val = schema[keyword]
+    if keyword == "type":
+        if isinstance(val, str):
+            return (f'is not of type "{val}"', False)
+        return ("is not of types " + ", ".join(f'"{t}"' for t in val), False)
+    if keyword == "enum":
+        opts = [j(o) for o in val]
+        if len(opts) == 1:
+            body = opts[0]
+        elif len(opts) <= 3:
+            body = ", ".join(opts[:-1]) + " or " + opts[-1]
+        else:
+            body = ", ".join(opts[:3]) + \
+                f" or {len(val) - 3} other candidates"
+        return ("is not one of " + body, False)
+    if keyword == "const":
+        return (f"{j(val)} was expected", True)
+    if keyword == "minimum":
+        return (f"is less than the minimum of {j(val)}", False)
+    if keyword == "maximum":
+        return (f"is greater than the maximum of {j(val)}", False)
+    if keyword == "exclusiveMinimum" and not isinstance(val, bool):
+        return (f"is less than or equal to the minimum of {j(val)}", False)
+    if keyword == "exclusiveMaximum" and not isinstance(val, bool):
+        return (f"is greater than or equal to the maximum of {j(val)}",
+                False)
+    if keyword == "multipleOf":
+        return (f"is not a multiple of {j(val)}", False)
+    if keyword == "minLength":
+        return (f"is shorter than {val} "
+                f"{plural(val, 'character', 'characters')}", False)
+    if keyword == "maxLength":
+        return (f"is longer than {val} "
+                f"{plural(val, 'character', 'characters')}", False)
+    if keyword == "minItems":
+        return (f"has less than {val} {plural(val, 'item', 'items')}",
+                False)
+    if keyword == "maxItems":
+        return (f"has more than {val} {plural(val, 'item', 'items')}",
+                False)
+    if keyword == "minProperties":
+        return (f"has less than {val} "
+                f"{plural(val, 'property', 'properties')}", False)
+    if keyword == "maxProperties":
+        return (f"has more than {val} "
+                f"{plural(val, 'property', 'properties')}", False)
+    if keyword == "pattern":
+        return (f'does not match "{val}"', False)
+    if keyword == "uniqueItems" and val is True:
+        return ("has non-unique elements", False)
+    return None
+
+
+def apply_reference_messages(rules, schema: dict) -> None:
+    """Attach reference-parity value messages to freshly built rules.
+    Called once per compiled node; rules hoisted from $ref subschemas
+    already carry their own value_message (set by the sub-assembly), so
+    only untouched rules are decorated. `required` is per-property and
+    set at its builders, not here."""
+    for r in rules:
+        if r.value_message is None and r.errors_fn is None:
+            rm = reference_message(r.keyword, schema)
+            if rm is not None:
+                r.value_message, r.headless = rm
+
+
 def one_error(path: Column, schema_path: str, keyword: str,
               message, value_col: Column | None = None) -> Column:
     if isinstance(message, str):
@@ -114,6 +199,11 @@ class Rule:
     # static cost priority for fail-fast AND ordering; mirrors
     # keywords/mod.rs:184-252 (lower = cheaper = evaluated first)
     priority: int = 100
+    # reference-parity message for the value-embedding / masked modes
+    # (reference_message catalog); headless = the message is complete
+    # (the reference embeds no instance head for const/required)
+    value_message: Optional[str] = None
+    headless: bool = False
 
     def valid_col(self, col: Column) -> Column:
         return F.when(col.isNull(), F.lit(True)).otherwise(
@@ -125,9 +215,15 @@ class Rule:
             return F.when(col.isNull(), empty_errors()).otherwise(
                 self.errors_fn(col, path)
             )
+        # a value-head decorator active → reference-parity template
+        if _MSG_DECORATORS and self.value_message is not None:
+            msg, vcol = self.value_message, \
+                (None if self.headless else col)
+        else:
+            msg, vcol = self.message, col
         return F.when(self.valid_col(col), empty_errors()).otherwise(
-            one_error(path, self.schema_path, self.keyword, self.message,
-                      value_col=col)
+            one_error(path, self.schema_path, self.keyword, msg,
+                      value_col=vcol)
         )
 
 

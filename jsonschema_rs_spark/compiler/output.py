@@ -23,9 +23,12 @@ Unit semantics matched to the reference:
   `droppedAnnotations: true` instead (evaluation.rs droppedAnnotations)
 - `$ref` adds `/$ref` to the evaluationPath while the schemaLocation
   jumps to the target's canonical `base#pointer` (registry.location_of)
-- failing ASSERTION units carry `errors: {keyword: message}` with this
-  engine's static message templates (masking-safe; the spec does not pin
-  message text)
+- failing ASSERTION units carry `errors: {keyword: message}` — static
+  engine templates by default (masking-safe; the spec does not pin
+  message text); under `options.message_values` the catalog keywords
+  render reference-parity messages (error.rs:1330-1560 Display impl,
+  e.g. `"oops" is not of type "integer"` — the documented
+  evaluation.rs example trees diff cleanly including messages)
 
 `patternProperties` / `additionalProperties` / `unevaluatedProperties`
 emit per-matching-name subtrees (the property NAME is dynamic, so the
@@ -39,8 +42,8 @@ per property name (the name lifted to a string instance, as the
 reference does — property_names.rs:26); `not` nests its subschema's
 tree and inverts validity; `if`/`then`/`else` and `dependentSchemas`
 nest their branch trees, conditioned on the `if` outcome / trigger-key
-presence. Remaining deviation: error messages are engine templates (the
-spec does not pin message text).
+presence. Remaining deviation: without `message_values`, error messages
+are engine templates (the spec does not pin message text).
 """
 
 from __future__ import annotations
@@ -291,9 +294,28 @@ class OutputPlan:
                 if p in eff:
                     micro[p] = eff[p]
             kv = self._valid_of(micro, f"{ep}/{kw}", v)
-            msg = _j(f"violates {kw}")
-            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip,
-                           errors=F.lit(f'"{_j(kw)}":"{msg}"'))
+            err = None
+            if self.options.message_values:
+                # reference-parity messages (error.rs:1330-1560): the
+                # instance's JSON rendering heads the catalog tail,
+                # escaped for embedding in the unit's JSON envelope
+                from jsonschema_rs_spark.compiler.nodes import (
+                    reference_message,
+                )
+                rm = reference_message(kw, eff)
+                if rm is not None:
+                    tail, headless = rm
+                    if headless:
+                        err = F.lit(f'"{_j(kw)}":"{_j(tail)}"')
+                    else:
+                        head = F.regexp_replace(
+                            F.regexp_replace(F.to_json(v), "\\\\", "\\\\\\\\"),
+                            '"', '\\\\"')
+                        err = F.concat(F.lit(f'"{_j(kw)}":"'), head,
+                                       F.lit(f' {_j(tail)}"'))
+            if err is None:
+                err = F.lit(f'"{_j(kw)}":"{_j(f"violates {kw}")}"')
+            u = self._unit(kv, f"{ep}/{kw}", sl + f"/{kw}", ip, errors=err)
             emit(u, F.array(u) if self._want_flat else None)
 
         # not: child subtree = the subschema evaluated in place; the

@@ -511,6 +511,8 @@ def _compile_variant_body(orig: Any, schema: dict,
     rules += _array_rules(schema, ctx, sp)
     rules += _composition_rules(schema, ctx, sp)
     rules += _unevaluated_rules(schema, ctx, sp)
+    from jsonschema_rs_spark.compiler.nodes import apply_reference_messages
+    apply_reference_messages(rules, schema)
     return Node(rules)
 
 

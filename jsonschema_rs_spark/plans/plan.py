@@ -47,8 +47,10 @@ class CompiledSchema:
 
     def _msg_ctx(self):
         """Masked_with analog on the typed path (error.rs:496-516):
-        mask → placeholder head; message_values → failing value cast to
-        string leads the message. Default: static templates."""
+        mask → placeholder head; message_values → the failing value's
+        JSON rendering leads the message (reference instance() parity:
+        strings quoted/escaped — to_json via a 1-element array, the
+        brackets stripped). Default: static templates."""
         from contextlib import nullcontext
 
         from jsonschema_rs_spark.compiler.nodes import (
@@ -56,11 +58,15 @@ class CompiledSchema:
         o = self.options
         if o.mask is None and not o.message_values:
             return nullcontext()
+
+        def _json_repr(c):
+            arr = F.to_json(F.array(c))
+            return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
         return message_decorator(
             lambda col, template: masked_message(
                 template, col, mask=o.mask,
-                value_repr=(lambda c: c.cast("string"))
-                if o.mask is None else None))
+                value_repr=_json_repr if o.mask is None else None))
 
     def errors_column(self, df: DataFrame) -> Column:
         root = F.lit("")

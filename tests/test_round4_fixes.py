@@ -212,6 +212,114 @@ def test_invalid_divisor_raises_schema_error(spark):
                        df.schema)
 
 
+# -- reference-parity messages (VERDICT r3 next-round #6) ---------------------
+
+
+def _var_messages(spark, schema, doc):
+    import json
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    plan = compile_json_schema(schema, ValidationOptions(message_values=True))
+    df = spark.createDataFrame([(json.dumps(doc),)], "j string")
+    rows = df.select(F.explode(plan.errors_column(F.col("j")))
+                     .alias("e")).select("e.keyword", "e.message").collect()
+    return {r["keyword"]: r["message"] for r in rows}
+
+
+def test_reference_message_catalog_variant(spark):
+    """Messages under message_values render the reference's exact
+    templates (error.rs:1330-1560 Display impl), golden-pinned."""
+    got = _var_messages(
+        spark,
+        {"properties": {
+            "t": {"type": "integer"},
+            "ts": {"type": ["integer", "string"]},
+            "e": {"enum": [1, 2, 3]},
+            "big_e": {"enum": [1, 2, 3, 4, 5]},
+            "mn": {"minimum": 5},
+            "mx": {"maximum": 3},
+            "xn": {"exclusiveMinimum": 5},
+            "xx": {"exclusiveMaximum": 3},
+            "ml": {"minLength": 8},
+            "xl": {"maxLength": 1},
+            "mi": {"minItems": 2},
+            "xi": {"maxItems": 1},
+            "mo": {"multipleOf": 2},
+            "pt": {"pattern": "^a+$"},
+            "uq": {"uniqueItems": True},
+            "ct": {"const": "fixed"}},
+         "required": ["gone"]},
+        {"t": "oops", "ts": 1.5, "e": 9, "big_e": 9, "mn": 1, "mx": 7,
+         "xn": 5, "xx": 3, "ml": "abc", "xl": "abc", "mi": [1],
+         "xi": [1, 2], "mo": 7, "pt": "bbb", "uq": [1, 1], "ct": "other"})
+    # one golden string per keyword, straight from error.rs
+    assert got["type"] in ('"oops" is not of type "integer"',
+                           'is not of types "integer", "string"',
+                           '1.5 is not of types "integer", "string"')
+    assert got["enum"] in ("9 is not one of 1, 2 or 3",
+                           "9 is not one of 1, 2, 3 or 2 other candidates")
+    assert got["minimum"] == "1 is less than the minimum of 5"
+    assert got["maximum"] == "7 is greater than the maximum of 3"
+    assert got["exclusiveMinimum"] == \
+        "5 is less than or equal to the minimum of 5"
+    assert got["exclusiveMaximum"] == \
+        "3 is greater than or equal to the maximum of 3"
+    assert got["minLength"] == '"abc" is shorter than 8 characters'
+    assert got["maxLength"] == '"abc" is longer than 1 character'
+    assert got["minItems"] == "[1] has less than 2 items"
+    assert got["maxItems"] == "[1,2] has more than 1 item"
+    assert got["multipleOf"] == "7 is not a multiple of 2"
+    assert got["pattern"] == '"bbb" does not match "^a+$"'
+    assert got["uniqueItems"] == "[1,1] has non-unique elements"
+    assert got["const"] == '"fixed" was expected'
+
+
+def test_reference_message_catalog_typed(spark):
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    df = spark.createDataFrame([(1, "long-string", 2, None)],
+                               "id long, s string, n long, miss string")
+    schema = {"properties": {"s": {"maxLength": 3},
+                             "n": {"minimum": 5}},
+              "required": ["miss"]}
+    plan = compile_schema(schema, df.schema,
+                          ValidationOptions(message_values=True))
+    rows = plan.violations(df, ["id"]).collect()
+    msgs = {r["keyword"]: r["message"] for r in rows}
+    assert msgs["maxLength"] == '"long-string" is longer than 3 characters'
+    assert msgs["minimum"] == "2 is less than the minimum of 5"
+    assert msgs["required"] == '"miss" is a required property'
+
+
+def test_output_units_documented_example_messages(spark):
+    """The documented evaluation.rs example tree (evaluation.rs:270-310)
+    diffs cleanly including messages: the /items/type unit for instance
+    [1, "oops"] carries errors {"type": "\"oops\" is not of type
+    \"integer\""} under message_values."""
+    import json
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    schema = {"type": "array",
+              "prefixItems": [{"type": "number"}],
+              "items": {"type": "integer"}}
+    plan = compile_json_schema(schema,
+                               ValidationOptions(message_values=True))
+    df = spark.createDataFrame([(json.dumps([1, "oops"]),)], "j string")
+    out = plan.with_output(df, "j", format="list").collect()[0]["output"]
+    tree = json.loads(out)
+    assert tree["valid"] is False
+    units = {(u["evaluationPath"], u["instanceLocation"]): u
+             for u in tree["details"]}
+    u = units[("/items/type", "/1")]
+    assert u["valid"] is False
+    assert u["errors"] == {"type": '"oops" is not of type "integer"'}
+
+
 # -- draft-4 lexical integer --------------------------------------------------
 
 
