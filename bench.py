@@ -162,19 +162,24 @@ def main() -> None:
         _warm_arrow(F.col("id").cast("double"))).write.format("noop") \
         .mode("overwrite").save()
 
-    # min of 2 passes per query: the first pass can absorb JIT, shuffle-
-    # file page-cache misses, and co-tenant VM noise bursts (documented
-    # same-day suite spread on this box is >1.5x); the min is the
-    # steady-state number a warmed cluster would show
+    # 3 passes per query, min AND median reported (ADVICE r3: min alone
+    # is a best-case estimator — fine for noise rejection on this noisy
+    # co-tenant box, but consumers must see the spread). `queries` stays
+    # the min for round-over-round continuity; `queries_median` carries
+    # the typical-case number.
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             noop_write(fn(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
 
     # flagship LAST: the N_DOCS-row job pressures the heap/page cache and
     # would otherwise inflate the small queries' numbers
@@ -187,21 +192,30 @@ def main() -> None:
     # stalls (measured same-session spread 2.2s..111s on identical
     # passes); the min is the only estimator that reflects the engine
     # rather than the co-tenant weather
-    t_flag = min(validate_flagship(spark, N_DOCS) for _ in range(6))
+    flag_samples = [validate_flagship(spark, N_DOCS) for _ in range(6)]
+    t_flag = min(flag_samples)
+    t_flag_med = statistics.median(flag_samples)
     timings["validate_interleaved"] = round(t_flag, 4)
-    docs_per_sec = N_DOCS / t_flag
+    medians["validate_interleaved"] = round(t_flag_med, 4)
     parity = verdict_parity(spark, 5000)
 
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline suite wall-clock (validation + table checks + "
                   "pipeline ops); docs_per_sec = flag-mode validation "
-                  f"throughput on {N_DOCS} generated interleaved docs",
+                  f"throughput on {N_DOCS} generated interleaved docs "
+                  "(best-of-6; *_median keys carry the typical case)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "docs_per_sec": round(docs_per_sec),
+        # labeled estimators (ADVICE r3): best-of-N rejects this box's
+        # co-tenant stalls; median shows what a typical pass costs
+        "docs_per_sec": round(N_DOCS / t_flag),
+        "docs_per_sec_estimator": "best-of-6",
+        "docs_per_sec_median": round(N_DOCS / t_flag_med),
+        "flagship_samples_sec": [round(s, 4) for s in flag_samples],
         "n_docs": N_DOCS,
         "cpus": CPUS,
         "verdict_parity": parity,
