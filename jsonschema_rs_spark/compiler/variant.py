@@ -405,20 +405,20 @@ def _compile_variant_body(orig: Any, schema: dict,
             # value's shortest-decimal form — a JSON number's decimal
             # meaning — so 0.0075 IS a multiple of 0.0001 while
             # 2.0000000000000004e-15 is NOT a multiple of 1e-15. Integer
-            # divisors take a three-tier exact ladder instead
-            # (is_multiple_of_integer's u64/BigInt analog,
-            # ext/numeric.rs:95-117):
-            #   1. int64 variants → exact long mod
-            #   2. any value the decimal(38,15) view holds exactly
-            #      (JSON integers up to 10^23, e.g. u64 beyond int64 —
-            #      ADVICE r3: these used to fall to fmod on the ROUNDED
-            #      double) → exact decimal pmod
-            #   3. residue (|v| >= 10^23 or more fraction digits than
-            #      the decimal view holds, stored as double anyway) →
-            #      the shortest-decimal rational kernel (IEEE fmod on
-            #      the raw binary would judge 1e30 % 5 != 0, because
-            #      10^30 doesn't round-trip through double — the
-            #      JSON literal's decimal meaning is what counts)
+            # divisors take a three-tier ladder mirroring
+            # is_multiple_of_integer (ext/numeric.rs:94-124):
+            #   1. int64 variants → exact long mod (i64/u64 branch)
+            #   2. INTEGER-LEXICAL values beyond int64 — scale-0
+            #      DECIMAL variants, e.g. u64-class and BigInt-class
+            #      JSON integers (ADVICE r3: these used to fall to
+            #      fmod on the ROUNDED double) → exact decimal pmod
+            #      (the reference's u64/BigInt arbitrary-precision
+            #      branches)
+            #   3. float-lexical residue → IEEE fmod on the binary
+            #      double, exactly like the reference's
+            #      `value_f64 % multiple == 0` (1e30 multipleOf 5 is
+            #      FALSE: serde parses 1e30 to f64 and the reference
+            #      judges the binary value, not the decimal literal)
             from jsonschema_rs_spark.functions.numerics import (
                 exact_multiple_of_double,
             )
@@ -433,6 +433,10 @@ def _compile_variant_body(orig: Any, schema: dict,
                 from decimal import Decimal
 
                 dec = _as_decimal(v)
+                # integer-lexical class beyond int64 (scale-0 DECIMAL;
+                # same type probe as _is_integer_strict) — the values
+                # serde would hold as u64/BigInt
+                int_lex = _vtype(v).rlike("^DECIMAL\\(\\d+,\\s*0\\)$")
                 ok = None
                 if mi < 2 ** 63:
                     vl = F.try_variant_get(v, "$", "long")
@@ -441,21 +445,24 @@ def _compile_variant_body(orig: Any, schema: dict,
                         F.pmod(vl, F.lit(mi)) == 0)
                 if mi < 10 ** 38:  # literal fits decimal(38,0)
                     dec_ok = F.pmod(dec, F.lit(Decimal(mi))) == F.lit(0)
-                    ok = ok.when(dec.isNotNull(), dec_ok) if ok is not None \
-                        else F.when(dec.isNotNull(), dec_ok)
-                if mi < 2 ** 63:
-                    fmod_ok = exact_multiple_of_double(d, mi)
+                    cond = int_lex & dec.isNotNull()
+                    ok = ok.when(cond, dec_ok) if ok is not None \
+                        else F.when(cond, dec_ok)
+                if mi < 2 ** 53:
+                    # float-lexical residue: binary fmod (exact on the
+                    # double operands) = reference is_multiple_of_integer
+                    fmod_ok = F.pmod(d, F.lit(float(mi))) == 0
                 else:
                     # divisor itself doesn't round-trip through double:
-                    # residual rows (beyond the decimal view) decide via
-                    # the exact Arrow-batched Fraction kernel; decided
-                    # rows cross as NULL so Python does no work for them
+                    # residual rows decide via the exact Arrow-batched
+                    # Fraction kernel; decided rows cross as NULL so
+                    # Python does no work for them
                     from jsonschema_rs_spark.functions.numerics import (
                         fraction_multiple_of_udf,
                     )
 
                     mask = d if ok is None else \
-                        F.when(dec.isNull(), d).otherwise(
+                        F.when(~int_lex | dec.isNull(), d).otherwise(
                             F.lit(None).cast("double"))
                     fmod_ok = F.coalesce(
                         fraction_multiple_of_udf(mi)(mask), F.lit(False))

@@ -154,14 +154,18 @@ def _verdicts(spark, schema, docs, dialect=None):
 
 
 def test_variant_multiple_of_u64_exact(spark):
-    """ADVICE r3 medium: integers beyond int64 decide via the exact
-    decimal view, not IEEE fmod on the rounded double."""
+    """ADVICE r3 medium: INTEGER-LEXICAL values beyond int64 decide via
+    the exact decimal view (the reference's u64/BigInt branches), while
+    float-lexical values keep IEEE fmod on the binary double
+    (is_multiple_of_integer: serde parses 1e30 to f64, fmod(1e30,5)=1)."""
     got = _verdicts(spark, {"multipleOf": 5},
                     ["18446744073709551615",      # ends in 5 → multiple
                      "18446744073709551616",      # 2^64 → mod 5 = 1
                      "18446744073709551620",
-                     "1e30", "7", "0"])
-    assert got == [True, False, True, True, False, True]
+                     "1e30",                      # f64 binary: NOT a multiple
+                     "2e19",                      # f64 binary: IS a multiple
+                     "7", "0"])
+    assert got == [True, False, True, False, True, False, True]
 
 
 def test_variant_multiple_of_huge_divisors(spark):
