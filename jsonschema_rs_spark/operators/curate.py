@@ -27,7 +27,8 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
            quality_threshold: float = 0.7,
            num_hashes: int | str = 16, bands: int = 8,
            jaccard_threshold: float = 0.6,
-           strategy: str = "greedy") -> DataFrame:
+           strategy: str = "greedy",
+           stage_dir: str | None = None) -> DataFrame:
     """Returns the surviving rows of `docs` (original columns).
 
     strategy='greedy': drop the larger id of each confirmed pair (one
@@ -36,7 +37,17 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     over-deletes chains a-b, b-c).
 
     num_hashes="auto" derives the LSH banding from jaccard_threshold
-    (dedup.adaptive_minhash_banding); `bands` is then ignored."""
+    (dedup.adaptive_minhash_banding); `bands` is then ignored.
+
+    stage_dir: when set, the exact-dedup survivors are MATERIALIZED to
+    `<stage_dir>/exact` as parquet and re-read — the near-dedup stages
+    (signatures, band keys, both verify-join sides, the final
+    anti-join) otherwise recompute the gate + feature lineage from the
+    source scan per use (~20 source scans in this composition). Lazy
+    recomputation is the right default at test scale; at 100 TB a
+    persisted stage boundary is how production pipelines run this, and
+    the stage output doubles as a resume point. Identical results
+    either way (pinned by test)."""
     feats = ta.with_text_features(docs, text_col)
     gated = feats.where(F.col("quality") >= quality_threshold)
 
@@ -46,6 +57,10 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exact = (gated.join(keep, "fp")
              .where(F.col(id_col) == F.col("__keep"))
              .drop("__keep"))
+    if stage_dir is not None:
+        path = stage_dir.rstrip("/") + "/exact"
+        exact.write.mode("overwrite").parquet(path)
+        exact = docs.sparkSession.read.parquet(path)
 
     # near-dedup on the exact-deduped survivors
     pairs = dd.minhash_near_duplicates(

@@ -163,3 +163,60 @@ def test_fuzz_schema(spark, schema_idx):
     mismatches = [(docs[i], got[i], want[i])
                   for i in range(N_DOCS) if got[i] != want[i]]
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
+
+
+# -- per-draft dialect fuzz (r4): the same random documents under the
+# legacy dialects, verdicts vs the matching python-jsonschema Draft
+# validator. Exercises draft-4 lexical-integer (`_is_integer_strict`),
+# draft-4 boolean exclusive* folding, and per-draft keyword
+# applicability on arbitrary nested values. Schemas avoid keywords
+# whose draft-4/6 semantics python-jsonschema models differently from
+# the vendored pins (none known — but multipleOf uses integer divisors
+# only, so the library's float-division check is exact here).
+
+DIALECT_SCHEMAS = [
+    {"type": "integer", "minimum": 0},
+    {"type": ["integer", "string"], "maxLength": 4},
+    {"properties": {"a": {"type": "integer"},
+                    "b": {"type": "number", "multipleOf": 2}},
+     "required": ["a"]},
+    {"type": "array", "items": {"type": "integer"}, "minItems": 1},
+    {"minimum": 5, "exclusiveMinimum": True},   # draft-4 boolean form
+    {"anyOf": [{"type": "integer", "multipleOf": 5},
+               {"type": "string", "minLength": 2}]},
+    {"not": {"type": "integer"}},
+]
+
+_DRAFTS = ["4", "6", "7"]
+
+
+@pytest.mark.parametrize("draft", _DRAFTS)
+@pytest.mark.parametrize("schema_idx", range(len(DIALECT_SCHEMAS)))
+def test_fuzz_dialect(spark, draft, schema_idx):
+    import jsonschema
+
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    schema = DIALECT_SCHEMAS[schema_idx]
+    if draft != "4" and "exclusiveMinimum" in schema \
+            and isinstance(schema["exclusiveMinimum"], bool):
+        pytest.skip("boolean exclusiveMinimum is draft-4 only")
+    classes = {"4": jsonschema.Draft4Validator,
+               "6": jsonschema.Draft6Validator,
+               "7": jsonschema.Draft7Validator}
+    rng = random.Random(7000 + schema_idx)
+    values = [gen_value(rng) for _ in range(200)]
+    # salt with the lexical-integer corners the generator rarely emits
+    values += [1, 1.0, -3.0, 100.0, 1.5, [1.0, 2], {"a": 2.0},
+               {"a": 5, "b": 4.0}, 2 ** 53 + 1]
+    oracle = classes[draft](schema)
+    want = [oracle.is_valid(v) for v in values]
+
+    docs = [json.dumps(v) for v in values]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    plan = compile_json_schema(schema, ValidationOptions(dialect=draft))
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j", mode="flag").collect()]
+    mismatches = [(docs[i], got[i], want[i])
+                  for i in range(len(values)) if got[i] != want[i]]
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"

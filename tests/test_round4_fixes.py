@@ -216,6 +216,28 @@ def test_invalid_divisor_raises_schema_error(spark):
                        df.schema)
 
 
+# -- curate stage materialization ---------------------------------------------
+
+
+def test_curate_stage_dir_same_results(spark, tmp_path):
+    """stage_dir materializes the exact-dedup boundary (parquet write +
+    re-read) without changing the surviving set; without it the
+    near-dedup stages recompute the gate lineage from the source scan."""
+    from jsonschema_rs_spark.operators.curate import curate
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    lazy = {r["doc_id"] for r in
+            curate(docs, num_hashes="auto").select("doc_id").collect()}
+    staged = {r["doc_id"] for r in
+              curate(docs, num_hashes="auto",
+                     stage_dir=str(tmp_path / "stages"))
+              .select("doc_id").collect()}
+    assert lazy == staged and lazy
+    import os
+    assert os.path.exists(str(tmp_path / "stages" / "exact"))
+
+
 # -- greedy (no-spanning) sequence packing ------------------------------------
 
 
