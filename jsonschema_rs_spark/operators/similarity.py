@@ -304,29 +304,91 @@ def pair_cosine_gather_udf(spark, idx: dict, mat):
     return pair_cos_g.asNondeterministic()
 
 
+def probe_buckets(vec: Column, planes: list[list[int]],
+                  n_probe: int) -> Column:
+    """array<long> of multi-probe bucket ids: the vector's own bucket
+    plus the buckets reached by flipping the n_probe-1 sign bits with
+    the SMALLEST |hyperplane margin| (the classic multi-probe LSH probe
+    sequence: a near-zero dot means the true neighbor plausibly lies on
+    the other side of that plane). Pure Column expressions: the per-
+    plane dots are staged in one array, ranked by array_sort over
+    (|dot|, plane_idx) structs, and each probe is base XOR (1 << idx).
+
+    Probes are SINGLE-bit flips, so n_probe caps at n_planes + 1
+    (hamming-1 neighborhood); for deeper recall lower n_planes or run
+    the IVF route — multi-bit probe walks cost combinatorial probe
+    counts for diminishing returns at this bucket geometry.
+    """
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(s) for s in plane]),
+                       lambda x, s: x.cast("double") * s.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+        for plane in planes
+    ])
+    base = F.aggregate(
+        F.zip_with(dots,
+                   F.array(*[F.lit(1 << i).cast("long")
+                             for i in range(len(planes))]),
+                   lambda d, m: F.when(d > 0, m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    if n_probe <= 1:
+        return F.array(base)
+    ranked = F.array_sort(F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda d, i: F.struct(F.abs(d).alias("m"),
+                              i.cast("long").alias("i"))))
+    flips = F.slice(F.transform(ranked, lambda s: s["i"]),
+                    1, min(n_probe - 1, len(planes)))
+    masks = F.array(*[F.lit(1 << j).cast("long")
+                      for j in range(len(planes))])
+    # element_at(masks, i+1) instead of shiftleft: F.shiftleft takes a
+    # Python int for numBits, not a Column
+    return F.concat(
+        F.array(base),
+        F.transform(flips, lambda i: base.bitwiseXOR(
+            F.element_at(masks, (i + 1).cast("int")))))
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 query_id_col: str = "query_id") -> DataFrame:
+                 query_id_col: str = "query_id",
+                 n_probe: int = 1) -> DataFrame:
     """Approximate top-k: candidates = corpus rows in the SAME hyperplane
-    bucket as the query (recall tunable by n_planes / multi-probe), exact
-    cosine re-rank on candidates only. The corpus is bucketed in one
-    projection; the join is an equi-join on bucket (hash-partitioned,
-    AQE-coalesced) — no Q*N blowup."""
+    bucket as the query, exact cosine re-rank on candidates only. The
+    corpus is bucketed in one projection; the join is an equi-join on
+    bucket (hash-partitioned, AQE-coalesced) — no Q*N blowup.
+
+    Recall knobs: fewer `n_planes` (bigger buckets) or `n_probe` > 1 —
+    MULTI-PROBE expands each QUERY to the n_probe most likely buckets
+    (own + smallest-|margin| bit flips, probe_buckets) while the corpus
+    stays single-bucket, so the extra cost is n_probe-x on the small
+    broadcast side only; candidates remain deduped before re-rank."""
     planes = hyperplane_signs(n_planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),
                       norm(F.col(vec_col)).alias("__cn"),
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    if n_probe <= 1:
+        qbucket = lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    else:
+        qbucket = F.explode(probe_buckets(F.col(vec_col), planes,
+                                          n_probe)).alias("bucket")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
                        norm(F.col(vec_col)).alias("__qn"),
-                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+                       qbucket)
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "neighbor_id",
         F.round(dot(F.col("__cv"), F.col("__qv"))
                 / (F.col("__cn") * F.col("__qn")), 6).alias("sim"),
     )
+    if n_probe > 1:
+        # a neighbor can meet the query in several probed buckets
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
     return (
