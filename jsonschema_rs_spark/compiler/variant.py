@@ -527,17 +527,22 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     rules: list[Rule] = []
 
     if "required" in schema:
-        names = list(schema["required"])
+        import json as _json
 
-        def req_pred(v: Column, names=tuple(names)) -> Column:
-            m = _as_map(v)
-            out = F.lit(True)
-            for nm in names:
-                out = out & F.try_element_at(m, F.lit(nm)).isNotNull()
-            return ~_is_object(v) | out
+        # one rule PER NAME — reference error-cardinality parity (the
+        # reference emits one Required error per missing property,
+        # keywords/required.rs) with the reference message under
+        # message_values; verdict identical to the old aggregate rule
+        for nm in schema["required"]:
+            def req_pred(v: Column, nm=nm) -> Column:
+                return ~_is_object(v) | \
+                    F.try_element_at(_as_map(v), F.lit(nm)).isNotNull()
 
-        rules.append(Rule("required", sp + "/required",
-                          "missing required property", req_pred, priority=5))
+            rules.append(Rule(
+                "required", sp + "/required",
+                f"missing required property {nm!r}", req_pred, priority=5,
+                value_message=f"{_json.dumps(nm)} is a required property",
+                headless=True))
 
     if "properties" in schema:
         for k, sub in schema["properties"].items():
