@@ -200,18 +200,22 @@ def _batch_cosine(a: "np.ndarray", b: "np.ndarray") -> "pd.Series":
     return pd.Series(np.round(num / den, 6))
 
 
-def pair_cosine_udf():
+def pair_cosine_udf(acc=None):
     """Vectorized exact-cosine verify for candidate pairs: one numpy
     einsum per Arrow batch instead of an interpreted zip_with+aggregate
     dot per pair (the verify stage dominates once candidates number in
     the millions). Rounded to 6 decimals like the Column-expression
     path. Built lazily — pandas_udf registration needs an active
-    SparkSession, which doesn't exist at import time."""
+    SparkSession, which doesn't exist at import time. `acc` (a Spark
+    accumulator) counts verified candidate rows for free — task retries
+    may overcount, so it is observability, not an exact statistic."""
 
     @F.pandas_udf("double")
     def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
+        if acc is not None:
+            acc.add(len(va))
         a = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
         b = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
         return _batch_cosine(a, b)
@@ -250,7 +254,7 @@ def release_gather_broadcasts() -> int:
     return n
 
 
-def pair_cosine_gather_udf(spark, idx: dict, mat):
+def pair_cosine_gather_udf(spark, idx: dict, mat, acc=None):
     """Broadcast-gather variant of pair_cosine_udf: the raw vector
     matrix ships ONCE per executor (exactly the data volume a
     broadcast-hash join would ship) and candidate rows cross the Arrow
@@ -289,6 +293,8 @@ def pair_cosine_gather_udf(spark, idx: dict, mat):
     def pair_cos_g(ia: pd.Series, ib: pd.Series) -> pd.Series:
         if len(ia) == 0:
             return pd.Series([], dtype="float64")
+        if acc is not None:
+            acc.add(len(ia))
         M = bc_mat.value
         if int_ids:
             sorted_ids_, perm_ = bc_lut.value
@@ -657,6 +663,12 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
             raw, deduped, bands, planes_per_band, threshold)
     if dedup_before_verify:
         cand = cand.dropDuplicates(["id_a", "id_b"])
+    # job-free candidate observability: the verify UDF sees every
+    # candidate row, so a Spark accumulator counts them as a byproduct —
+    # read `out.candidate_accumulator.value` AFTER materializing the
+    # result (task retries may overcount; log_candidates=True remains
+    # the exact-count option at the price of two extra jobs)
+    acc = df.sparkSession.sparkContext.accumulator(0)
     if broadcast_verify:
         rows = df.select(F.col(id_col), F.col(vec_col)).collect()
         idx = {r[0]: i for i, r in enumerate(rows)}
@@ -666,7 +678,7 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
                 f"ill-defined over non-unique ids (deduplicate first)")
         mat = np.asarray([np.asarray(r[1], dtype=np.float64)
                           for r in rows], dtype=np.float64)
-        pc = pair_cosine_gather_udf(df.sparkSession, idx, mat)
+        pc = pair_cosine_gather_udf(df.sparkSession, idx, mat, acc=acc)
         out = (
             cand.select("id_a", "id_b",
                         pc(F.col("id_a"), F.col("id_b")).alias("sim"))
@@ -678,10 +690,11 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
         out = (
             cand.join(a, "id_a").join(b, "id_b")
             .select("id_a", "id_b",
-                    pair_cosine_udf()(F.col("va"), F.col("vb"))
+                    pair_cosine_udf(acc=acc)(F.col("va"), F.col("vb"))
                     .alias("sim"))
             .where(F.col("sim") >= threshold)
         )
     if not dedup_before_verify:
         out = out.dropDuplicates(["id_a", "id_b"])
+    out.candidate_accumulator = acc
     return out

@@ -9,9 +9,9 @@ bug fixes stay fixed.
   (ADVICE r3: it used to raise only on the broadcast-gather path)
 - the gather-broadcast registry holds weakrefs (ADVICE r3: strong refs
   leaked two broadcasts per call and blocked ContextCleaner)
-- variant multipleOf decides u64-class integers exactly via the decimal
-  view (ADVICE r3 medium) and huge-float instances via the
-  shortest-decimal kernel, not binary fmod
+- variant multipleOf decides u64/BigInt-class (integer-lexical) values
+  exactly via the decimal view (ADVICE r3 medium), while float-lexical
+  values keep the reference's binary-fmod semantics
 - multipleOf divisors beyond LONG/double literals compile to correct
   plans instead of raising raw OverflowError (ADVICE r3)
 - draft-4 lexical integer rule on the variant path (1.0 not an integer,
@@ -443,3 +443,19 @@ def test_draft4_integer_excludes_fraction_forms(spark):
     got2020 = _verdicts(spark, {"type": "integer"}, docs)
     assert got2020 == [True, True, True, True, False, True,
                        True, True, True, False, False]
+
+
+def test_candidate_accumulator_counts_verified_pairs(spark):
+    """Both verify transports count candidate rows into the attached
+    accumulator as a byproduct — observability without an extra job."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for bc in (True, False):
+        out = sim.near_duplicates_by_cosine(emb, threshold=0.5,
+                                            broadcast_verify=bc)
+        out.count()
+        # every deduped candidate pair crossed the verify UDF exactly
+        # once (no retries on local runs)
+        n = out.candidate_accumulator.value
+        assert n > 0
+        # candidates >= surviving pairs
+        assert n >= out.count()
