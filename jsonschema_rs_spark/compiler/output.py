@@ -64,7 +64,8 @@ from jsonschema_rs_spark.compiler.variant import (
     _key_coverage,
     compile_variant,
 )
-from jsonschema_rs_spark.errors import ValidationOptions
+from jsonschema_rs_spark.errors import (ValidationOptions,
+                                        resolved_ref_depth)
 
 # assertion keywords compiled as single-keyword micro-schemas; the listed
 # companions ride along (their semantics are coupled)
@@ -267,7 +268,7 @@ class OutputPlan:
             ref = eff[kw]
             key = kw + ":" + str(ref)
             depth = self.ctx._ref_depth.get(key, 0)
-            if depth >= min(self.options.max_ref_depth, 3):
+            if depth >= min(resolved_ref_depth(self.options), 3):
                 continue  # output tree is depth-capped like the compiler
             self.ctx._ref_depth[key] = depth + 1
             try:

@@ -20,6 +20,10 @@ violations() all work unchanged. Depth: recursion is compile-time
 unrolling; `$ref` cycles are bounded by options.max_ref_depth (beyond
 the bound the sub-schema is treated as `true`, documented deviation —
 the reference detects runtime cycles instead, validator.rs:34-52).
+max_ref_depth=None (the default) AUTO-TUNES the unroll: recursive
+schemas keep the deepest plan that stays inside whole-stage codegen
+(CompiledJsonSchema._autotune_depth), so Janino's 64KB method limit
+never silently drops the stage to the interpreter.
 """
 
 from __future__ import annotations
@@ -222,12 +226,23 @@ def _const_pred(value: Any, v: Column) -> Column:
 
 
 class VariantCompileContext:
-    def __init__(self, root: Any, options: ValidationOptions):
+    def __init__(self, root: Any, options: ValidationOptions,
+                 ref_depth_limit: int | None = None):
         from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.compiler.registry import RefRegistry
+        from jsonschema_rs_spark.errors import resolved_ref_depth
 
         self.root = root
         self.options = options
+        # effective unroll bound for THIS compile: CompiledJsonSchema's
+        # auto-tuner passes progressively smaller limits when the default
+        # depth would push the plan out of whole-stage codegen
+        self.ref_depth_limit = (ref_depth_limit if ref_depth_limit
+                                is not None else resolved_ref_depth(options))
+        # set when a $ref/$dynamicRef/$recursiveRef re-enters a schema it
+        # is already inside (i.e. the unroll actually recursed) — the
+        # auto-tuner only measures plans where depth matters at all
+        self.saw_ref_cycle = False
         self.dialect = detect_dialect(root, options.dialect,
                                       options.resources)
         self._ref_depth: dict[str, int] = {}
@@ -307,7 +322,9 @@ def _compile_variant_body(orig: Any, schema: dict,
         if kw in schema:
             ref = schema[kw]
             depth = ctx._ref_depth.get(kw + ":" + ref, 0)
-            if depth < ctx.options.max_ref_depth:
+            if depth >= 1:
+                ctx.saw_ref_cycle = True
+            if depth < ctx.ref_depth_limit:
                 ctx._ref_depth[kw + ":" + ref] = depth + 1
                 try:
                     sub = compile_variant(resolver(ref), ctx, sp + "/" + kw)
@@ -839,7 +856,9 @@ def _key_coverage(schema: Any, ctx):
     if "$ref" in schema:
         ref = schema["$ref"]
         depth = ctx._ref_depth.get("cov:" + ref, 0)
-        if depth < ctx.options.max_ref_depth:
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
             ctx._ref_depth["cov:" + ref] = depth + 1
             try:
                 cov = _key_coverage(ctx.resolve_ref(ref, schema), ctx)
@@ -849,7 +868,9 @@ def _key_coverage(schema: Any, ctx):
     if "$dynamicRef" in schema:
         ref = schema["$dynamicRef"]
         depth = ctx._ref_depth.get("covd:" + ref, 0)
-        if depth < ctx.options.max_ref_depth:
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
             ctx._ref_depth["covd:" + ref] = depth + 1
             try:
                 parts.append(_key_coverage(
@@ -923,7 +944,9 @@ def _index_coverage(schema: Any, ctx):
     if "$ref" in schema:
         ref = schema["$ref"]
         depth = ctx._ref_depth.get("icov:" + ref, 0)
-        if depth < ctx.options.max_ref_depth:
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
             ctx._ref_depth["icov:" + ref] = depth + 1
             try:
                 parts.append(_index_coverage(ctx.resolve_ref(ref, schema),
@@ -933,7 +956,9 @@ def _index_coverage(schema: Any, ctx):
     if "$dynamicRef" in schema:
         ref = schema["$dynamicRef"]
         depth = ctx._ref_depth.get("icovd:" + ref, 0)
-        if depth < ctx.options.max_ref_depth:
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
             ctx._ref_depth["icovd:" + ref] = depth + 1
             try:
                 parts.append(_index_coverage(
@@ -1078,20 +1103,183 @@ def _composition_rules(schema: dict, ctx, sp: str) -> list[Rule]:
 # -- public API -------------------------------------------------------------
 
 
+# auto-tuned depth memo: a recursive schema whose size lands in the
+# calibrated ambiguous band pays a ~9 s Janino ground-truth probe per
+# compile; the suite (and any caller re-compiling the same schema per
+# query) should pay it once. Keyed by the schema's canonical JSON plus
+# every option that can change the compiled plan's SHAPE; schemas with
+# out-of-band compile inputs (resources / retriever / custom keyword
+# callables) are not cached.
+_DEPTH_MEMO: dict = {}
+
+
+def _depth_memo_key(schema: Any, options: ValidationOptions):
+    if (options.resources or options.retriever is not None
+            or options.custom_keywords or options.custom_formats
+            or options.custom_content_encodings
+            or options.custom_content_media_types):
+        return None
+    try:
+        return (json.dumps(schema, sort_keys=True), options.dialect,
+                options.draft4_integer, options.validate_formats,
+                options.ignore_unknown_formats)
+    except (TypeError, ValueError):
+        return None
+
+
+def _codegen_probe(make_col) -> bool | None:
+    """Ground truth for the auto-tuner's ambiguous band: run the
+    candidate boolean plan over ONE local row with
+    spark.sql.codegen.fallback=false, so a Janino >64KB method failure
+    surfaces as an exception instead of a silent interpreted fallback.
+    Returns True (codegen clean), False (codegen failed), None (no
+    active session to probe with). The two codegen confs are set and
+    restored around a single driver-local collect; a concurrent query
+    on the same session inside that window would also hard-fail on a
+    codegen problem — acceptable for this compile-time-only path."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    conf = spark.conf
+    keys = ("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+    prev = {}
+    for k in keys:
+        try:
+            prev[k] = conf.get(k)
+        except Exception:
+            prev[k] = None
+    try:
+        conf.set("spark.sql.codegen.fallback", "false")
+        conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        df = spark.createDataFrame([("{}",)], "doc string")
+        df.select(make_col(F.col("doc")).alias("v")).collect()
+        return True
+    except Exception:
+        return False
+    finally:
+        for k in keys:
+            try:
+                if prev[k] is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, prev[k])
+            except Exception:
+                pass
+
+
 class CompiledJsonSchema:
     """Validator for a JSON-string column. Unparseable JSON is invalid
     (keyword 'json'), mirroring the reference CLI's behavior on malformed
     instance documents."""
 
+    # Codegen auto-tune thresholds (chars of the boolean plan's JVM
+    # expression toString). Calibrated in-repo with
+    # spark.sql.codegen.fallback=false on two recursive shapes (linked
+    # list, binary tree with pattern): every plan <= 16.1k chars
+    # codegen'd clean, every plan >= 23.6k blew Janino's 64KB method
+    # limit; the band between is decided by a ground-truth one-row probe
+    # (tests/test_ref_depth_autotune.py re-runs the calibration).
+    _CODEGEN_SAFE_CHARS = 16_200
+    _CODEGEN_HARD_CHARS = 23_000
+    # cycle-detection depth for auto mode: recursion, if present at
+    # all, re-enters by the second unroll, and a NON-recursive schema
+    # compiles to the identical plan under any limit — so the cheap
+    # probe compile doubles as the final plan when no cycle exists
+    _PROBE_DEPTH = 2
+
     def __init__(self, schema: Any,
                  options: ValidationOptions | None = None):
         options = options or ValidationOptions()
         meta_validate(schema)
-        ctx = VariantCompileContext(schema, options)
-        self.node = compile_variant(schema, ctx, "")
         self.schema = schema
         self.options = options
+        from jsonschema_rs_spark.errors import resolved_ref_depth
+        start = resolved_ref_depth(options)
+        if options.max_ref_depth is not None:
+            # explicit integer: honored verbatim, codegen or not
+            ctx = VariantCompileContext(schema, options)
+            self.node = compile_variant(schema, ctx, "")
+            self.ref_depth = start
+        else:
+            # AUTO: compile once at the cheap probe depth; if the
+            # unroll never actually recursed the plan is identical at
+            # every depth and we are done (ref_depth reported as the
+            # nominal default). If it recursed, ascend the ladder while
+            # the boolean plan stays inside whole-stage codegen —
+            # Janino hard-fails methods past 64KB and Spark then falls
+            # back to the interpreter for the WHOLE stage (an ERROR log
+            # + a several-x slowdown at scale). Unroll depth beyond the
+            # instance's real nesting adds nothing, so trading depth
+            # for codegen is the right default. Ascending (not
+            # descending) matters: a branching recursion's compile cost
+            # is exponential in depth, so the deep compiles must never
+            # happen when a shallow depth already exceeds the budget.
+            memo_key = _depth_memo_key(schema, options)
+            cached = _DEPTH_MEMO.get(memo_key) if memo_key else None
+            if cached is not None:
+                ctx = VariantCompileContext(schema, options,
+                                            ref_depth_limit=cached)
+                self.node = compile_variant(schema, ctx, "")
+                self.ref_depth = cached
+            else:
+                ctx = VariantCompileContext(
+                    schema, options, ref_depth_limit=self._PROBE_DEPTH)
+                self.node = compile_variant(schema, ctx, "")
+                self.ref_depth = start if not ctx.saw_ref_cycle \
+                    else self._PROBE_DEPTH
+                if ctx.saw_ref_cycle:
+                    ctx = self._autotune_depth(schema, options, start) \
+                        or ctx
+                if memo_key is not None:
+                    _DEPTH_MEMO[memo_key] = self.ref_depth
         self._contains_sites = list(ctx.contains_sites)
+
+    def _measured_size(self) -> int | None:
+        try:
+            return len(self.node.valid(
+                F.try_parse_json(F.lit("{}")))._jc.toString())
+        except Exception:
+            return None  # no JVM to measure against (e.g. Connect) —
+            # keep the current depth; runtime fallback still works
+
+    def _autotune_depth(self, schema: Any, options: ValidationOptions,
+                        start: int) -> "VariantCompileContext | None":
+        """Ascend from _PROBE_DEPTH toward `start`, keeping the deepest
+        plan that stays inside codegen (by the calibrated size proxy;
+        the ambiguous band is decided by a one-row ground-truth probe).
+        self.node/self.ref_depth always hold the currently-accepted
+        plan; returns the ctx of the last recompile (None = the
+        _PROBE_DEPTH ctx from __init__ stands)."""
+        tuned = None
+        accepted = None  # (node, depth, ctx) of the last known-good plan
+        depth = self.ref_depth
+        while True:
+            size = self._measured_size()
+            if size is None:
+                return tuned
+            if size <= self._CODEGEN_SAFE_CHARS:
+                ok = True
+            elif size >= self._CODEGEN_HARD_CHARS:
+                ok = False
+            else:
+                ok = _codegen_probe(self.valid_column) is not False
+            if ok:
+                if depth >= start:
+                    return tuned
+                accepted = (self.node, depth, tuned)
+                depth += 1
+            else:
+                if accepted is not None:
+                    self.node, self.ref_depth, tuned = accepted
+                    return tuned
+                if depth <= 1:
+                    return tuned
+                depth -= 1
+            tuned = VariantCompileContext(schema, options,
+                                          ref_depth_limit=depth)
+            self.node = compile_variant(schema, tuned, "")
+            self.ref_depth = depth
 
     def _msg_ctx(self):
         """Message-decorator scope: masked_with analog (error.rs:496-516;

@@ -10,6 +10,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+# unroll depth used when ValidationOptions.max_ref_depth is None (auto)
+DEFAULT_REF_DEPTH = 8
+
+
+def resolved_ref_depth(options: "ValidationOptions") -> int:
+    """The unroll depth a compile starts from (auto → DEFAULT_REF_DEPTH)."""
+    d = options.max_ref_depth
+    return DEFAULT_REF_DEPTH if d is None else d
+
 
 class SchemaError(ValueError):
     """Raised when a schema/spec fails meta-validation or compilation.
@@ -38,6 +47,12 @@ class ValidationOptions:
       behavior; mask=None keeps static messages.
     - max_ref_depth: recursive $ref schemas are depth-unrolled at compile
       time (Spark expressions cannot recurse); documents have bounded depth.
+      None (the default) = AUTO: unroll at DEFAULT_REF_DEPTH (8), then, if
+      the compiled expression would exceed whole-stage-codegen method
+      limits (Janino's 64 KB → interpreter fallback), re-unroll at the
+      deepest smaller depth that stays inside codegen (variant.py
+      CompiledJsonSchema). An explicit integer is always honored verbatim,
+      codegen fallback or not.
     - draft4_integer: draft-4 `1.0 is not an integer` semantics
       (keywords/legacy/type_draft_4.rs:91-155). Default: 2020-12 (float with
       zero fraction IS an integer). TYPED PATH ONLY: the variant path
@@ -61,7 +76,7 @@ class ValidationOptions:
     # takes precedence: with mask set, messages lead with the placeholder
     # instead of the value — the masked_with analog (error.rs:496-516).
     message_values: bool = False
-    max_ref_depth: int = 8
+    max_ref_depth: int | None = None
     draft4_integer: bool = False
     # UNUSED since round 3: multipleOf is decided by the exact rational
     # kernel (functions/numerics.py) on every path; kept so existing
