@@ -84,6 +84,12 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
+# multi-bit probe walks draw their perturbation sets from this many of
+# the smallest-|margin| rank positions: C(6,1)+C(6,2)+C(6,3) = 41
+# compile-time subset expressions — enough probe candidates for any
+# sane n_probe while keeping the projection bounded
+_PROBE_RANKS = 6
+
 
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 — same on any machine/engine.
@@ -311,19 +317,27 @@ def pair_cosine_gather_udf(spark, idx: dict, mat, acc=None):
 
 
 def probe_buckets(vec: Column, planes: list[list[int]],
-                  n_probe: int) -> Column:
+                  n_probe: int, max_flip_bits: int = 1) -> Column:
     """array<long> of multi-probe bucket ids: the vector's own bucket
-    plus the buckets reached by flipping the n_probe-1 sign bits with
-    the SMALLEST |hyperplane margin| (the classic multi-probe LSH probe
-    sequence: a near-zero dot means the true neighbor plausibly lies on
-    the other side of that plane). Pure Column expressions: the per-
-    plane dots are staged in one array, ranked by array_sort over
-    (|dot|, plane_idx) structs, and each probe is base XOR (1 << idx).
+    plus the n_probe-1 most promising perturbed buckets (the classic
+    multi-probe LSH probe sequence: a near-zero hyperplane dot means
+    the true neighbor plausibly lies on the other side of that plane).
+    Pure Column expressions: the per-plane dots are staged in one
+    array, ranked by array_sort over (|dot|, plane_idx) structs, and
+    each probe is base XOR a perturbation mask.
 
-    Probes are SINGLE-bit flips, so n_probe caps at n_planes + 1
-    (hamming-1 neighborhood); for deeper recall lower n_planes or run
-    the IVF route — multi-bit probe walks cost combinatorial probe
-    counts for diminishing returns at this bucket geometry.
+    max_flip_bits=1 (default): single-bit flips of the smallest-
+    |margin| planes — n_probe caps at n_planes + 1 (the hamming-1
+    neighborhood). max_flip_bits>1 enables the full perturbation-SET
+    walk (Lv et al., "Multi-Probe LSH", VLDB 2007): candidate probes
+    are the subsets of up to max_flip_bits of the _PROBE_RANKS
+    smallest-|margin| rank positions, scored by the SUM of their
+    |margins| and probed lowest-score-first — so a two-bit flip of two
+    near-zero planes is probed before a one-bit flip of a confident
+    plane, which is what makes deep-recall regimes reachable without
+    shrinking n_planes. Subset enumeration is compile-time (rank
+    positions, not plane ids); scoring/ordering is per-row Column
+    arithmetic, so the corpus side still stays single-bucket.
     """
     dots = F.array(*[
         F.aggregate(
@@ -346,23 +360,54 @@ def probe_buckets(vec: Column, planes: list[list[int]],
         F.sequence(F.lit(0), F.lit(len(planes) - 1)),
         lambda d, i: F.struct(F.abs(d).alias("m"),
                               i.cast("long").alias("i"))))
-    flips = F.slice(F.transform(ranked, lambda s: s["i"]),
-                    1, min(n_probe - 1, len(planes)))
     masks = F.array(*[F.lit(1 << j).cast("long")
                       for j in range(len(planes))])
-    # element_at(masks, i+1) instead of shiftleft: F.shiftleft takes a
-    # Python int for numBits, not a Column
+    if max_flip_bits <= 1:
+        flips = F.slice(F.transform(ranked, lambda s: s["i"]),
+                        1, min(n_probe - 1, len(planes)))
+        # element_at(masks, i+1) instead of shiftleft: F.shiftleft takes
+        # a Python int for numBits, not a Column
+        return F.concat(
+            F.array(base),
+            F.transform(flips, lambda i: base.bitwiseXOR(
+                F.element_at(masks, (i + 1).cast("int")))))
+    # perturbation-set walk: compile-time subsets of rank POSITIONS
+    # (1-indexed into `ranked`; the position→plane mapping is per-row),
+    # each scored by the sum of its |margins|. Distinct subsets map to
+    # distinct XOR masks per row (positions are a permutation of plane
+    # ids), so the probed buckets need no dedup here. Singletons come
+    # from ALL rank positions (the candidate pool must be a superset of
+    # the max_flip_bits=1 pool, or a large probe budget could LOSE the
+    # high-margin single flips it had at bits=1); only the multi-bit
+    # subsets are limited to the _PROBE_RANKS smallest margins.
+    import itertools
+    m = min(len(planes), _PROBE_RANKS)
+    cands = []
+    for r in range(1, min(max_flip_bits, m) + 1):
+        pool = range(1, (len(planes) if r == 1 else m) + 1)
+        for subset in itertools.combinations(pool, r):
+            score, xmask = None, None
+            for p in subset:
+                e = F.element_at(ranked, p)
+                score = e["m"] if score is None else score + e["m"]
+                pm = F.element_at(masks, (e["i"] + 1).cast("int"))
+                xmask = pm if xmask is None else xmask.bitwiseXOR(pm)
+            # struct sort order = (score, mask): score ties break by
+            # mask so the sequence is deterministic for the oracle/test
+            # mirrors
+            cands.append(F.struct(score.alias("s"), xmask.alias("x")))
+    seq = F.slice(F.array_sort(F.array(*cands)),
+                  1, min(n_probe - 1, len(cands)))
     return F.concat(
         F.array(base),
-        F.transform(flips, lambda i: base.bitwiseXOR(
-            F.element_at(masks, (i + 1).cast("int")))))
+        F.transform(seq, lambda c: base.bitwiseXOR(c["x"])))
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id",
-                 n_probe: int = 1) -> DataFrame:
+                 n_probe: int = 1, max_flip_bits: int = 1) -> DataFrame:
     """Approximate top-k: candidates = corpus rows in the SAME hyperplane
     bucket as the query, exact cosine re-rank on candidates only. The
     corpus is bucketed in one projection; the join is an equi-join on
@@ -370,9 +415,11 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Recall knobs: fewer `n_planes` (bigger buckets) or `n_probe` > 1 —
     MULTI-PROBE expands each QUERY to the n_probe most likely buckets
-    (own + smallest-|margin| bit flips, probe_buckets) while the corpus
-    stays single-bucket, so the extra cost is n_probe-x on the small
-    broadcast side only; candidates remain deduped before re-rank."""
+    (own + smallest-|margin| perturbations, probe_buckets;
+    max_flip_bits>1 unlocks multi-bit perturbation sets for recall
+    past the hamming-1 ceiling) while the corpus stays single-bucket,
+    so the extra cost is n_probe-x on the small broadcast side only;
+    candidates remain deduped before re-rank."""
     planes = hyperplane_signs(n_planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),
@@ -381,8 +428,9 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if n_probe <= 1:
         qbucket = lsh_bucket(F.col(vec_col), planes).alias("bucket")
     else:
-        qbucket = F.explode(probe_buckets(F.col(vec_col), planes,
-                                          n_probe)).alias("bucket")
+        qbucket = F.explode(probe_buckets(
+            F.col(vec_col), planes, n_probe,
+            max_flip_bits=max_flip_bits)).alias("bucket")
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
                        norm(F.col(vec_col)).alias("__qn"),

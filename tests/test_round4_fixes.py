@@ -262,6 +262,69 @@ def test_multi_probe_improves_recall(spark):
     assert r8 >= 0.3
 
 
+def test_multibit_probe_buckets_match_python_mirror(spark):
+    """max_flip_bits>1 = the Lv et al. perturbation-set walk: subsets
+    of up to max_flip_bits of the smallest-|margin| rank positions,
+    probed in ascending sum-of-margins order (ties broken by XOR
+    mask). Verified bucket-for-bucket against a pure-Python
+    recomputation including the ordering."""
+    import itertools
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(40)
+    planes = sim.hyperplane_signs(6, 64)
+    n_probe, bits, ranks = 8, 2, min(len(planes), sim._PROBE_RANKS)
+    got = emb.select("vec_id",
+                     sim.probe_buckets(F.col("embedding"), planes,
+                                       n_probe, max_flip_bits=bits)
+                     .alias("pb"),
+                     F.col("embedding")).collect()
+    for r in got:
+        v = r["embedding"]
+        dots = [sum(float(x) * s for x, s in zip(v, plane))
+                for plane in planes]
+        base = sum(1 << i for i, d in enumerate(dots) if d > 0)
+        order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+        cands = []
+        for nb in range(1, bits + 1):
+            pool = range(len(planes)) if nb == 1 else range(ranks)
+            for subset in itertools.combinations(pool, nb):
+                score = sum(abs(dots[order[p]]) for p in subset)
+                mask = 0
+                for p in subset:
+                    mask ^= 1 << order[p]
+                cands.append((score, mask))
+        cands.sort()
+        want = [base] + [base ^ m for _, m in cands[:n_probe - 1]]
+        assert list(r["pb"]) == want, (r["vec_id"], list(r["pb"]), want)
+
+
+def test_multibit_probe_extends_recall_past_hamming1(spark):
+    """At a probe budget that exhausts every candidate pool
+    (n_probe=64 > 1 + 8 singletons + 15 pairs + 20 triples), the
+    probed bucket SETS nest across max_flip_bits by construction
+    (singletons always draw from all ranks), so recall is structurally
+    monotone — and must be strictly better than the saturated
+    single-bit walk (which caps at the hamming-1 neighborhood's
+    n_planes+1 = 9 buckets)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in sim.brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(n_probe, bits):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in sim.ann_topk_lsh(emb, q, k=5, n_planes=8,
+                                         n_probe=n_probe,
+                                         max_flip_bits=bits).collect()}
+        return len(got & truth) / len(truth)
+
+    deep = 64  # full enumeration at every bits level
+    r1, r2, r3 = recall(deep, 1), recall(deep, 2), recall(deep, 3)
+    assert r1 <= r2 <= r3
+    assert r2 > r1  # the walk past hamming-1 must add real neighbors
+
+
 # -- curate stage materialization ---------------------------------------------
 
 
