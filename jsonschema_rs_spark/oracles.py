@@ -707,6 +707,69 @@ SELECT query_id, neighbor_id, sim, rank FROM (
 WHERE rank <= 5
 """
 
+def _ann_lsh_mp_sql(n_planes: int = 8, dim: int = 64, bits: int = 2,
+                    n_probe: int = 8, k: int = 5) -> str:
+    """Multi-probe LSH oracle: re-derives the FULL perturbation-set
+    probe sequence (similarity.probe_buckets, Lv et al. VLDB'07) in
+    DuckDB SQL — per-plane margins, list_sort rank, compile-time subset
+    enumeration scored by summed |margin| with (score, mask) ordering,
+    base-XOR probes — then the bucket equi-join + exact cosine re-rank.
+    A green row certifies the probe SEQUENCE itself, not just the
+    re-rank."""
+    import itertools
+
+    from jsonschema_rs_spark.operators.similarity import (_PROBE_RANKS,
+                                                          hyperplane_signs)
+    planes = hyperplane_signs(n_planes, dim)
+    lits = ["[" + ", ".join(f"{float(s)}" for s in p) + "]::DOUBLE[]"
+            for p in planes]
+    dots = ", ".join(f"list_dot_product(v, {lit})" for lit in lits)
+    base = " + ".join(f"(CASE WHEN d[{i + 1}] > 0 THEN {1 << i} "
+                      "ELSE 0 END)" for i in range(n_planes))
+    rk = ", ".join("{'m': abs(d[%d]), 'i': %d}" % (i + 1, i)
+                   for i in range(n_planes))
+    m = min(n_planes, _PROBE_RANKS)
+    cands = []
+    for r in range(1, bits + 1):
+        # pool mirrors probe_buckets: singletons from ALL ranks,
+        # multi-bit subsets from the _PROBE_RANKS smallest margins
+        pool = range(1, (n_planes if r == 1 else m) + 1)
+        for sub in itertools.combinations(pool, r):
+            score = " + ".join(f"rk[{p}].m" for p in sub)
+            masks = [f"(1::BIGINT << rk[{p}].i)" for p in sub]
+            x = masks[0]
+            for mm in masks[1:]:
+                x = f"xor({x}, {mm})"
+            cands.append("{'s': %s, 'x': %s}" % (score, x))
+    return f"""
+WITH qd AS (SELECT vec_id AS query_id, v AS qv, [{dots}] AS d
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 8)),
+qr AS (SELECT query_id, qv, ({base})::BIGINT AS base,
+         list_sort([{rk}]) AS rk
+       FROM qd),
+qp AS (SELECT query_id, qv,
+         list_prepend(base, list_transform(
+           list_slice(list_sort([{", ".join(cands)}]), 1, {n_probe - 1}),
+           c -> xor(base, c.x))) AS probes
+       FROM qr),
+qb AS (SELECT query_id, qv, unnest(probes) AS b FROM qp),
+cd AS (SELECT vec_id AS neighbor_id, v AS cv, [{dots}] AS d
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+c AS (SELECT neighbor_id, cv, ({base})::BIGINT AS b FROM cd),
+s AS (SELECT DISTINCT query_id, neighbor_id,
+        round({_COS.format(a='cv', b='qv')}, 6) AS sim
+      FROM c JOIN qb USING (b))
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM s)
+WHERE rank <= {k}
+"""
+
+
+ANN_LSH_MP = _ann_lsh_mp_sql()
+
 NDCOS_PAIRS = f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.id AS id_a, b.id AS id_b,
@@ -882,6 +945,7 @@ ORACLES = {
     "pack_docs": PACK_DOCS,
     "sim_topk": SIM_TOPK,
     "ann_lsh": ANN_LSH,
+    "ann_lsh_mp": ANN_LSH_MP,
     "ann_ivf": ANN_IVF,
     "ndcos_pairs": NDCOS_PAIRS,
     "rollup_events": ROLLUP_EVENTS,

@@ -325,6 +325,27 @@ def test_multibit_probe_extends_recall_past_hamming1(spark):
     assert r2 > r1  # the walk past hamming-1 must add real neighbors
 
 
+def test_ann_lsh_mp_matches_duckdb_oracle(spark):
+    """The new multi-probe driver query vs its DuckDB oracle, value
+    for value at sf0.001 (the driver gate re-runs this at sf0.01):
+    the oracle re-derives the whole perturbation walk in SQL, so this
+    pins Spark/DuckDB agreement on margins, ranking, subset scores,
+    XOR masks, probe slicing, AND the re-rank."""
+    import duckdb
+
+    from jsonschema_rs_spark.oracles import ORACLES
+    from jsonschema_rs_spark.queries import ann_lsh_mp
+
+    sdf = ann_lsh_mp(spark, "/root/testdata/sf0.001")
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    orows = sorted(tuple(r) for r in con.sql(ORACLES["ann_lsh_mp"])
+                   .fetchall())
+    assert srows == orows and srows
+
+
 # -- curate stage materialization ---------------------------------------------
 
 
