@@ -165,8 +165,8 @@ def test_fuzz_schema(spark, schema_idx):
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
 
 
-# -- per-draft dialect fuzz (r4): the same random documents under the
-# legacy dialects, verdicts vs the matching python-jsonschema Draft
+# -- per-draft dialect fuzz (r4): the same random documents under
+# ALL FIVE dialects, verdicts vs the matching python-jsonschema Draft
 # validator. Exercises draft-4 lexical-integer (`_is_integer_strict`),
 # draft-4 boolean exclusive* folding, and per-draft keyword
 # applicability on arbitrary nested values. Schemas avoid keywords
@@ -187,7 +187,7 @@ DIALECT_SCHEMAS = [
     {"not": {"type": "integer"}},
 ]
 
-_DRAFTS = ["4", "6", "7"]
+_DRAFTS = ["4", "6", "7", "2019-09", "2020-12"]
 
 
 @pytest.mark.parametrize("draft", _DRAFTS)
@@ -203,7 +203,9 @@ def test_fuzz_dialect(spark, draft, schema_idx):
         pytest.skip("boolean exclusiveMinimum is draft-4 only")
     classes = {"4": jsonschema.Draft4Validator,
                "6": jsonschema.Draft6Validator,
-               "7": jsonschema.Draft7Validator}
+               "7": jsonschema.Draft7Validator,
+               "2019-09": jsonschema.Draft201909Validator,
+               "2020-12": jsonschema.Draft202012Validator}
     rng = random.Random(7000 + schema_idx)
     values = [gen_value(rng) for _ in range(200)]
     # salt with the lexical-integer corners the generator rarely emits
