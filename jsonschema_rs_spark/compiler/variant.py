@@ -243,6 +243,17 @@ class VariantCompileContext:
         # is already inside (i.e. the unroll actually recursed) — the
         # auto-tuner only measures plans where depth matters at all
         self.saw_ref_cycle = False
+        # >0 while compiling a subschema whose predicate executes INSIDE
+        # a higher-order-function lambda (items/contains/
+        # patternProperties/additionalProperties/propertyNames/
+        # unevaluated* and their coverage walks). Spark rejects Python
+        # UDFs under lambda functions
+        # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so
+        # pUDF-backed corner paths (the multipleOf Fraction fallback)
+        # must compile to their pure-Column form here. STICKY for the
+        # whole subtree: a multipleOf nested under items→properties
+        # still sits inside the items lambda
+        self.hof_depth = 0
         self.dialect = detect_dialect(root, options.dialect,
                                       options.resources)
         self._ref_depth: dict[str, int] = {}
@@ -261,6 +272,20 @@ class VariantCompileContext:
         # drives the contains match-index annotations
         # (reference contains.rs:60-105 evaluate())
         self.contains_sites: list[tuple[str, Node]] = []
+
+    def in_hof(self):
+        """Context manager marking the enclosed compiles as
+        lambda-embedded (see hof_depth)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            self.hof_depth += 1
+            try:
+                yield
+            finally:
+                self.hof_depth -= 1
+        return _cm()
 
     def regex(self, pattern: str) -> str:
         return ecma_to_java(pattern)
@@ -416,7 +441,8 @@ def _compile_variant_body(orig: Any, schema: dict,
     if "multipleOf" in schema:
         mraw = schema["multipleOf"]
 
-        def mult_pred(v: Column, mraw=mraw) -> Column:
+        def mult_pred(v: Column, mraw=mraw,
+                      in_hof=ctx.hof_depth > 0) -> Column:
             # EXACT path (reference BigFraction kernel,
             # ext/numeric.rs:62-86): exact rational divisibility of the
             # value's shortest-decimal form — a JSON number's decimal
@@ -469,6 +495,17 @@ def _compile_variant_body(orig: Any, schema: dict,
                     # float-lexical residue: binary fmod (exact on the
                     # double operands) = reference is_multiple_of_integer
                     fmod_ok = F.pmod(d, F.lit(float(mi))) == 0
+                elif in_hof:
+                    # inside a HOF lambda no Python UDF may appear
+                    # (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_
+                    # PYTHON_UDF), so the huge-divisor residue decides
+                    # by fmod on the ROUNDED divisor (double), or False
+                    # when the divisor exceeds double range — documented
+                    # corner deviation, nested-array huge divisors only
+                    try:
+                        fmod_ok = F.pmod(d, F.lit(float(mi))) == 0
+                    except OverflowError:
+                        fmod_ok = F.lit(False)
                 else:
                     # divisor itself doesn't round-trip through double:
                     # residual rows decide via the exact Arrow-batched
@@ -485,7 +522,12 @@ def _compile_variant_body(orig: Any, schema: dict,
                         fraction_multiple_of_udf(mi)(mask), F.lit(False))
                 ok = ok.otherwise(fmod_ok) if ok is not None else fmod_ok
             else:
-                ok = exact_multiple_of_double(d, mraw)
+                # fraction_fallback embeds a pandas UDF for >15-sig-digit
+                # JVM renderings; inside a HOF lambda that is illegal, so
+                # the pure-codegen kernel stands alone there (documented
+                # corner deviation for nested values like 5e-324)
+                ok = exact_multiple_of_double(
+                    d, mraw, fraction_fallback=not in_hof)
             return ~_is_number(v) | F.coalesce(ok, F.lit(False))
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
@@ -587,7 +629,9 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     if "patternProperties" in schema:
         for pat, sub in schema["patternProperties"].items():
             jpat = ctx.regex(pat)
-            node = compile_variant(sub, ctx, f"{sp}/patternProperties/{pat}")
+            with ctx.in_hof():
+                node = compile_variant(
+                    sub, ctx, f"{sp}/patternProperties/{pat}")
 
             def pp_pred(v: Column, node=node, jpat=jpat) -> Column:
                 m = _as_map(v)
@@ -624,7 +668,9 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                               "additional properties not allowed", ap_pred,
                               priority=12))
         elif isinstance(ap, dict) and ap != {}:
-            node = compile_variant(ap, ctx, sp + "/additionalProperties")
+            with ctx.in_hof():
+                node = compile_variant(ap, ctx,
+                                       sp + "/additionalProperties")
 
             def ap_schema_pred(v: Column, node=node) -> Column:
                 return ~_is_object(v) | F.forall(
@@ -638,8 +684,9 @@ def _object_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                               priority=12))
 
     if "propertyNames" in schema:
-        node = compile_variant(schema["propertyNames"], ctx,
-                               sp + "/propertyNames")
+        with ctx.in_hof():
+            node = compile_variant(schema["propertyNames"], ctx,
+                                   sp + "/propertyNames")
 
         def pn_pred(v: Column, node=node) -> Column:
             # lift each key (plain string) into a variant so the compiled
@@ -778,7 +825,8 @@ def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 lambda v, start=start: ~_is_array(v)
                 | (F.size(_as_array(v)) <= start), priority=13))
         else:
-            node = compile_variant(sub, ctx, sp + "/items")
+            with ctx.in_hof():
+                node = compile_variant(sub, ctx, sp + "/items")
             if node.rules:
                 def items_pred(v: Column, node=node, start=start) -> Column:
                     a = _as_array(v)
@@ -791,7 +839,9 @@ def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                                   items_pred, priority=13))
 
     if "contains" in schema:
-        node = compile_variant(schema["contains"], ctx, sp + "/contains")
+        with ctx.in_hof():
+            node = compile_variant(schema["contains"], ctx,
+                                   sp + "/contains")
         ctx.contains_sites.append((sp + "/contains", node))
         lo = int(schema.get("minContains", 1))
         hi = schema.get("maxContains")
@@ -993,9 +1043,10 @@ def _unevaluated_rules(schema: dict, ctx, sp: str) -> list[Rule]:
         up = schema["unevaluatedProperties"]
         sibling = dict(schema)
         sibling.pop("unevaluatedProperties")
-        cov = _key_coverage(sibling, ctx)
-        node = None if up is False else compile_variant(
-            up, ctx, sp + "/unevaluatedProperties")
+        with ctx.in_hof():
+            cov = _key_coverage(sibling, ctx)
+            node = None if up is False else compile_variant(
+                up, ctx, sp + "/unevaluatedProperties")
 
         def up_pred(v: Column, cov=cov, node=node) -> Column:
             def entry_ok(e):
@@ -1014,9 +1065,10 @@ def _unevaluated_rules(schema: dict, ctx, sp: str) -> list[Rule]:
         ui = schema["unevaluatedItems"]
         sibling = dict(schema)
         sibling.pop("unevaluatedItems")
-        icov = _index_coverage(sibling, ctx)
-        node = None if ui is False else compile_variant(
-            ui, ctx, sp + "/unevaluatedItems")
+        with ctx.in_hof():
+            icov = _index_coverage(sibling, ctx)
+            node = None if ui is False else compile_variant(
+                ui, ctx, sp + "/unevaluatedItems")
 
         def ui_pred(v: Column, icov=icov, node=node) -> Column:
             def el_ok(el, i):

@@ -233,17 +233,33 @@ def _idn_hostname_udf():
 
 
 def format_rule(name: str, ctx, sp: str) -> Rule | None:
+    # Spark forbids Python UDFs inside higher-order-function lambdas
+    # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so the
+    # pUDF-backed formats downgrade when this format sits under an
+    # array/map applicator on the variant path (ctx.hof_depth — see
+    # VariantCompileContext): custom formats raise a clear SchemaError
+    # instead of an opaque AnalysisException; regex (no Column
+    # equivalent exists for "compiles as a regex") and idn-hostname
+    # fall back to their approximate Column checks.
+    in_hof = getattr(ctx, "hof_depth", 0) > 0
     if name in ctx.options.custom_formats:
+        if in_hof:
+            from jsonschema_rs_spark.errors import SchemaError
+            raise SchemaError(
+                f"custom format {name!r} (a Python callable) cannot be "
+                "evaluated inside array/object applicators on the "
+                "dynamic-JSON path — Spark does not allow Python UDFs "
+                "in higher-order-function lambdas", sp + "/format")
         fn = ctx.options.custom_formats[name]
         # custom format: a Python str->bool callable batched through Arrow
         _custom = _str_pred_pandas_udf(fn)
         return Rule("format", sp + "/format", f"invalid {name!r} format",
                     lambda c: _custom(c), priority=10)
-    if name == "regex":
+    if name == "regex" and not in_hof:
         udf = _regex_format_udf()
         return Rule("format", sp + "/format", "invalid regex",
                     lambda c: udf(c), priority=10)
-    if name == "idn-hostname":
+    if name == "idn-hostname" and not in_hof:
         try:
             import idna  # noqa: F401 — compile-time availability probe
             udf = _idn_hostname_udf()
@@ -347,8 +363,20 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     rules: list[Rule] = []
     enc = schema.get("contentEncoding")
     mt = schema.get("contentMediaType")
+    # see format_rule: no Python UDF may sit inside a HOF lambda, so
+    # custom (Python-callable) content checks raise a clear SchemaError
+    # under array/map applicators, and the base32 JSON-decode check
+    # (no JVM base32 decoder exists) downgrades to annotation-only
+    # there — its contentEncoding shape rule still asserts
+    in_hof = getattr(ctx, "hof_depth", 0) > 0
 
     if enc in ctx.options.custom_content_encodings:
+        if in_hof:
+            from jsonschema_rs_spark.errors import SchemaError
+            raise SchemaError(
+                f"custom contentEncoding {enc!r} (a Python callable) "
+                "cannot be evaluated inside array/object applicators on "
+                "the dynamic-JSON path", sp + "/contentEncoding")
         udf = _custom_str_pred_udf(ctx.options.custom_content_encodings[enc])
         rules.append(Rule(
             "contentEncoding", sp + "/contentEncoding",
@@ -363,6 +391,12 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     if mt is None:
         return rules
     if mt in ctx.options.custom_content_media_types:
+        if in_hof:
+            from jsonschema_rs_spark.errors import SchemaError
+            raise SchemaError(
+                f"custom contentMediaType {mt!r} (a Python callable) "
+                "cannot be evaluated inside array/object applicators on "
+                "the dynamic-JSON path", sp + "/contentMediaType")
         # custom media-type check runs on the DECODED text when the
         # encoding has a JVM decoder, else on the raw string
         fn = ctx.options.custom_content_media_types[mt]
@@ -381,11 +415,13 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 lambda c, udf=udf: udf(c), priority=16))
     elif mt == "application/json":
         if enc in ("base32", "base32hex"):
-            udf = _b32_decode_json_udf(enc == "base32hex")
-            rules.append(Rule(
-                "contentMediaType", sp + "/contentMediaType",
-                "decoded content is not JSON",
-                lambda c, udf=udf: udf(c), priority=16))
+            if not in_hof:
+                udf = _b32_decode_json_udf(enc == "base32hex")
+                rules.append(Rule(
+                    "contentMediaType", sp + "/contentMediaType",
+                    "decoded content is not JSON",
+                    lambda c, udf=udf: udf(c), priority=16))
+            # in_hof: annotation-only downgrade (documented above)
         else:
             dec = _CONTENT_DECODERS.get(enc, _CONTENT_DECODERS[None])
             rules.append(Rule(

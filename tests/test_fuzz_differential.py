@@ -222,3 +222,131 @@ def test_fuzz_dialect(spark, draft, schema_idx):
     mismatches = [(docs[i], got[i], want[i])
                   for i in range(len(values)) if got[i] != want[i]]
     assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
+
+
+# -- random-SCHEMA differential (r4 continuation): the document fuzz
+# above randomizes INSTANCES over a fixed schema corpus; this grid also
+# randomizes the SCHEMAS from a keyword grammar (seeded, so failures
+# reproduce), verdicts vs the exactness-patched python-jsonschema
+# oracle. Grammar sticks to 2020-12 keywords whose oracle semantics are
+# unambiguous; multipleOf draws binary-exact divisors plus 2.5/0.5
+# (the patched oracle decides those exactly too).
+
+_GS_NAMES = ["a", "b", "c", "num1", "x-y", "Z", ""]
+_GS_PATTERNS = ["^[a-z]+$", "^a", "[0-9]$", "^[a-zA-Z_ -]*$"]
+_GS_TYPES = ["null", "boolean", "string", "number", "integer",
+             "object", "array"]
+
+
+def gen_schema(rng: random.Random, depth: int = 0) -> dict:
+    """One random schema: 1-3 keyword groups merged into a dict.
+    Applicator groups recurse (bounded depth); leaves are scalar
+    assertions. Conflicting merges (e.g. const+enum) are legal
+    schemas — just restrictive — so no de-conflict pass is needed."""
+    leaf_groups = ["type", "types", "bounds", "length", "enum", "const",
+                   "multiple", "pattern", "nprops", "nitems"]
+    deep_groups = ["props", "addprops", "items", "prefix", "contains",
+                   "allof", "anyof", "oneof", "not", "ite", "depreq",
+                   "depschemas", "propnames", "unique"]
+    pool = leaf_groups if depth >= 2 else leaf_groups + deep_groups * 2
+    out: dict = {}
+    sub = lambda: gen_schema(rng, depth + 1)  # noqa: E731
+    for _ in range(rng.randint(1, 3 if depth == 0 else 2)):
+        g = rng.choice(pool)
+        if g == "type":
+            out["type"] = rng.choice(_GS_TYPES)
+        elif g == "types":
+            out["type"] = rng.sample(_GS_TYPES, rng.randint(2, 3))
+        elif g == "bounds":
+            lo = rng.choice([-10, 0, 1, 5, 2 ** 53])
+            key = rng.choice(["minimum", "exclusiveMinimum"])
+            out[key] = lo
+            if rng.random() < 0.5:
+                out[rng.choice(["maximum", "exclusiveMaximum"])] = \
+                    lo + rng.choice([0, 10, 100])
+        elif g == "length":
+            out["minLength"] = rng.randint(0, 3)
+            if rng.random() < 0.5:
+                out["maxLength"] = out["minLength"] + rng.randint(0, 6)
+        elif g == "enum":
+            out["enum"] = [gen_value(rng, 2) for _ in range(
+                rng.randint(1, 4))]
+        elif g == "const":
+            out["const"] = gen_value(rng, 2)
+        elif g == "multiple":
+            out["multipleOf"] = rng.choice([2, 3, 5, 2.5, 0.5])
+        elif g == "pattern":
+            out["pattern"] = rng.choice(_GS_PATTERNS)
+        elif g == "nprops":
+            out["minProperties"] = rng.randint(0, 2)
+            if rng.random() < 0.5:
+                out["maxProperties"] = out["minProperties"] + \
+                    rng.randint(0, 3)
+        elif g == "nitems":
+            out["minItems"] = rng.randint(0, 2)
+            if rng.random() < 0.5:
+                out["maxItems"] = out["minItems"] + rng.randint(0, 3)
+        elif g == "props":
+            names = rng.sample(_GS_NAMES, rng.randint(1, 3))
+            out["properties"] = {n: sub() for n in names}
+            if rng.random() < 0.5:
+                out["required"] = rng.sample(names,
+                                             rng.randint(1, len(names)))
+        elif g == "addprops":
+            out["additionalProperties"] = \
+                rng.choice([False, True, sub()])
+        elif g == "items":
+            out["items"] = sub()
+        elif g == "prefix":
+            out["prefixItems"] = [sub() for _ in range(rng.randint(1, 2))]
+        elif g == "contains":
+            out["contains"] = sub()
+            if rng.random() < 0.5:
+                out["minContains"] = rng.randint(0, 2)
+            if rng.random() < 0.3:
+                out["maxContains"] = rng.randint(1, 3)
+        elif g in ("allof", "anyof", "oneof"):
+            kw = {"allof": "allOf", "anyof": "anyOf",
+                  "oneof": "oneOf"}[g]
+            out[kw] = [sub() for _ in range(rng.randint(1, 3))]
+        elif g == "not":
+            out["not"] = sub()
+        elif g == "ite":
+            out["if"] = sub()
+            if rng.random() < 0.8:
+                out["then"] = sub()
+            if rng.random() < 0.8:
+                out["else"] = sub()
+        elif g == "depreq":
+            out["dependentRequired"] = {
+                rng.choice(_GS_NAMES): rng.sample(_GS_NAMES, 2)}
+        elif g == "depschemas":
+            out["dependentSchemas"] = {rng.choice(_GS_NAMES): sub()}
+        elif g == "propnames":
+            out["propertyNames"] = rng.choice(
+                [{"minLength": 1}, {"maxLength": 4},
+                 {"pattern": rng.choice(_GS_PATTERNS)}])
+        elif g == "unique":
+            out["uniqueItems"] = True
+    return out
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_random_schema(spark, seed):
+    rng = random.Random(9000 + seed)
+    schema = gen_schema(rng)
+    values = [gen_value(rng) for _ in range(150)]
+    values += [1, 1.0, True, [1, 1.0], [1, True], {"a": 1}, [], {}, "",
+               2 ** 53 + 1]
+    docs = [json.dumps(v) for v in values]
+    oracle = oracle_validator(schema)
+    want = [oracle.is_valid(v) for v in values]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    plan = compile_json_schema(schema)
+    got = [r["valid"] for r in
+           plan.with_validation(df, "j", mode="flag").collect()]
+    mismatches = [(docs[i], got[i], want[i])
+                  for i in range(len(values)) if got[i] != want[i]]
+    assert not mismatches, \
+        f"schema={json.dumps(schema)} {len(mismatches)} " \
+        f"mismatches: {mismatches[:5]}"
