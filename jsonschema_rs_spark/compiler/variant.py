@@ -172,9 +172,16 @@ def _canonical(v: Column) -> Column:
     collides with the string "true" nor an array with its JSON text
     (draft 2020-12 typed equality, reference ext/cmp.rs). Composite
     equality is serialization-based — exact for identical documents,
-    which is the uniqueItems case that matters."""
-    num = F.coalesce(_as_decimal(v).cast("string"),
-                     _as_double(v).cast("string"))
+    which is the uniqueItems case that matters. The decimal view is
+    used only when it ROUND-TRIPS to the value's double (decimal(38,15)
+    rounds sub-1e-15 magnitudes to zero — without the guard, 5e-324
+    canonicalized identically to 0; found by the random-schema fuzz);
+    int-lexical values beyond 2^53 still take the decimal string (their
+    exact decimal casts back to the same rounded double), preserving
+    2^53 != 2^53+1."""
+    dec, dd = _as_decimal(v), _as_double(v)
+    num = F.when(dec.isNotNull() & (dec.cast("double") == dd),
+                 dec.cast("string")).otherwise(dd.cast("string"))
     return F.when(_is_number(v), F.concat(F.lit("n:"), num)) \
         .otherwise(F.concat(F.substring(_vtype(v), 1, 3), F.lit(":"),
                             F.coalesce(_as_string(v), F.lit("\x00"))))
@@ -194,14 +201,22 @@ def _const_pred(value: Any, v: Column) -> Column:
             # decimal-first: exact for every int64 INSTANCE too (a 2^53+1
             # instance must not collapse onto a 2^53 literal via the
             # double path — reference ext/numeric.rs:12-60 exact
-            # cross-type compare); double fallback only for instances
-            # outside decimal(38,15) range, where equality with an int
-            # literal is decided correctly by magnitude anyway
+            # cross-type compare); double fallback for instances outside
+            # decimal(38,15) range (equality with an int literal is then
+            # decided correctly by magnitude) AND for values whose
+            # decimal view does not round-trip to their double —
+            # decimal(38,15) rounds sub-1e-15 magnitudes to 0, which
+            # made `const 0` match 5e-324 (random-schema fuzz find).
+            # Int-lexical instances beyond 2^53 still round-trip (their
+            # exact decimal casts back to the same rounded double), so
+            # the exact compare is preserved where it matters
             from decimal import Decimal
             d = _as_decimal(v)
+            dd = _as_double(v)
             return _is_number(v) & F.when(
-                d.isNotNull(), d == F.lit(Decimal(value))) \
-                .otherwise(_as_double(v) == F.lit(float(value)))
+                d.isNotNull() & (d.cast("double") == dd),
+                d == F.lit(Decimal(value))) \
+                .otherwise(dd == F.lit(float(value)))
         return _is_number(v) & (_as_double(v) == F.lit(float(value)))
     if isinstance(value, str):
         return _is_string(v) & (_as_string(v) == F.lit(value))
@@ -482,9 +497,14 @@ def _compile_variant_body(orig: Any, schema: dict,
                 int_lex = _vtype(v).rlike("^DECIMAL\\(\\d+,\\s*0\\)$")
                 ok = None
                 if mi < 2 ** 63:
+                    # integral-and-fits-int64 gate: the long must cast
+                    # back to the value's own double. NOT a decimal
+                    # compare — decimal(38,15) rounds sub-1e-15 doubles
+                    # to 0, which routed 5e-324 through pmod(0, m)==0
+                    # and called it a multiple (random-schema fuzz find)
                     vl = F.try_variant_get(v, "$", "long")
                     ok = F.when(
-                        vl.isNotNull() & (dec == vl.cast("decimal(38,15)")),
+                        vl.isNotNull() & (vl.cast("double") == d),
                         F.pmod(vl, F.lit(mi)) == 0)
                 if mi < 10 ** 38:  # literal fits decimal(38,0)
                     dec_ok = F.pmod(dec, F.lit(Decimal(mi))) == F.lit(0)

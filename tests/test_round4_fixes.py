@@ -543,3 +543,36 @@ def test_candidate_accumulator_counts_verified_pairs(spark):
         assert n > 0
         # candidates >= surviving pairs
         assert n >= out.count()
+
+
+# -- sub-1e-15 doubles must not collapse through the decimal view --------------
+# (random-schema fuzz finds: decimal(38,15) rounds 5e-324 to 0, which
+# leaked through three consumers — uniqueItems canonicalization, the
+# multipleOf integral gate, and integer const/enum equality)
+
+
+def test_subnormal_not_equal_zero_in_unique_const_multiple(spark):
+    import json
+
+    import jsonschema
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+    cases = [
+        ({"uniqueItems": True}, [[0, 5e-324], [0, 0.0], [5e-324, 1e-323]]),
+        ({"multipleOf": 3}, [5e-324, 0, 3, 1e-323]),
+        ({"multipleOf": 2}, [5e-324, 1e-323, 4]),
+        ({"const": 0}, [5e-324, 0, 0.0, -0.0]),
+        ({"enum": [0, 1]}, [5e-324, 0.0, 1.0, 1e-20]),
+        # the exact >2^53 compare the decimal view exists for must survive
+        ({"const": 2 ** 53 + 1}, [2 ** 53, 2 ** 53 + 1]),
+    ]
+    for schema, vals in cases:
+        oracle = jsonschema.Draft202012Validator(schema)
+        want = [oracle.is_valid(v) for v in vals]
+        df = spark.createDataFrame(
+            [(json.dumps(v),) for v in vals], "j string")
+        plan = compile_json_schema(schema)
+        got = [r["valid"] for r in
+               plan.with_validation(df, "j", mode="flag").collect()]
+        assert got == want, (schema, list(zip(vals, got, want)))
