@@ -145,7 +145,8 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
                              lambda c: F.lit(False), priority=1)]
             # pmod-1, not floor: floor(double) is LONG and overflows to
             # NULL at |x| >= 2^63 (1e100 IS a zero-fraction integer)
-            pred = (lambda c: F.pmod(c.cast("double"), F.lit(1.0)) == 0)
+            # % not pmod: pmod's +divisor step rounds tiny negatives to 0
+            pred = (lambda c: (c.cast("double") % F.lit(1.0)) == 0)
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []
     if static & allowed:
@@ -154,7 +155,8 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
             if d4:
                 return [Rule("type", sp + "/type", msg,
                              lambda c: F.lit(False), priority=1)]
-            pred = (lambda c: F.pmod(c.cast("double"), F.lit(1.0)) == 0)
+            # % not pmod: pmod's +divisor step rounds tiny negatives to 0
+            pred = (lambda c: (c.cast("double") % F.lit(1.0)) == 0)
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
         return []  # e.g. integral dtype, allowed contains integer or number
     # statically impossible: every non-null value fails
@@ -272,7 +274,7 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         mf = float(m)
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mf=mf:
-                          F.pmod(c.cast("double"), F.lit(mf)) == 0)]
+                          (c.cast("double") % F.lit(mf)) == 0)]
     if isinstance(dt, T.DecimalType):
         # decimal-typed columns: native decimal pmod is already exact
         # rational arithmetic at the column's scale

@@ -146,11 +146,15 @@ def _is_integer_strict(v: Column) -> Column:
 
 def _is_integer(v: Column) -> Column:
     # draft 2020-12: integer == number with zero fraction
-    # (types.rs:186-204). pmod-1, NOT floor: Spark's floor(double)
-    # returns LONG and overflows to NULL at |x| >= 2^63, which would
-    # wrongly reject huge zero-fraction floats like 1e100.
+    # (types.rs:186-204). Remainder-1, NOT floor (Spark's floor(double)
+    # returns LONG and overflows to NULL at |x| >= 2^63, wrongly
+    # rejecting huge zero-fraction floats like 1e100) and NOT pmod
+    # (pmod's ((a%b)+b)%b addition step ROUNDS tiny negatives away:
+    # pmod(-5e-324, 1.0) = 0, classifying a negative subnormal as an
+    # integer — random-schema fuzz find; plain % keeps the dividend's
+    # magnitude exactly, like the reference's f64 fract check).
     d = _as_double(v)
-    return _is_number(v) & (F.pmod(d, F.lit(1.0)) == 0)
+    return _is_number(v) & ((d % F.lit(1.0)) == 0)
 
 
 _TYPE_PREDS = {
@@ -490,10 +494,14 @@ def _compile_variant_body(orig: Any, schema: dict,
             if mi is not None:
                 from decimal import Decimal
 
-                dec = _as_decimal(v)
                 # integer-lexical class beyond int64 (scale-0 DECIMAL;
                 # same type probe as _is_integer_strict) — the values
-                # serde would hold as u64/BigInt
+                # serde would hold as u64/BigInt. decimal(38,0), NOT the
+                # (38,15) view: 15 fraction digits leave only 23 integer
+                # digits, so 10^25 came back NULL and fell to lossy
+                # double fmod (random-schema fuzz find); scale 0 covers
+                # the full 38-digit BigInt range the variant preserves
+                dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
                 int_lex = _vtype(v).rlike("^DECIMAL\\(\\d+,\\s*0\\)$")
                 ok = None
                 if mi < 2 ** 63:
@@ -507,14 +515,14 @@ def _compile_variant_body(orig: Any, schema: dict,
                         vl.isNotNull() & (vl.cast("double") == d),
                         F.pmod(vl, F.lit(mi)) == 0)
                 if mi < 10 ** 38:  # literal fits decimal(38,0)
-                    dec_ok = F.pmod(dec, F.lit(Decimal(mi))) == F.lit(0)
-                    cond = int_lex & dec.isNotNull()
+                    dec_ok = F.pmod(dec0, F.lit(Decimal(mi))) == F.lit(0)
+                    cond = int_lex & dec0.isNotNull()
                     ok = ok.when(cond, dec_ok) if ok is not None \
                         else F.when(cond, dec_ok)
                 if mi < 2 ** 53:
                     # float-lexical residue: binary fmod (exact on the
                     # double operands) = reference is_multiple_of_integer
-                    fmod_ok = F.pmod(d, F.lit(float(mi))) == 0
+                    fmod_ok = (d % F.lit(float(mi))) == 0
                 elif in_hof:
                     # inside a HOF lambda no Python UDF may appear
                     # (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_
@@ -523,7 +531,7 @@ def _compile_variant_body(orig: Any, schema: dict,
                     # when the divisor exceeds double range — documented
                     # corner deviation, nested-array huge divisors only
                     try:
-                        fmod_ok = F.pmod(d, F.lit(float(mi))) == 0
+                        fmod_ok = (d % F.lit(float(mi))) == 0
                     except OverflowError:
                         fmod_ok = F.lit(False)
                 else:
@@ -536,7 +544,7 @@ def _compile_variant_body(orig: Any, schema: dict,
                     )
 
                     mask = d if ok is None else \
-                        F.when(~int_lex | dec.isNull(), d).otherwise(
+                        F.when(~int_lex | dec0.isNull(), d).otherwise(
                             F.lit(None).cast("double"))
                     fmod_ok = F.coalesce(
                         fraction_multiple_of_udf(mi)(mask), F.lit(False))

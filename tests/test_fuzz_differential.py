@@ -337,7 +337,11 @@ def test_fuzz_random_schema(spark, seed):
     schema = gen_schema(rng)
     values = [gen_value(rng) for _ in range(150)]
     values += [1, 1.0, True, [1, 1.0], [1, True], {"a": 1}, [], {}, "",
-               2 ** 53 + 1]
+               2 ** 53 + 1,
+               # corners that found real bugs in the extended sweeps:
+               # subnormals through the decimal view / pmod, BigInt
+               # beyond the (38,15) range
+               5e-324, -5e-324, [5e-324, 0], 10 ** 25, -1.0, 1e-16]
     docs = [json.dumps(v) for v in values]
     oracle = oracle_validator(schema)
     want = [oracle.is_valid(v) for v in values]

@@ -164,8 +164,15 @@ def test_variant_multiple_of_u64_exact(spark):
                      "18446744073709551620",
                      "1e30",                      # f64 binary: NOT a multiple
                      "2e19",                      # f64 binary: IS a multiple
-                     "7", "0"])
-    assert got == [True, False, True, False, True, False, True]
+                     "7", "0",
+                     # BigInt class past the old (38,15) view's 23
+                     # integer digits (random-schema fuzz find: 10^25
+                     # fell to lossy double fmod); decimal(38,0) now
+                     # decides the full 38-digit range exactly
+                     str(10 ** 25), str(10 ** 25 + 1),
+                     str(10 ** 37), str(10 ** 37 + 3)])
+    assert got == [True, False, True, False, True, False, True,
+                   True, False, True, False]
 
 
 def test_variant_multiple_of_huge_divisors(spark):
@@ -576,3 +583,46 @@ def test_subnormal_not_equal_zero_in_unique_const_multiple(spark):
         got = [r["valid"] for r in
                plan.with_validation(df, "j", mode="flag").collect()]
         assert got == want, (schema, list(zip(vals, got, want)))
+
+
+def test_negative_subnormal_pmod_semantics(spark):
+    """pmod's ((a%b)+b)%b addition step rounds tiny negatives away:
+    pmod(-5e-324, 1.0) = 0 classified a negative subnormal as an
+    integer, and pmod(-5e-324, 2.0) = 0 called it a multiple of 2
+    (random-schema fuzz find). The engine now uses the plain remainder
+    (dividend-sign fmod), matching the reference's f64 arithmetic."""
+    import json
+
+    from test_fuzz_differential import oracle_validator
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+
+    for schema in ({"type": "integer"}, {"multipleOf": 2},
+                   {"multipleOf": 3}, {"multipleOf": 2.5}):
+        vals = [-5e-324, 5e-324, -6, -6.0, -7.5, 0, -0.0, 6]
+        # the EXACTNESS-PATCHED oracle: the plain library's
+        # division-based multipleOf underflows on subnormals
+        # (5e-324 / 2.5 rounds to 0.0 → "a multiple"), while the
+        # reference's fraction kernel and this engine decide exactly
+        oracle = oracle_validator(schema)
+        want = [oracle.is_valid(v) for v in vals]
+        df = spark.createDataFrame(
+            [(json.dumps(v),) for v in vals], "j string")
+        plan = compile_json_schema(schema)
+        got = [r["valid"] for r in
+               plan.with_validation(df, "j", mode="flag").collect()]
+        assert got == want, (schema, list(zip(vals, got, want)))
+
+
+def test_negative_subnormal_typed_path(spark):
+    """Same pmod hazard on the TYPED compiler's integer/multipleOf
+    predicates over a double column."""
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    df = spark.createDataFrame(
+        [(-5e-324,), (5e-324,), (-6.0,), (6.0,), (0.0,)], "x double")
+    spec = {"type": "object",
+            "properties": {"x": {"type": "integer", "multipleOf": 2}}}
+    plan = compile_schema(spec, df.schema)
+    got = [r["valid"] for r in plan.with_validation(df).collect()]
+    assert got == [False, False, True, True, True]
