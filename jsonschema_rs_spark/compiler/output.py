@@ -382,8 +382,9 @@ class OutputPlan:
             keys = F.map_keys(m)
             ep_kw = f"{ep}/propertyNames"
             sl_kw = sl + "/propertyNames"
-            pn_node = None if isinstance(pn, bool) \
-                else compile_variant(pn, self.ctx, ep_kw)
+            with self.ctx.in_hof():  # applied per key inside transform
+                pn_node = None if isinstance(pn, bool) \
+                    else compile_variant(pn, self.ctx, ep_kw)
 
             def _lift(k):
                 # plain string key -> variant (established pn_pred idiom)
@@ -573,9 +574,10 @@ class OutputPlan:
                     claimed = claimed | k.rlike(jp)
                 return ~claimed
 
-            sub_node = None if isinstance(ap, bool) \
-                else compile_variant(ap, self.ctx,
-                                     f"{ep}/additionalProperties")
+            with self.ctx.in_hof():  # applied per entry in transform
+                sub_node = None if isinstance(ap, bool) \
+                    else compile_variant(ap, self.ctx,
+                                         f"{ep}/additionalProperties")
 
             def _entry_ok(e):
                 if ap is False:
@@ -650,13 +652,16 @@ class OutputPlan:
             up = eff["unevaluatedProperties"]
             sibling = dict(eff)
             sibling.pop("unevaluatedProperties")
-            cov = _key_coverage(sibling, self.ctx)
+            with self.ctx.in_hof():  # coverage walk + per-name
+                # subtrees run inside map-entry transform lambdas
+                cov = _key_coverage(sibling, self.ctx)
+                up_node = None if isinstance(up, bool) \
+                    else compile_variant(
+                        up, self.ctx, f"{ep}/unevaluatedProperties")
             m = _as_map(v)
             entries = F.map_entries(m)
             ep_kw = f"{ep}/unevaluatedProperties"
             sl_kw = sl + "/unevaluatedProperties"
-            up_node = None if isinstance(up, bool) \
-                else compile_variant(up, self.ctx, ep_kw)
 
             def _is_uncov(k):
                 return ~F.coalesce(cov(v, k), F.lit(False))
@@ -736,7 +741,12 @@ class OutputPlan:
             pa_valid = F.lit(True)
             for i, sub in enumerate(subs):
                 has = _is_array(v) & (F.size(arr) > i)
-                ev = F.element_at(arr, i + 1)
+                # try_element_at, NOT element_at: ANSI mode throws
+                # INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a shorter array
+                # even though `has` gates the unit — subexpressions of
+                # the unit template evaluate outside the CASE's lazy
+                # branches (output-vs-flag consistency fuzz find)
+                ev = F.try_element_at(arr, F.lit(i + 1))
                 h, fl, sv = self._schema_unit(
                     sub, f"{ep}/{kw}/{i}", ev,
                     F.concat(ip, F.lit(f"/{i}")))
@@ -768,6 +778,9 @@ class OutputPlan:
             sub = eff["items"]
             if sub is not True:
                 arr = _as_array(v)
+                with self.ctx.in_hof():  # applied per element in transform
+                    items_node = compile_variant(sub, self.ctx,
+                                                 f"{ep}/items")
 
                 def elem_builder(sub=sub, ep=ep):
                     def build(x: Column, i: Column):
@@ -787,11 +800,12 @@ class OutputPlan:
                             self._empty())
                     return build
 
-                def elem_valid(sub=sub, ep=ep):
+                def elem_valid(node=items_node):
                     def build(x: Column, i: Column):
-                        return F.when(
-                            i < n_prefix, F.lit(True)).otherwise(
-                            self._valid_of(sub, f"{ep}/items", x))
+                        ok = F.coalesce(node.valid(x), F.lit(False)) \
+                            if node.rules else F.lit(True)
+                        return F.when(i < n_prefix, F.lit(True)) \
+                            .otherwise(ok)
                     return build
 
                 ivalid = ~_is_array(v) | F.forall(
@@ -828,8 +842,9 @@ class OutputPlan:
                      ("contains", "minContains", "maxContains")
                      if k in eff}
             cv = self._valid_of(micro, f"{ep}/contains", v)
-            sub_node = compile_variant(eff["contains"], self.ctx,
-                                       f"{ep}/contains")
+            with self.ctx.in_hof():  # match walk runs inside transform
+                sub_node = compile_variant(eff["contains"], self.ctx,
+                                           f"{ep}/contains")
 
             def midx(x: Column, i: Column):
                 ok = F.coalesce(sub_node.valid(x), F.lit(False)) \
@@ -857,12 +872,15 @@ class OutputPlan:
             ui = eff["unevaluatedItems"]
             sibling = dict(eff)
             sibling.pop("unevaluatedItems")
-            icov = _index_coverage(sibling, self.ctx)
+            with self.ctx.in_hof():  # coverage walk + per-index
+                # subtrees run inside transform lambdas
+                icov = _index_coverage(sibling, self.ctx)
+                ui_node = None if isinstance(ui, bool) \
+                    else compile_variant(ui, self.ctx,
+                                         f"{ep}/unevaluatedItems")
             arr = _as_array(v)
             ep_kw = f"{ep}/unevaluatedItems"
             sl_kw = sl + "/unevaluatedItems"
-            ui_node = None if isinstance(ui, bool) \
-                else compile_variant(ui, self.ctx, ep_kw)
 
             def _idx_uncov(x, i):
                 return ~F.coalesce(icov(v, i, x), F.lit(False))
@@ -977,9 +995,18 @@ class OutputPlan:
 
     def _schema_unit_dyn(self, schema: Any, ep: str, v: Column,
                          ip: Column):
-        """Variant of _schema_unit usable inside a HOF lambda (array
-        elements): identical, provided here for call-site clarity."""
-        return self._schema_unit(schema, ep, v, ip)
+        """Variant of _schema_unit for subtrees built INSIDE a HOF
+        lambda (array elements, per-name property subtrees): Spark
+        forbids Python UDFs under lambda functions, so every keyword
+        compile in the subtree must take its pure-Column form
+        (VariantCompileContext.hof_depth — the same discipline as the
+        boolean compiler's lambda-embedded sites; output-vs-flag
+        consistency fuzz find: items+multipleOf 2.5 crashed here)."""
+        self.ctx.hof_depth += 1
+        try:
+            return self._schema_unit(schema, ep, v, ip)
+        finally:
+            self.ctx.hof_depth -= 1
 
 
 def evaluate_output(schema: Any, options: ValidationOptions | None = None

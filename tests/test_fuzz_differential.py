@@ -354,3 +354,66 @@ def test_fuzz_random_schema(spark, seed):
     assert not mismatches, \
         f"schema={json.dumps(schema)} {len(mismatches)} " \
         f"mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_output_vs_flag_consistency(spark, seed):
+    """Self-consistency of the Output v1 compiler against the boolean
+    compiler on random schemas: the list format's top-level `valid`
+    must equal with_validation's verdict for every document. This fuzz
+    found two real crashes in its first run: a bare element_at on
+    prefixItems over a shorter array (ANSI INVALID_ARRAY_INDEX) and
+    pUDF-backed keywords compiled into the output tree's HOF lambdas
+    (items + multipleOf 2.5)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17000 + seed)
+    schema = gen_schema(rng)
+    values = [gen_value(rng) for _ in range(40)] + [1, 1.0, {}, [], "",
+                                                    None]
+    docs = [json.dumps(v) for v in values]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    plan = compile_json_schema(schema)
+    flag = plan.with_validation(df, "j", mode="flag").select("j", "valid")
+    out = plan.with_output(df, "j", format="list").select(
+        "j", F.get_json_object("output", "$.valid").alias("ov"))
+    rows = flag.join(out, "j").collect()
+    mm = [(r["j"], r["valid"], r["ov"]) for r in rows
+          if str(bool(r["valid"])).lower() != r["ov"]]
+    assert not mm, f"schema={json.dumps(schema)} {mm[:5]}"
+
+
+def test_output_empty_array_prefix_items(spark):
+    """Regression: Output v1 on prefixItems with a SHORTER/empty array
+    crashed at runtime under ANSI mode (bare element_at)."""
+    from pyspark.sql import functions as F
+
+    schema = {"prefixItems": [{"type": "integer"}, {"type": "string"}]}
+    plan = compile_json_schema(schema)
+    df = spark.createDataFrame(
+        [("[]",), ("[1]",), ('[1, "a"]',), ('["x"]',), ("5",)],
+        "j string")
+    out = plan.with_output(df, "j", format="list").select(
+        F.get_json_object("output", "$.valid").alias("ov")).collect()
+    assert [r["ov"] for r in out] == ["true", "true", "true", "false",
+                                      "true"]
+
+
+def test_output_pudf_keyword_inside_array(spark):
+    """Regression: items+multipleOf 2.5 (and contains/unevaluated*)
+    compiled a pandas UDF into the output tree's transform lambdas."""
+    from pyspark.sql import functions as F
+
+    for schema in ({"items": {"multipleOf": 2.5}},
+                   {"contains": {"multipleOf": 2.5}},
+                   {"properties": {"a": True},
+                    "unevaluatedProperties": {"multipleOf": 2.5}}):
+        plan = compile_json_schema(schema)
+        df = spark.createDataFrame(
+            [("[5.0]",), ("[4.0]",), ('{"a": 1, "b": 7.5}',)], "j string")
+        flag = [r["valid"] for r in
+                plan.with_validation(df, "j", mode="flag").collect()]
+        out = [r["ov"] for r in plan.with_output(df, "j", format="list")
+               .select(F.get_json_object("output", "$.valid")
+                       .alias("ov")).collect()]
+        assert [str(bool(b)).lower() for b in flag] == out, schema
