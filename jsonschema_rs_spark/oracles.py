@@ -833,6 +833,24 @@ WHERE {common} / CAST(len(sa.sh) + len(sb.sh) - {common} AS DOUBLE)
 # banding mirrors queries.minhash_pairs: "auto" at threshold 0.5 → (22, 11)
 MINHASH_PAIRS = _minhash_pairs_sql(*_adaptive_minhash(0.5), threshold=0.5)
 
+# connected components over the minhash near-dup pairs
+# (queries.cc_groups): the min-label fixpoint dedup.connected_components
+# converges to equals, per node, the MINIMUM id reachable through the
+# symmetric edge set — computed exactly by a recursive transitive-
+# closure CTE (UNION dedups, so cycles terminate)
+CC_GROUPS = f"""
+WITH RECURSIVE pairs AS ({MINHASH_PAIRS}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, comp) AS (
+    SELECT id, id FROM nodes
+  UNION
+    SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+"""
+
 # sequence packing (queries.pack_docs): exclusive prefix sum of
 # whitespace token counts in doc_id order within each language shard;
 # pack_id = start_offset // 512 (concatenate-then-chunk semantics)
@@ -941,6 +959,7 @@ ORACLES = {
     "simhash_pairs": SIMHASH_PAIRS,
     "curate_docs": CURATE_DOCS,
     "minhash_pairs": MINHASH_PAIRS,
+    "cc_groups": CC_GROUPS,
     "jaccard_pairs": JACCARD_PAIRS,
     "pack_docs": PACK_DOCS,
     "sim_topk": SIM_TOPK,

@@ -485,6 +485,19 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.5)
 
 
+def cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels: connected components (iterative
+    min-label propagation, dedup.connected_components) over the same
+    threshold-adaptive MinHash near-dup pairs as minhash_pairs. The
+    DuckDB oracle computes the min-label fixpoint exactly via a
+    recursive transitive-closure CTE, so a green row certifies the
+    distributed propagation loop converged to the true components."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs, num_hashes="auto",
+                                       threshold=0.5)
+    return dd.connected_components(pairs)
+
+
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concatenate-then-chunk) of documents into
     512-token packs, sharded by language — one shuffle + one per-shard
@@ -631,12 +644,13 @@ def _suite_queries():
 # reports the first 50 entries, so the similarity/dedup pipeline plans
 # (rewritten round 3, truncated out of CORRECTNESS_r03) lead, the
 # vendored-suite block (consolidated 21 -> 9 merged families, suite.py
-# MERGED_FAMILIES) closes. 47 entries total — all inside the cap.
+# MERGED_FAMILIES) closes. 50 entries total — exactly at the cap.
 QUERIES = {
     # similarity / dedup / pipeline (the 10 r3-truncated queries first)
     "ndcos_pairs": ndcos_pairs,
     "ann_ivf": ann_ivf,
     "minhash_pairs": minhash_pairs,
+    "cc_groups": cc_groups,
     "jaccard_pairs": jaccard_pairs,
     "pack_docs": pack_docs,
     "curate_docs": curate_docs,
