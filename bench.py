@@ -40,8 +40,8 @@ BENCH_QUERIES = [
     "text_features", "fp_counts", "pack_docs", "minhash_sigs",
     "simhash_vals",
     "simhash_pairs",
-    "minhash_pairs", "jaccard_pairs", "curate_docs", "sim_topk",
-    "ann_lsh", "ann_ivf",
+    "minhash_pairs", "cc_groups", "jaccard_pairs", "curate_docs",
+    "sim_topk", "ann_lsh", "ann_lsh_mp", "ann_ivf",
     "ndcos_pairs", "rollup_events", "mm_features", "output_units_docs",
     "output_units_ext",
 ]

@@ -405,21 +405,35 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
-    """(id, component) via iterative min-label propagation.
+                         max_iterations: int = 20,
+                         algorithm: str = "propagate") -> DataFrame:
+    """(id, component) where component = min id in the cluster.
 
-    Each round every node adopts the smallest label in its neighborhood;
+    algorithm="propagate" (default): iterative min-label propagation —
+    each round every node adopts the smallest label in its neighborhood;
     converges in O(diameter) rounds (near-dup clusters are tiny, so
-    typically 2-4). Per round: one groupBy shuffle over the edge list —
-    the standard large-graph CC pattern when GraphFrames isn't available.
+    typically 2-4). Per round: one groupBy shuffle over the edge list.
+    Warns if max_iterations is exhausted before the fixpoint (possible
+    on pathological long chains — switch to "star" there).
+
+    algorithm="star": alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds independent of diameter, two groupBy
+    shuffles per round. The scale path for adversarial graph shapes
+    (templated-document chains whose diameter grows with corpus size).
+    Both return identical labels at the fixpoint.
+
     Used by curate(strategy='cc') to keep exactly one doc per duplicate
     CLUSTER (greedy pair-drop can over-delete chains a-b, b-c)."""
+    if algorithm == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iterations)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = edges.select("src").union(edges.select("dst")) \
         .distinct().withColumnRenamed("src", "id") \
         .withColumn("component", F.col("id"))
+    converged = False
     for i in range(max_iterations):
         # neighbor minimum, then keep min(own, neighbors')
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
@@ -441,10 +455,85 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                        .count())
             labels = updated
             if changed == 0:
+                converged = True
                 break
         else:
             labels = updated.localCheckpoint(eager=True)
+    if not converged and max_iterations > 1:
+        logging.getLogger(__name__).warning(
+            "connected_components: min-label propagation did NOT converge "
+            "within %d iterations — labels may split true components. Use "
+            "algorithm='star' (O(log n) rounds) for long-chain graphs.",
+            max_iterations)
     return labels
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors attach to
+    the minimum of its closed neighborhood. Edges come in and leave as
+    directed (src, dst) rows, deduped."""
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))).distinct()
+    mins = (sym.groupBy("src").agg(F.min("dst").alias("nmin"))
+            .select("src", F.least("src", "nmin").alias("m")))
+    return (sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint,
+    then attach each node's smaller neighbors (and itself) to the
+    neighborhood minimum."""
+    oriented = (edges.select(F.greatest("src", "dst").alias("u"),
+                             F.least("src", "dst").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(mins, "u")
+    return (joined.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .unionAll(mins.select(F.col("u").alias("src"),
+                                  F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _connected_components_star(pairs: DataFrame, id_a: str, id_b: str,
+                               max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. SoCC'14).
+
+    At the fixpoint the edge set is a union of stars (node -> component
+    minimum); labels are those edges plus (root, root) rows. Convergence
+    is edge-set equality (anti-join + count — both sets are deduped), so
+    a green result is a certified fixpoint, not an iteration-budget
+    artifact. O(log n) rounds regardless of graph diameter."""
+    nodes = (pairs.select(F.col(id_a).alias("id"))
+             .union(pairs.select(F.col(id_b).alias("id"))).distinct())
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_iterations):
+        new_edges = _cc_small_star(_cc_large_star(edges)) \
+            .localCheckpoint(eager=True)
+        changed = new_edges.join(edges, ["src", "dst"], "left_anti").count()
+        same_size = new_edges.count() == edges.count()
+        edges = new_edges
+        if changed == 0 and same_size:
+            converged = True
+            break
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components(star): no fixpoint within %d rounds "
+            "(needs ~log2(n)); labels may be incomplete.", max_iterations)
+    roots = nodes.join(edges.select(F.col("src").alias("id")), "id",
+                       "left_anti").select("id", F.col("id").alias(
+                           "component"))
+    return edges.select(F.col("src").alias("id"),
+                        F.col("dst").alias("component")).union(roots)
 
 
 # ---------------------------------------------------------------------------

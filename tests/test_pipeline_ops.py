@@ -285,6 +285,62 @@ def test_curate_cc_keeps_one_per_cluster(spark):
     assert out == ["a1", "zz"]
 
 
+def test_connected_components_star_matches_propagate(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long")
+    prop = {r["id"]: r["component"]
+            for r in dd.connected_components(pairs).collect()}
+    star = {r["id"]: r["component"]
+            for r in dd.connected_components(
+                pairs, algorithm="star").collect()}
+    assert star == prop == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5,
+                            8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_star_long_chain(spark):
+    # a 120-node path has diameter 119: min-label propagation needs ~119
+    # rounds (far past the default budget — it must WARN, not silently
+    # return split labels unflagged), while star contraction converges
+    # within its default 20 (needs ~log2(n)) and labels the whole chain 0
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long")
+    star = {r["id"]: r["component"]
+            for r in dd.connected_components(
+                pairs, algorithm="star").collect()}
+    assert star == {i: 0 for i in range(120)}
+    prop = {r["id"]: r["component"]
+            for r in dd.connected_components(
+                pairs, max_iterations=5).collect()}
+    assert prop != star  # propagation genuinely can't finish in 5 rounds
+
+
+def test_connected_components_star_random_vs_union_find(spark):
+    import random
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(45)})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    want = {v: min(u for u in touched if find(u) == find(v))
+            for v in touched}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["id"]: r["component"]
+            for r in dd.connected_components(
+                pairs, algorithm="star").collect()}
+    assert star == want
+
+
 # -- IVF ANN ----------------------------------------------------------------
 
 
