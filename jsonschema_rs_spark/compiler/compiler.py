@@ -38,6 +38,12 @@ class CompileContext:
             options = dataclasses.replace(options, draft4_integer=True)
         self.options = options
         self._regex_cache: dict[str, str] = {}
+        # >0 while compiling a subschema that will be embedded in a
+        # Spark higher-order-function lambda (array items / map values):
+        # no Python UDF may appear there (Spark UNSUPPORTED_FEATURE.
+        # LAMBDA_FUNCTION_WITH_PYTHON_UDF) — same discipline as
+        # VariantCompileContext.hof_depth
+        self.hof_depth = 0
         # compile-path dynamic scope for $dynamicRef (see variant.py /
         # registry.resolve_dynamic_in_scope)
         self._dyn_scope: list[str] = []
@@ -46,6 +52,21 @@ class CompileContext:
         self.registry = RefRegistry(root_schema, options.resources,
                                     legacy_id=self.dialect.legacy_id,
                                     retriever=options.retriever)
+
+    def in_hof(self):
+        """Context manager marking the enclosed compile as HOF-lambda-
+        embedded (see hof_depth)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _guard():
+            self.hof_depth += 1
+            try:
+                yield
+            finally:
+                self.hof_depth -= 1
+
+        return _guard()
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the

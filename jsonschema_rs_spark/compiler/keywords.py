@@ -288,10 +288,24 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         return [_num_rule("multipleOf", sp, msg,
                           lambda c, mdec=mdec:
                           F.pmod(c, F.lit(mdec)) == F.lit(0))]
+    in_hof = getattr(ctx, "hof_depth", 0) > 0
     if isinstance(m, int) and t_prime >= 2 ** 63:
         # huge integer divisor whose odd part exceeds LONG (e.g. a
         # 100-digit prime, or 10**400): the codegen kernel can't embed
         # t' — exact Fraction verdicts via the Arrow-batched fallback
+        if in_hof:
+            # no Python UDF inside HOF lambdas: decide by fmod on the
+            # ROUNDED divisor, or False past double range — documented
+            # corner deviation (nested huge divisors only), mirroring
+            # the variant path's in_hof branch
+            try:
+                mf = float(m)
+                return [_num_rule("multipleOf", sp, msg,
+                                  lambda c, mf=mf:
+                                  (c.cast("double") % F.lit(mf)) == 0)]
+            except OverflowError:
+                return [_num_rule("multipleOf", sp, msg,
+                                  lambda c: F.lit(False))]
         from jsonschema_rs_spark.functions.numerics import (
             fraction_multiple_of_udf,
         )
@@ -307,14 +321,17 @@ def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     # kernel (ext/numeric.rs:62-86) — exact rational divisibility of the
     # value's shortest-decimal form, fully JVM-side (functions/numerics)
     # except the rare non-shortest-rendering rows, which take the
-    # Fraction fallback inside exact_multiple_of_double
+    # Fraction fallback inside exact_multiple_of_double (disabled inside
+    # HOF lambdas where a pandas UDF is illegal — documented corner
+    # deviation for >15-sig-digit renderings nested in arrays/maps)
     from jsonschema_rs_spark.functions.numerics import (
         exact_multiple_of_double,
     )
 
     return [_num_rule("multipleOf", sp, msg,
-                      lambda c, m=m:
-                      exact_multiple_of_double(c.cast("double"), m))]
+                      lambda c, m=m, ff=not in_hof:
+                      exact_multiple_of_double(c.cast("double"), m,
+                                               fraction_fallback=ff))]
 
 
 # --------------------------------------------------------------------------
@@ -442,7 +459,10 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
             rules.append(Rule(kw, f"{sp}/{kw}", f"more than {nprefix} items allowed",
                               lambda c, nprefix=nprefix: F.size(c) <= F.lit(nprefix), priority=5))
         else:
-            sub = compile_node(rest_schema, et, ctx, sp + "/items")
+            # the subnode's Columns render inside F.forall/F.transform
+            # lambdas — no Python UDF may be embedded there
+            with ctx.in_hof():
+                sub = compile_node(rest_schema, et, ctx, sp + "/items")
             if sub.rules:
                 if nprefix == 0:
                     def items_pred(c: Column) -> Column:
@@ -488,7 +508,9 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
                                   items_pred, errors_fn=items_errors, priority=30))
 
     if "contains" in schema or "minContains" in schema or "maxContains" in schema:
-        csub = compile_node(schema.get("contains", True), et, ctx, sp + "/contains")
+        with ctx.in_hof():  # applied per element in F.filter/F.exists
+            csub = compile_node(schema.get("contains", True), et, ctx,
+                                sp + "/contains")
         min_c = schema.get("minContains", 1)
         max_c = schema.get("maxContains")
 
@@ -766,7 +788,9 @@ def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
     pp = schema.get("patternProperties") or {}
     pat_java = {pat: ctx.regex(pat) for pat in pp}
     for pat, sub in pp.items():
-        subnode = compile_node(sub, vt, ctx, f"{sp}/patternProperties/{pat}")
+        with ctx.in_hof():  # applied per map entry inside F.forall
+            subnode = compile_node(sub, vt, ctx,
+                                   f"{sp}/patternProperties/{pat}")
         if not subnode.rules:
             continue
         jp = pat_java[pat]
@@ -797,7 +821,9 @@ def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
                 priority=42,
             ))
         else:
-            subnode = compile_node(ap, vt, ctx, sp + "/additionalProperties")
+            with ctx.in_hof():  # applied per map entry inside F.forall
+                subnode = compile_node(ap, vt, ctx,
+                                       sp + "/additionalProperties")
             rules.append(Rule(
                 "additionalProperties", sp + "/additionalProperties",
                 "additional property invalid",
@@ -810,8 +836,10 @@ def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
 
     pn = schema.get("propertyNames")
     if pn is not None and pn is not True:
-        namenode = compile_node(pn if pn is not False else {"not": {}},
-                                T.StringType(), ctx, sp + "/propertyNames")
+        with ctx.in_hof():  # applied per key inside F.forall
+            namenode = compile_node(pn if pn is not False else {"not": {}},
+                                    T.StringType(), ctx,
+                                    sp + "/propertyNames")
         rules.append(Rule(
             "propertyNames", sp + "/propertyNames", "property name invalid",
             (lambda c, s=namenode: F.forall(F.map_keys(c), lambda k: s.valid(k))),

@@ -112,11 +112,12 @@ def map_key_coverage(schema: Any, dt: T.MapType, ctx, compile_node
     blanket = "additionalProperties" in schema \
         or "unevaluatedProperties" in schema
     branch_parts = []
-    for kw in ("allOf", "anyOf", "oneOf"):
-        for sub in schema.get(kw, []) or []:
-            node = compile_node(sub, dt, ctx, "/__cov")
-            cov = map_key_coverage(sub, dt, ctx, compile_node)
-            branch_parts.append((node, cov))
+    with ctx.in_hof():  # covered() renders inside F.forall lambdas
+        for kw in ("allOf", "anyOf", "oneOf"):
+            for sub in schema.get(kw, []) or []:
+                node = compile_node(sub, dt, ctx, "/__cov")
+                cov = map_key_coverage(sub, dt, ctx, compile_node)
+                branch_parts.append((node, cov))
 
     def covered(c: Column, k: Column) -> Column:
         out = F.lit(True) if blanket else (
@@ -143,14 +144,15 @@ def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
         nprefix = len(schema.get("prefixItems", []) or [])
         has_rest = items is not None
     blanket = has_rest or "unevaluatedItems" in schema
-    cnode = compile_node(schema["contains"], dt.elementType, ctx, "/__cov") \
-        if "contains" in schema else None
     branch_parts = []
-    for kw in ("allOf", "anyOf", "oneOf"):
-        for sub in schema.get(kw, []) or []:
-            node = compile_node(sub, dt, ctx, "/__cov")
-            cov = index_coverage(sub, dt, ctx, compile_node)
-            branch_parts.append((node, cov))
+    with ctx.in_hof():  # covered() renders inside F.transform lambdas
+        cnode = compile_node(schema["contains"], dt.elementType, ctx,
+                             "/__cov") if "contains" in schema else None
+        for kw in ("allOf", "anyOf", "oneOf"):
+            for sub in schema.get(kw, []) or []:
+                node = compile_node(sub, dt, ctx, "/__cov")
+                cov = index_coverage(sub, dt, ctx, compile_node)
+                branch_parts.append((node, cov))
 
     def covered(c: Column, i: Column, el: Column) -> Column:
         out = F.lit(True) if blanket else (
@@ -198,8 +200,9 @@ def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
                               priority=40))
         elif isinstance(dt, T.MapType):
             cov = map_key_coverage(sibling, dt, ctx, compile_node)
-            node = None if up is False else compile_node(
-                up, dt.valueType, ctx, sp + "/unevaluatedProperties")
+            with ctx.in_hof():  # applied per entry inside F.forall
+                node = None if up is False else compile_node(
+                    up, dt.valueType, ctx, sp + "/unevaluatedProperties")
 
             def up_pred_m(c: Column, cov=cov, node=node) -> Column:
                 def entry_ok(e):
@@ -220,8 +223,9 @@ def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
         sibling = {k: v for k, v in schema.items()
                    if k != "unevaluatedItems"}
         icov = index_coverage(sibling, dt, ctx, compile_node)
-        node = None if ui is False else compile_node(
-            ui, dt.elementType, ctx, sp + "/unevaluatedItems")
+        with ctx.in_hof():  # applied per element inside F.transform
+            node = None if ui is False else compile_node(
+                ui, dt.elementType, ctx, sp + "/unevaluatedItems")
 
         def ui_pred(c: Column, icov=icov, node=node) -> Column:
             def el_ok(el, i):

@@ -84,3 +84,88 @@ def test_custom_content_encoding_inside_hof_raises(spark):
             {"items": {"contentEncoding": "rot13"}},
             ValidationOptions(
                 custom_content_encodings={"rot13": lambda s: True}))
+
+
+# --------------------------------------------------------------------------
+# TYPED-path mirrors (CompileContext.hof_depth): found by the typed
+# random-schema fuzz — {"spans": {"items": {"properties": {"offset":
+# {"multipleOf": 2.5}}}}} crashed at plan build exactly like the variant
+# case, because keywords.build_multiple_of embedded the Fraction pUDF
+# inside the array items F.forall lambda.
+# --------------------------------------------------------------------------
+
+
+def _typed_verdicts(spark, schema, rows, ddl):
+    from jsonschema_rs_spark import compile_schema
+
+    df = spark.createDataFrame(rows, ddl)
+    plan = compile_schema(schema, df.schema)
+    return [r["valid"] for r in plan.with_validation(df).collect()]
+
+
+def test_typed_multiple_of_inside_array_items(spark):
+    schema = {"properties": {"xs": {"items": {"multipleOf": 2.5}}}}
+    got = _typed_verdicts(
+        spark, schema,
+        [([5.0, 2.5],), ([4.0],), ([],)], "xs array<double>")
+    assert got == [True, False, True]
+
+
+def test_typed_multiple_of_inside_contains(spark):
+    schema = {"properties": {"xs": {
+        "contains": {"multipleOf": 2.5}, "minContains": 2}}}
+    got = _typed_verdicts(
+        spark, schema,
+        [([5.0, 2.5],), ([5.0, 4.0],)], "xs array<double>")
+    assert got == [True, False]
+
+
+def test_typed_multiple_of_inside_map_values(spark):
+    schema = {"properties": {"m": {
+        "additionalProperties": {"multipleOf": 2.5}}}}
+    got = _typed_verdicts(
+        spark, schema,
+        [({"a": 5.0},), ({"a": 4.0},)], "m map<string,double>")
+    assert got == [True, False]
+
+
+def test_typed_multiple_of_inside_unevaluated_items(spark):
+    schema = {"properties": {"xs": {
+        "prefixItems": [{"type": "number"}],
+        "unevaluatedItems": {"multipleOf": 2.5}}}}
+    got = _typed_verdicts(
+        spark, schema,
+        [([1.0, 5.0],), ([1.0, 4.0],), ([1.0],)], "xs array<double>")
+    assert got == [True, False, True]
+
+
+def test_typed_huge_divisor_inside_items_no_crash(spark):
+    # odd part beyond 2^63 under a lambda: fmod-on-rounded-divisor
+    # deviation path — must compile and keep 0 a multiple
+    big = 10 ** 25 + 1
+    schema = {"properties": {"xs": {"items": {"multipleOf": big}}}}
+    got = _typed_verdicts(
+        spark, schema, [([0.0],), ([],)], "xs array<double>")
+    assert got == [True, True]
+
+
+def test_typed_top_level_keeps_fraction_fallback(spark):
+    # outside lambdas the typed float path still routes long-rendering
+    # corners through the exact Fraction pUDF
+    schema = {"properties": {"x": {"multipleOf": 1e-323}}}
+    got = _typed_verdicts(spark, schema, [(5e-324 * 2,)], "x double")
+    assert got == [True]
+
+
+def test_typed_custom_format_inside_items_raises_schema_error(spark):
+    from jsonschema_rs_spark import compile_schema
+    from pyspark.sql import types as T
+
+    dt = T.StructType([T.StructField(
+        "xs", T.ArrayType(T.StringType()))])
+    with pytest.raises(SchemaError):
+        compile_schema(
+            {"properties": {"xs": {"items": {"format": "vowels"}}}},
+            dt,
+            ValidationOptions(validate_formats=True,
+                              custom_formats={"vowels": lambda s: True}))
