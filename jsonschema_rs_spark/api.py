@@ -57,7 +57,7 @@ class Registry:
 
 def _options(draft=None, validate_formats=None, mask=None, registry=None,
              formats=None, keywords=None, ignore_unknown_formats=True,
-             retriever=None,
+             retriever=None, base_uri=None,
              base: ValidationOptions | None = None) -> ValidationOptions:
     if base is not None:
         return base
@@ -76,7 +76,7 @@ def _options(draft=None, validate_formats=None, mask=None, registry=None,
         custom_formats=dict(formats or {}),
         custom_keywords=dict(keywords or {}),
         ignore_unknown_formats=ignore_unknown_formats,
-        retriever=retriever)
+        retriever=retriever, base_uri=base_uri)
 
 
 def validator_for(schema: Any, **kwargs):

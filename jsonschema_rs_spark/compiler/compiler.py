@@ -51,7 +51,8 @@ class CompileContext:
         self._active_refs: set[tuple[str, str]] = set()
         self.registry = RefRegistry(root_schema, options.resources,
                                     legacy_id=self.dialect.legacy_id,
-                                    retriever=options.retriever)
+                                    retriever=options.retriever,
+                                    base_uri=options.base_uri)
 
     def in_hof(self):
         """Context manager marking the enclosed compile as HOF-lambda-

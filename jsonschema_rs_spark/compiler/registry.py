@@ -47,7 +47,8 @@ _MAP_OF_SCHEMAS_KEYS = frozenset([
 
 class RefRegistry:
     def __init__(self, root: Any, resources: dict[str, Any] | None = None,
-                 legacy_id: bool = False, retriever=None):
+                 legacy_id: bool = False, retriever=None,
+                 base_uri: str | None = None):
         """`resources`: extra documents keyed by absolute URI — the
         offline analog of the reference's referencing::Registry /
         ValidationOptions::with_retriever (retriever.rs), letting
@@ -63,7 +64,14 @@ class RefRegistry:
         lazily at resolve time for URIs in neither the embedded
         resources nor `resources` — the reference's Retriever trait
         (retriever.rs; jsonschema-py `retriever=` kwarg). The registry
-        performs no I/O itself."""
+        performs no I/O itself.
+
+        `base_uri`: external base URI that a RELATIVE root `$id` (and,
+        transitively, every relative `$ref`/`$id` below it) resolves
+        against — the analog of the reference's
+        ValidationOptions::with_base_uri (options.rs:273-299), for
+        schemas loaded from sources with no inherent base URL. A root
+        with no `$id` at all adopts `base_uri` as its base directly."""
         self.legacy_id = legacy_id
         self.retriever = retriever
         self.root = root
@@ -79,12 +87,20 @@ class RefRegistry:
         self.dynamic_by_base: dict[tuple[str, str], Any] = {}
         self.recursive_root: Any = None
         self._id_key = "id" if legacy_id else "$id"
-        root_base = ""
+        root_base = urldefrag(base_uri).url if base_uri else ""
         if isinstance(root, dict) \
                 and isinstance(root.get(self._id_key), str):
-            root_base = urldefrag(root[self._id_key]).url
+            # a relative root $id resolves against the external base
+            # (with_base_uri semantics); urljoin("", abs) = abs keeps
+            # the no-base behavior unchanged
+            root_base = urljoin(root_base,
+                                urldefrag(root[self._id_key]).url)
         self.root_base = root_base
         self.by_uri[root_base] = root
+        if base_uri:
+            # the root is also addressable under the raw external base
+            # (e.g. a $ref back to the retrieval URI of an $id-less root)
+            self.by_uri.setdefault(urldefrag(base_uri).url, root)
         self._walk(root, root_base, is_root=True)
         for uri, doc in (resources or {}).items():
             self._register_resource(uri, doc)

@@ -286,7 +286,8 @@ class VariantCompileContext:
         self._dyn_scope: list[str] = []
         self.registry = RefRegistry(root, options.resources,
                                     legacy_id=self.dialect.legacy_id,
-                                    retriever=options.retriever)
+                                    retriever=options.retriever,
+                                    base_uri=options.base_uri)
         # (schema_path, contains-Node) sites collected during compile —
         # drives the contains match-index annotations
         # (reference contains.rs:60-105 evaluate())
@@ -1202,7 +1203,7 @@ def _depth_memo_key(schema: Any, options: ValidationOptions):
     try:
         return (json.dumps(schema, sort_keys=True), options.dialect,
                 options.draft4_integer, options.validate_formats,
-                options.ignore_unknown_formats)
+                options.ignore_unknown_formats, options.base_uri)
     except (TypeError, ValueError):
         return None
 

@@ -104,6 +104,11 @@ class ValidationOptions:
     # into a SchemaError naming the URI. Retrieved documents register
     # like resources: their $ids, anchors and nested resources all walk.
     retriever: object = None
+    # external base URI that a RELATIVE root `$id` (and every relative
+    # `$ref`/`$id` below it) resolves against — the with_base_uri analog
+    # (options.rs:273-299) for schemas loaded without an inherent base
+    # URL. None (default): the root's own `$id` (or "") is the base.
+    base_uri: str | None = None
     # False -> an asserted `format` name with no built-in or custom
     # checker is a COMPILE error (reference should_ignore_unknown_formats,
     # options.rs:434-440). True (default, like the reference): unknown

@@ -542,3 +542,96 @@ def test_resources_take_precedence_over_retriever(spark):
     got = [r["valid"] for r in
            plan.with_validation(df, "j").select("valid").collect()]
     assert got == [True, False]
+
+
+# -- base_uri (with_base_uri analog, options.rs:273-299) ---------------------
+
+
+def test_base_uri_relative_root_id():
+    """A relative root $id resolves against ValidationOptions.base_uri —
+    the reference's with_base_uri doctest shape (options.rs:273-299)."""
+    schema = {"$id": "relative-schema.json", "type": "object",
+              "$defs": {"s": {"$anchor": "str", "type": "string"}}}
+    reg = RefRegistry(schema, base_uri="https://example.com/schemas/")
+    assert reg.root_base == "https://example.com/schemas/relative-schema.json"
+    assert "https://example.com/schemas/relative-schema.json" in reg.by_uri
+    # anchors register under the RESOLVED base
+    assert reg.resolve(
+        "https://example.com/schemas/relative-schema.json#str",
+        schema)["type"] == "string"
+
+
+def test_base_uri_relative_ref_to_resource(spark):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    opts = ValidationOptions(
+        base_uri="https://example.com/schemas/",
+        resources={"https://example.com/schemas/pos.json":
+                   {"type": "integer", "minimum": 1}})
+    # no root $id at all: relative $ref resolves against base_uri
+    plan = compile_json_schema(
+        {"properties": {"n": {"$ref": "pos.json"}}}, opts)
+    df = spark.createDataFrame(
+        [('{"n": 2}',), ('{"n": 0}',), ('{"n": "x"}',), ('{}',)],
+        "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    assert got == [True, False, False, True]
+
+
+def test_base_uri_without_it_relative_ref_fails():
+    with pytest.raises(SchemaError, match="unresolvable"):
+        compile_json_schema({"$ref": "pos.json"})
+
+
+def test_base_uri_typed_path(spark):
+    """base_uri threads through the typed-column compiler too."""
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+    opts = ValidationOptions(
+        base_uri="https://example.com/x/",
+        resources={"https://example.com/x/name.json":
+                   {"type": "string", "minLength": 2}})
+    schema = {"$id": "doc.json",
+              "properties": {"name": {"$ref": "name.json"}}}
+    df = spark.createDataFrame([("ab",), ("a",)], "name string")
+    plan = compile_schema(schema, df.schema, options=opts)
+    got = [r["valid"]
+           for r in plan.with_validation(df).select("valid").collect()]
+    assert got == [True, False]
+
+
+def test_base_uri_differential_vs_jsonschema(spark):
+    """python-jsonschema oracle: the same base-URI resolution via a
+    referencing.Registry rooted at the resolved URI."""
+    jsonschema = pytest.importorskip("jsonschema")
+    referencing = pytest.importorskip("referencing")
+    from jsonschema_rs_spark.errors import ValidationOptions
+    import json
+
+    pos = {"type": "integer", "minimum": 1}
+    schema = {"$id": "main.json",
+              "properties": {"n": {"$ref": "pos.json"}}}
+    base = "https://example.com/b/"
+
+    registry = referencing.Registry().with_resources([
+        (base + "main.json",
+         referencing.Resource.from_contents(
+             schema, default_specification=referencing.jsonschema.DRAFT202012)),
+        (base + "pos.json",
+         referencing.Resource.from_contents(
+             pos, default_specification=referencing.jsonschema.DRAFT202012)),
+    ])
+    # python-jsonschema has no base-uri option: the oracle sees the
+    # root with its $id pre-resolved against the base (the equivalence
+    # with_base_uri guarantees)
+    oracle = jsonschema.Draft202012Validator(
+        {**schema, "$id": base + "main.json"}, registry=registry)
+
+    docs = [{"n": 2}, {"n": 0}, {"n": "x"}, {}, {"n": 1}]
+    plan = compile_json_schema(schema, ValidationOptions(
+        base_uri=base, resources={base + "pos.json": pos}))
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "j string")
+    got = [r["valid"]
+           for r in plan.with_validation(df, "j").select("valid").collect()]
+    want = [oracle.is_valid(d) for d in docs]
+    assert got == want
