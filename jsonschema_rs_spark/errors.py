@@ -33,6 +33,64 @@ class SchemaError(ValueError):
         self.message = message
 
 
+@dataclass(frozen=True)
+class EmailOptions:
+    """`format: email` / `format: idn-email` knobs — the analog of the
+    reference's EmailOptions over the email_address crate
+    (options.rs:926-1113; format.rs:510-545 is_valid_email_impl).
+
+    Defaults mirror EmailAddress::from_str (the no-options reference
+    path, pinned by format.rs's email_options_backward_compatibility
+    test): single-segment domains like `user@localhost` are valid,
+    domain literals `user@[127.0.0.1]` / `user@[IPv6:2001:db8::1]` are
+    valid when the bracketed address parses as an IP (the reference
+    post-checks the literal with the std parser), and display text
+    `Name <user@example.com>` is rejected.
+
+    The reference's builder methods map to constructor args or the
+    chainable helpers below (each returns a NEW instance, dataclass-
+    frozen like the reference's consuming builders)."""
+
+    # minimum dot-separated domain segments (with_minimum_sub_domains);
+    # 0 = no minimum (with_no_minimum_sub_domains); 2 = require a TLD
+    # (with_required_tld)
+    minimum_sub_domains: int = 0
+    # accept bracketed IP domains (with_domain_literal /
+    # without_domain_literal)
+    allow_domain_literal: bool = True
+    # accept `Display Name <addr>` (with_display_text); reference
+    # default: off
+    allow_display_text: bool = False
+
+    def with_minimum_sub_domains(self, n: int) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, minimum_sub_domains=int(n))
+
+    def with_no_minimum_sub_domains(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, minimum_sub_domains=0)
+
+    def with_required_tld(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, minimum_sub_domains=2)
+
+    def with_domain_literal(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, allow_domain_literal=True)
+
+    def without_domain_literal(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, allow_domain_literal=False)
+
+    def with_display_text(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, allow_display_text=True)
+
+    def without_display_text(self) -> "EmailOptions":
+        from dataclasses import replace
+        return replace(self, allow_display_text=False)
+
+
 @dataclass
 class ValidationOptions:
     """Compile-time switches.
@@ -109,6 +167,10 @@ class ValidationOptions:
     # (options.rs:273-299) for schemas loaded without an inherent base
     # URL. None (default): the root's own `$id` (or "") is the base.
     base_uri: str | None = None
+    # `format: email` / `format: idn-email` behavior — the with_email_options
+    # analog (options.rs:671-693). None = EmailOptions() defaults (the
+    # reference's no-options EmailAddress::from_str path — same semantics).
+    email_options: "EmailOptions | None" = None
     # False -> an asserted `format` name with no built-in or custom
     # checker is a COMPILE error (reference should_ignore_unknown_formats,
     # options.rs:434-440). True (default, like the reference): unknown

@@ -4,10 +4,12 @@ The reference implements 18 built-in formats in Rust (dispatch at
 crates/jsonschema/src/keywords/format.rs:1218-1238); here the cheap ones
 are pure Column expressions (regex + try-casts, JVM-side, codegen'd) —
 including the offset-exact leap-second rule for time/date-time
-(format.rs:412-432: `:60` only at UTC 23:59) — and only IDN hostnames
-fall back to a batched Arrow pandas UDF. Formats assert only when
-options.validate_formats=True, matching the 2020-12 default
-(compiler.rs:271-276).
+(format.rs:412-432: `:60` only at UTC 23:59) — and only the checks a
+regex genuinely can't express consult a batched Arrow pandas UDF: IDN
+hostnames (full IDNA via idna), punycode DECODE of xn-- labels in
+hostname / email domains (format.rs:621-646), and `format: regex`.
+Formats assert only when options.validate_formats=True, matching the
+2020-12 default (compiler.rs:271-276).
 """
 
 from __future__ import annotations
@@ -32,11 +34,22 @@ _DATETIME_RE = (
 )
 _UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
-_HOSTNAME_RE = (
-    r"^(?=.{1,253}\.?$)[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-    r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?$"
+# RFC 1123 hostname label, reference-exact shape (format.rs:548-646
+# is_valid_hostname validate_label): 1-63 LDH chars, no leading/trailing
+# hyphen, and the RFC 5891 R-LDH rule — hyphens at positions 3-4 only
+# for a (lowercase) `xn--` punycode label. The negative lookahead is
+# restricted to LDH chars so it can never span a `.` separator.
+_HOST_LABEL = (
+    r"(?:xn--[A-Za-z0-9-]{0,58}[A-Za-z0-9]"
+    r"|(?![A-Za-z0-9-]{2}--)[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)"
 )
-_EMAIL_RE = r"^[^@\s]+@[A-Za-z0-9]([A-Za-z0-9.-]*[A-Za-z0-9])?$"
+# whole hostname: 1-253 chars, NO trailing dot (format.rs:598 rejects
+# it), every label valid. xn-- labels are shape-only here; the punycode
+# DECODE check (format.rs:621-646) is the pUDF refinement in format_rule.
+_HOSTNAME_RE = (
+    r"^(?=[A-Za-z0-9.-]{1,253}$)"
+    + _HOST_LABEL + r"(?:\." + _HOST_LABEL + r")*$"
+)
 _JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
 _REL_JSON_POINTER_RE = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
 _DURATION_RE = (
@@ -173,6 +186,81 @@ def _ipv6_valid(c: Column) -> Column:
     return c.rlike(_URI_GRAMMAR["ipv6"])
 
 
+# -- email / idn-email (format.rs:510-545 is_valid_email_impl over the
+# email_address crate, + EmailOptions, options.rs:926-1113) ------------------
+
+# RFC 5321 atext; idn-email additionally allows any non-ASCII code point
+# in atext positions (RFC 6531 SMTPUTF8 — the crate's UTF-8 local parts)
+_EMAIL_ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~\-]"
+_EMAIL_ATEXT_IDN = r"(?:" + _EMAIL_ATEXT + r"|[^\x00-\x7F])"
+# unanchored IPv4 / IPv6 bodies for bracketed domain literals — the
+# reference strips the brackets and requires a clean std-parser IP
+# (format.rs:524-533)
+_IPV4_BODY = _IPV4_RE[1:-1]
+# approximate unicode hostname label for the idn-email Column shape
+# (exact IDNA rules live in the idna pUDF refinement, like idn-hostname)
+_IDN_LABEL = r"(?:(?!-)[^\x00-\x20\x7F@.<>\[\]\\\"]{1,63}(?<!-))"
+
+
+def _addr_spec_re(idn: bool, opts, display: bool) -> str:
+    """One addr-spec regex for the given EmailOptions: local = dot-atom
+    (with an @-within-64 length gate) | quoted-string (RFC 5321
+    QtextSMTP / quoted-pairSMTP), domain = reference hostname with >=
+    minimum_sub_domains labels | bracketed IPv4/IPv6 literal. With
+    display=True the addr-spec is wrapped as `display text <addr>`."""
+    tail = r">$" if display else r"$"
+    dchar = r"[^@>]" if display else r"[^@]"
+    atext = _EMAIL_ATEXT_IDN if idn else _EMAIL_ATEXT
+    dot_atom = r"(?=[^@]{1,64}@)" + atext + r"+(?:\." + atext + r"+)*"
+    quoted = r"\"(?:[ !#-\[\]-~]|\\[ -~]){1,62}\""
+    local = "(?:" + dot_atom + "|" + quoted + ")"
+    label = _IDN_LABEL if idn else _HOST_LABEL
+    n = max(1, int(getattr(opts, "minimum_sub_domains", 0) or 0))
+    host = (r"(?=" + dchar + r"{1,253}" + tail + r")"
+            + label + r"(?:\." + label + r"){" + str(n - 1) + r",}")
+    alts = [host]
+    if getattr(opts, "allow_domain_literal", True):
+        alts.append(r"\[" + _IPV4_BODY + r"\]")
+        alts.append(r"\[IPv6:" + _URI_GRAMMAR["ipv6"][1:-1] + r"\]")
+    addr = local + "@" + "(?:" + "|".join(alts) + ")"
+    if display:
+        return r"^[^<>]*<" + addr + r">$"
+    return r"^" + addr + r"$"
+
+
+def _email_shape(c: Column, idn: bool, opts) -> Column:
+    ok = c.rlike(_addr_spec_re(idn, opts, display=False))
+    if getattr(opts, "allow_display_text", False):
+        ok = ok | c.rlike(_addr_spec_re(idn, opts, display=True))
+    return ok
+
+
+def _email_domain(c: Column) -> Column:
+    """The named-host domain of an addr-spec (empty string for bracketed
+    literals), tolerant of a trailing `>` from display-text forms."""
+    return F.regexp_extract(c, r"@([^@\[\]<>]+)>?$", 1)
+
+
+def _punycode_labels_udf():
+    """xn-- labels must DECODE to a valid unicode label (reference
+    is_valid_hostname's punycode branch, format.rs:621-646). idna's
+    A-label machinery reproduces the reference's hand-rolled
+    validate_unicode_label rules — all 18 of format.rs's punycode test
+    vectors match (pinned in tests/test_formats_rfc.py)."""
+    def ok(v):
+        import idna
+
+        for label in v.split("."):
+            if label.startswith("xn--"):
+                try:
+                    idna.decode(label, std3_rules=True)
+                except (idna.IDNAError, UnicodeError):
+                    return False
+        return True
+
+    return _str_pred_pandas_udf(ok)
+
+
 _COLUMN_FORMATS = {
     "date": _date_valid,
     "date-time": _datetime_valid,
@@ -181,8 +269,10 @@ _COLUMN_FORMATS = {
     "ipv4": lambda c: c.rlike(_IPV4_RE),
     "ipv6": _ipv6_valid,
     "hostname": lambda c: c.rlike(_HOSTNAME_RE),
-    "email": lambda c: c.rlike(_EMAIL_RE),
-    "idn-email": lambda c: c.rlike(r"^[^@\s]+@[^@\s]+$"),
+    # default-options shape checks; format_rule upgrades these with
+    # EmailOptions and the idna/punycode pUDF refinements
+    "email": lambda c: _email_shape(c, False, None),
+    "idn-email": lambda c: _email_shape(c, True, None),
     "json-pointer": lambda c: c.rlike(_JSON_POINTER_RE),
     "relative-json-pointer": lambda c: c.rlike(_REL_JSON_POINTER_RE),
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != "P") & ~c.endswith("T"),
@@ -267,6 +357,52 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
                         lambda c: udf(c), priority=10)
         except ImportError:
             pass  # approximate Column fallback below
+    if name == "hostname" and not in_hof:
+        # punycode refinement (format.rs:621-646): xn-- labels must
+        # decode to a valid unicode label — only rows CONTAINING an
+        # xn-- label consult the pUDF; plain hostnames stay pure Column
+        try:
+            import idna  # noqa: F401
+
+            puny = _punycode_labels_udf()
+            return Rule(
+                "format", sp + "/format", "invalid 'hostname' format",
+                lambda c: c.rlike(_HOSTNAME_RE)
+                & (~c.contains("xn--") | puny(c)), priority=10)
+        except ImportError:
+            pass  # shape-only Column fallback below
+    if name in ("email", "idn-email"):
+        idn = name == "idn-email"
+        opts = ctx.options.email_options  # None = reference defaults
+        if in_hof:
+            # pure-Column shape inside HOF lambdas (no pUDF allowed)
+            return Rule(
+                "format", sp + "/format", f"invalid {name!r} format",
+                lambda c, idn=idn, opts=opts: _email_shape(c, idn, opts),
+                priority=10)
+        try:
+            import idna  # noqa: F401
+
+            # reference parity: email domains go through the same
+            # hostname (punycode) / idn-hostname checks as the
+            # standalone formats (format.rs:540-545); bracketed
+            # literals extract as "" and skip the refinement
+            dom_udf = _idn_hostname_udf() if idn else _punycode_labels_udf()
+
+            def check(c, idn=idn, opts=opts, dom_udf=dom_udf):
+                dom = _email_domain(c)
+                refine = (F.length(dom) == 0) | dom_udf(dom) \
+                    if idn else \
+                    (~dom.contains("xn--") | dom_udf(dom))
+                return _email_shape(c, idn, opts) & refine
+
+            return Rule("format", sp + "/format",
+                        f"invalid {name!r} format", check, priority=10)
+        except ImportError:
+            return Rule(
+                "format", sp + "/format", f"invalid {name!r} format",
+                lambda c, idn=idn, opts=opts: _email_shape(c, idn, opts),
+                priority=10)
     builder = _COLUMN_FORMATS.get(name)
     if builder is None:
         if not ctx.options.ignore_unknown_formats:

@@ -757,6 +757,31 @@ g("format", "format relative-json-pointer",
   {"type": "string", "format": "relative-json-pointer"},
   [("0", True), ("1/foo", True), ("0#", True), ("-1", False),
    ("#/", False)], **FMT)
+# round-4 reference-exact hostname (format.rs:548-646 is_valid_hostname):
+# R-LDH rule, no trailing dot, punycode labels must decode
+g("format", "format hostname reference-exact (r4)",
+  {"type": "string", "format": "hostname"},
+  [("ex--ample.com", False), ("example.com.", False),
+   ("xn--kln-sna.de", True), ("xn--example.com", False),
+   ("XN--aa---o47jg78q", False), ("localhost", True)], **FMT)
+# round-4 RFC 5321 email (format.rs:510-545 over the email_address
+# crate, default EmailOptions): quoted local parts, bracketed IP
+# literals (must parse as an IP), dot-atom dot rules, hostname-checked
+# domains
+g("format", "format email rfc5321 (r4)",
+  {"type": "string", "format": "email"},
+  [("missing@domain", True), ("email@[127.0.0.1]", True),
+   ("email@[IPv6:2001:db8::1]", True), ("email@[999.0.0.1]", False),
+   ('"john doe"@example.com', True), ("a..b@example.com", False),
+   (".a@example.com", False), ("user@example.com.", False),
+   ("user@ex--ample.com", False), ("Name <u@example.com>", False),
+   ("user@xn--kln-sna.de", True), ("user@xn--example.com", False)],
+  **FMT)
+g("format", "format idn-email (r4)",
+  {"type": "string", "format": "idn-email"},
+  [("用户@example.com", True), ("user@münchen.de", True),
+   ("user@exa mple.com", False), ("not-an-email", False),
+   ("user@münchen..de", False)], **FMT)
 
 # ---------------------------------------------------------------------------
 # generated family: every keyword × the canonical instance set

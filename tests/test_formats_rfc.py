@@ -135,3 +135,188 @@ def test_datetime_leap_second_offset_exact(spark):
     got = col_check(spark, "date-time", dts)
     for s, t in zip(dts, LEAP_TIMES):
         assert got[s] == _ref_time_valid(t), (s, got[s])
+
+
+# -- hostname (reference-exact, format.rs:548-646) ---------------------------
+
+
+def _rule_check(spark, name, cases, options=None):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    opts = ValidationOptions(validate_formats=True) \
+        if options is None else options
+
+    class Ctx:
+        pass
+    ctx = Ctx()
+    ctx.options = opts
+    rule = format_rule(name, ctx, "")
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    return {r["s"]: r["ok"] for r in df.select(
+        "s", F.coalesce(rule.pred(F.col("s")),
+                        F.lit(False)).alias("ok")).collect()}
+
+
+def test_hostname_reference_vectors(spark):
+    """format.rs:1478-1530 test vectors: R-LDH rule, trailing dot,
+    length limits, punycode decode (idna-gated subset)."""
+    cases = {
+        "example.com": True,
+        "a-b.c-d.e": True,
+        "localhost": True,
+        "ex--ample.com": False,          # hyphen at 3rd & 4th position
+        "-example.com": False,           # leading hyphen
+        "example-.com": False,           # trailing hyphen
+        "example.com.": False,           # trailing dot
+        "example..com": False,           # consecutive dots
+        "exa mple.com": False,           # contains space
+        "": False,
+        ".": False,
+        ("a" * 63 + ".") * 3 + "a" * 61: True,   # 253 chars exactly
+        ("a" * 63 + ".") * 3 + "a" * 62: False,  # 254 chars
+        "a" * 249 + ".com": False,       # 253 chars but label > 63
+        "a" * 63 + ".com": True,
+        "a" * 64 + ".com": False,        # label > 63
+        "XN--aa---o47jg78q": False,      # uppercase punycode prefix
+    }
+    got = _rule_check(spark, "hostname", cases)
+    assert got == cases, {k: (got[k], v) for k, v in cases.items()
+                          if got[k] != v}
+
+
+def test_hostname_punycode_decode(spark):
+    """xn-- labels decode + unicode-label validity via the idna pUDF
+    (format.rs punycode vectors, 1478-1520)."""
+    pytest.importorskip("idna")
+    cases = {
+        "xn--bcher-kva.com": True,       # bücher
+        "xn--ll-0ea": True,              # middle dot, valid context
+        "xn--11b2ezcw70k": True,         # ZWJ after virama
+        "xn--example.com": False,        # invalid punycode
+        "xn--x": False,                  # too short
+        "xn--vek": False,                # katakana middle dot alone
+        "xn--l-fda": False,              # middle dot nothing preceding
+        "xn--l-gda": False,              # middle dot nothing following
+        "xn--02b508i": False,            # ZWJ not preceded by virama
+        "xn--a-2hc5h": False,            # hebrew geresh not after hebrew
+        "xn--bcher-.com": False,         # trailing hyphen
+        "xn--hello-zed": False,          # starts with nonspacing mark
+    }
+    got = _rule_check(spark, "hostname", cases)
+    assert got == cases, {k: (got[k], v) for k, v in cases.items()
+                          if got[k] != v}
+
+
+# -- email / idn-email (format.rs:510-545, 1571-1750 + EmailOptions) ---------
+
+
+def _email_opts(eo=None):
+    from jsonschema_rs_spark.errors import ValidationOptions
+    return ValidationOptions(validate_formats=True, email_options=eo)
+
+
+def test_email_default_reference_vectors(spark):
+    """format.rs email_options_backward_compatibility +
+    email_options_domain_literal defaults + RFC 5321 structure."""
+    cases = {
+        "user@example.com": True,
+        "missing@domain": True,            # single-segment OK by default
+        "not-an-email": False,
+        "a @b.com": False,
+        "email@[127.0.0.1]": True,         # literal valid by default
+        "email@[IPv6:2001:db8::1]": True,
+        "email@[999.0.0.1]": False,        # literal must PARSE as an IP
+        "email@[2001:db8::1]": False,      # v6 literal needs IPv6: tag
+        "Name <user@example.com>": False,  # display text off by default
+        '"john doe"@example.com': True,    # quoted local part
+        '"a@b"@example.com': True,         # quoted @
+        "a..b@example.com": False,         # dot-atom: no double dots
+        ".a@example.com": False,
+        "a.@example.com": False,
+        "a@b@c.com": False,
+        "user@-bad.com": False,
+        "user@example.com.": False,        # trailing dot
+        "user@ex--ample.com": False,       # R-LDH in email domain too
+        "a" * 64 + "@example.com": True,   # local exactly 64
+        "a" * 65 + "@example.com": False,  # local over 64
+    }
+    got = _rule_check(spark, "email", cases, options=_email_opts())
+    assert got == cases, {k: (got[k], v) for k, v in cases.items()
+                          if got[k] != v}
+
+
+def test_email_options_reference_tests(spark):
+    """The five EmailOptions reference tests (format.rs:1626-1750)."""
+    from jsonschema_rs_spark.errors import EmailOptions
+
+    # with_required_tld
+    got = _rule_check(spark, "email",
+                      {"simon@localhost": False, "user@example.com": True},
+                      options=_email_opts(EmailOptions().with_required_tld()))
+    assert got == {"simon@localhost": False, "user@example.com": True}
+
+    # with_no_minimum_sub_domains
+    got = _rule_check(
+        spark, "email",
+        {"simon@localhost": True, "user@example.com": True},
+        options=_email_opts(EmailOptions().with_no_minimum_sub_domains()))
+    assert got == {"simon@localhost": True, "user@example.com": True}
+
+    # with_minimum_sub_domains(3)
+    got = _rule_check(
+        spark, "email",
+        {"user@example.com": False, "user@sub.example.com": True},
+        options=_email_opts(EmailOptions().with_minimum_sub_domains(3)))
+    assert got == {"user@example.com": False, "user@sub.example.com": True}
+
+    # without_domain_literal
+    got = _rule_check(
+        spark, "email",
+        {"email@[127.0.0.1]": False, "email@[IPv6:2001:db8::1]": False,
+         "user@example.com": True},
+        options=_email_opts(EmailOptions().without_domain_literal()))
+    assert got == {"email@[127.0.0.1]": False,
+                   "email@[IPv6:2001:db8::1]": False,
+                   "user@example.com": True}
+
+    # with_display_text
+    got = _rule_check(
+        spark, "email",
+        {"Name <user@example.com>": True, "user@example.com": True,
+         "Name <not-an-email>": False},
+        options=_email_opts(EmailOptions().with_display_text()))
+    assert got == {"Name <user@example.com>": True,
+                   "user@example.com": True,
+                   "Name <not-an-email>": False}
+
+
+def test_email_punycode_domain(spark):
+    """email domains ride the same punycode decode as `hostname`
+    (format.rs:540-541 is_valid_email -> is_valid_hostname)."""
+    pytest.importorskip("idna")
+    cases = {
+        "user@xn--kln-sna.de": True,
+        "user@xn--example.com": False,
+    }
+    got = _rule_check(spark, "email", cases, options=_email_opts())
+    assert got == cases, got
+
+
+def test_idn_email(spark):
+    """idn-email: UTF-8 local parts + IDN domains
+    (format.rs:544-545 is_valid_idn_email -> is_valid_idn_hostname)."""
+    pytest.importorskip("idna")
+    cases = {
+        "user@example.com": True,
+        "用户@example.com": True,
+        "user@münchen.de": True,
+        "user@xn--kln-sna.de": True,
+        "théo@example.com": True,
+        "user@exa mple.com": False,
+        "not-an-email": False,
+        "user@@x.com": False,
+        "user@münchen..de": False,
+        "email@[127.0.0.1]": True,       # literals allowed here too
+    }
+    got = _rule_check(spark, "idn-email", cases, options=_email_opts())
+    assert got == cases, {k: (got[k], v) for k, v in cases.items()
+                          if got[k] != v}
