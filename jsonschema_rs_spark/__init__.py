@@ -18,8 +18,8 @@ crates/jsonschema-py/python/jsonschema_rs/__init__.pyi):
     summ = plan.summary(df)                # per-partition pass/fail
 """
 
-from jsonschema_rs_spark.errors import (EmailOptions, SchemaError,
-                                        ValidationOptions)
+from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
+                                        SchemaError, ValidationOptions)
 from jsonschema_rs_spark.compiler.compiler import compile_schema
 from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
@@ -41,6 +41,7 @@ __all__ = [
     "SchemaError",
     "ValidationOptions",
     "EmailOptions",
+    "PatternOptions",
     "get_spark",
     # jsonschema-py-parity module surface (api.py)
     "Evaluation",

@@ -25,8 +25,8 @@ from __future__ import annotations
 import json
 from typing import Any, Iterator
 
-from jsonschema_rs_spark.errors import (EmailOptions, SchemaError,
-                                        ValidationOptions)
+from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
+                                        SchemaError, ValidationOptions)
 
 _DRAFT_INTS = {4: "4", 6: "6", 7: "7",
                201909: "2019-09", 202012: "2020-12"}
@@ -59,6 +59,7 @@ class Registry:
 def _options(draft=None, validate_formats=None, mask=None, registry=None,
              formats=None, keywords=None, ignore_unknown_formats=True,
              retriever=None, base_uri=None, email_options=None,
+             pattern_options=None,
              base: ValidationOptions | None = None) -> ValidationOptions:
     if base is not None:
         return base
@@ -78,7 +79,7 @@ def _options(draft=None, validate_formats=None, mask=None, registry=None,
         custom_keywords=dict(keywords or {}),
         ignore_unknown_formats=ignore_unknown_formats,
         retriever=retriever, base_uri=base_uri,
-        email_options=email_options)
+        email_options=email_options, pattern_options=pattern_options)
 
 
 def validator_for(schema: Any, **kwargs):
@@ -240,6 +241,7 @@ class meta:
 
 __all__ = [
     "EmailOptions",
+    "PatternOptions",
     "Registry", "Evaluation", "ValidationError", "validator_for",
     "is_valid", "validate", "iter_errors", "evaluate", "meta",
     "Draft4Validator", "Draft6Validator", "Draft7Validator",

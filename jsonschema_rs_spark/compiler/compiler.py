@@ -19,8 +19,26 @@ from pyspark.sql import types as T
 from jsonschema_rs_spark.compiler import keywords as K
 from jsonschema_rs_spark.compiler.nodes import Node, Rule
 from jsonschema_rs_spark.errors import SchemaError, ValidationOptions
-from jsonschema_rs_spark.regex.ecma import ecma_to_java
+from jsonschema_rs_spark.regex.ecma import ecma_to_java, \
+    nonlinear_construct
 from jsonschema_rs_spark.spec.model import meta_validate
+
+
+def _check_pattern_engine(pattern: str, options: ValidationOptions) -> None:
+    """PatternOptions.regex() (linear engine): reject lookaround /
+    backreference patterns at compile time, mirroring the regex crate's
+    build errors under the reference's with_pattern_options
+    (options.rs:647-876). Default (backtracking) allows everything the
+    JVM engine supports."""
+    po = options.pattern_options
+    if po is None or po.engine != "linear":
+        return
+    bad = nonlinear_construct(pattern)
+    if bad is not None:
+        raise SchemaError(
+            f"pattern {pattern!r} uses {bad}, which the linear-time "
+            "regex engine (PatternOptions.regex()) does not support",
+            "pattern")
 
 
 class CompileContext:
@@ -71,8 +89,12 @@ class CompileContext:
 
     def regex(self, ecma_pattern: str) -> str:
         """ECMA→Java translation with a compile-once cache, mirroring the
-        reference's pattern cache (compiler.rs:514-594)."""
+        reference's pattern cache (compiler.rs:514-594). Under
+        PatternOptions.regex() (linear engine), lookaround/backreference
+        patterns are BUILD errors like the regex crate's
+        (options.rs:850-876)."""
         if ecma_pattern not in self._regex_cache:
+            _check_pattern_engine(ecma_pattern, self.options)
             self._regex_cache[ecma_pattern] = ecma_to_java(ecma_pattern)
         return self._regex_cache[ecma_pattern]
 

@@ -308,6 +308,9 @@ class VariantCompileContext:
         return _cm()
 
     def regex(self, pattern: str) -> str:
+        from jsonschema_rs_spark.compiler.compiler import \
+            _check_pattern_engine
+        _check_pattern_engine(pattern, self.options)
         return ecma_to_java(pattern)
 
     def resolve_ref(self, ref: str, referrer: Any = None) -> Any:

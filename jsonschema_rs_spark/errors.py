@@ -1,9 +1,12 @@
 """Error types and validation options.
 
 Mirrors the reference's ValidationOptions (crates/jsonschema/src/options.rs:21-39)
-and SchemaError-style compile failures (crates/jsonschema/src/error.rs), but the
-options that matter on Spark differ: there is no regex-engine choice (Java regex
-is fixed) and draft selection is pinned to 2020-12 semantics for v1.
+and SchemaError-style compile failures (crates/jsonschema/src/error.rs).
+The executor regex engine is always java.util.regex, but PatternOptions
+still offers the reference's engine CHOICE as a compile-time contract:
+the linear-engine variant rejects the constructs the regex crate can't
+build (lookaround/backrefs), so accepted schemas run linear-time on any
+engine. Draft selection covers 4/6/7/2019-09/2020-12 via `dialect`.
 """
 
 from __future__ import annotations
@@ -91,6 +94,56 @@ class EmailOptions:
         return replace(self, allow_display_text=False)
 
 
+@dataclass(frozen=True)
+class PatternOptions:
+    """`pattern` / `patternProperties` regex-engine choice — the analog
+    of the reference's PatternOptions (options.rs:647-876).
+
+    The reference picks between fancy-regex (backtracking: lookaround +
+    backreferences, bounded by backtrack_limit) and the regex crate
+    (linear-time DFA: those constructs are BUILD errors). On Spark the
+    executor engine is always java.util.regex (backtracking, lookaround
+    + backrefs supported natively), so:
+
+    - engine="backtracking" (default, the fancy_regex() analog): every
+      translated ECMA construct is allowed.
+    - engine="linear" (the regex() analog): schemas whose patterns use
+      lookaround or backreferences fail compilation with SchemaError —
+      the same patterns the regex crate rejects at build time
+      (options.rs:850-876) — guaranteeing every accepted pattern runs
+      in linear time on any engine.
+
+    backtrack_limit / size_limit / dfa_size_limit are accepted for API
+    compatibility but are advisory no-ops: java.util.regex exposes no
+    runtime resource knobs, and the reference's limits bound resource
+    usage, not match semantics."""
+
+    engine: str = "backtracking"
+    backtrack_limit: int | None = None
+    size_limit: int | None = None
+    dfa_size_limit: int | None = None
+
+    @staticmethod
+    def fancy_regex() -> "PatternOptions":
+        return PatternOptions(engine="backtracking")
+
+    @staticmethod
+    def regex() -> "PatternOptions":
+        return PatternOptions(engine="linear")
+
+    def with_backtrack_limit(self, n: int) -> "PatternOptions":
+        from dataclasses import replace
+        return replace(self, backtrack_limit=int(n))
+
+    def with_size_limit(self, n: int) -> "PatternOptions":
+        from dataclasses import replace
+        return replace(self, size_limit=int(n))
+
+    def with_dfa_size_limit(self, n: int) -> "PatternOptions":
+        from dataclasses import replace
+        return replace(self, dfa_size_limit=int(n))
+
+
 @dataclass
 class ValidationOptions:
     """Compile-time switches.
@@ -171,6 +224,11 @@ class ValidationOptions:
     # analog (options.rs:671-693). None = EmailOptions() defaults (the
     # reference's no-options EmailAddress::from_str path — same semantics).
     email_options: "EmailOptions | None" = None
+    # regex-engine choice for `pattern`/`patternProperties` — the
+    # with_pattern_options analog (options.rs:647-876). None =
+    # backtracking (the fancy_regex default). PatternOptions.regex()
+    # rejects lookaround/backreferences at compile time.
+    pattern_options: "PatternOptions | None" = None
     # False -> an asserted `format` name with no built-in or custom
     # checker is a COMPILE error (reference should_ignore_unknown_formats,
     # options.rs:434-440). True (default, like the reference): unknown

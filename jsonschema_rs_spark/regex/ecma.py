@@ -90,3 +90,42 @@ def literal_prefix(pattern: str) -> str | None:
         lit.append(ch)
         i += 1
     return "".join(lit) if lit else None
+
+
+def nonlinear_construct(pattern: str) -> str | None:
+    """The first lookaround / backreference construct in `pattern`, or
+    None when the pattern is expressible in a linear-time engine.
+
+    Mirrors what the reference's regex-crate engine rejects at BUILD
+    time under PatternOptions::regex() (options.rs:850-876): look-ahead
+    `(?=` `(?!`, look-behind `(?<=` `(?<!`, numbered backreferences
+    `\\1`..`\\9`, and named backreferences `\\k<name>`. Escapes and
+    character classes are skipped the same way ecma_to_java scans."""
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if not in_class and nxt.isdigit() and nxt != "0":
+                return f"\\{nxt} (backreference)"
+            if not in_class and nxt == "k" and i + 2 < n \
+                    and pattern[i + 2] == "<":
+                return "\\k<...> (named backreference)"
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(" and pattern.startswith("(?", i):
+            head = pattern[i:i + 4]
+            if head.startswith("(?=") or head.startswith("(?!"):
+                return head[:3] + " (lookahead)"
+            if head.startswith("(?<=") or head.startswith("(?<!"):
+                return head + " (lookbehind)"
+        i += 1
+    return None
