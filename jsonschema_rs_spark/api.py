@@ -82,6 +82,23 @@ def _options(draft=None, validate_formats=None, mask=None, registry=None,
         email_options=email_options, pattern_options=pattern_options)
 
 
+def FancyRegexOptions(backtrack_limit=None, size_limit=None,
+                      dfa_size_limit=None) -> PatternOptions:
+    """jsonschema-py constructor parity (__init__.pyi FancyRegexOptions):
+    the backtracking engine with advisory limits."""
+    return PatternOptions(engine="backtracking",
+                          backtrack_limit=backtrack_limit,
+                          size_limit=size_limit,
+                          dfa_size_limit=dfa_size_limit)
+
+
+def RegexOptions(size_limit=None, dfa_size_limit=None) -> PatternOptions:
+    """jsonschema-py constructor parity (__init__.pyi RegexOptions): the
+    linear-time engine — lookaround/backref patterns fail compilation."""
+    return PatternOptions(engine="linear", size_limit=size_limit,
+                          dfa_size_limit=dfa_size_limit)
+
+
 def validator_for(schema: Any, **kwargs):
     """Compile `schema` into a dataset-ready validator (reference
     validator_for, lib.rs:1469). Returns a CompiledJsonSchema whose
@@ -242,6 +259,8 @@ class meta:
 __all__ = [
     "EmailOptions",
     "PatternOptions",
+    "FancyRegexOptions",
+    "RegexOptions",
     "Registry", "Evaluation", "ValidationError", "validator_for",
     "is_valid", "validate", "iter_errors", "evaluate", "meta",
     "Draft4Validator", "Draft6Validator", "Draft7Validator",

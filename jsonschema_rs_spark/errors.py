@@ -64,6 +64,13 @@ class EmailOptions:
     # accept `Display Name <addr>` (with_display_text); reference
     # default: off
     allow_display_text: bool = False
+    # jsonschema-py constructor parity (__init__.pyi EmailOptions:
+    # require_tld=False): equivalent to minimum_sub_domains >= 2
+    require_tld: bool = False
+
+    @property
+    def effective_minimum_sub_domains(self) -> int:
+        return max(self.minimum_sub_domains, 2 if self.require_tld else 0)
 
     def with_minimum_sub_domains(self, n: int) -> "EmailOptions":
         from dataclasses import replace

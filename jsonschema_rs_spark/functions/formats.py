@@ -215,7 +215,7 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
     quoted = r"\"(?:[ !#-\[\]-~]|\\[ -~]){1,62}\""
     local = "(?:" + dot_atom + "|" + quoted + ")"
     label = _IDN_LABEL if idn else _HOST_LABEL
-    n = max(1, int(getattr(opts, "minimum_sub_domains", 0) or 0))
+    n = max(1, int(getattr(opts, "effective_minimum_sub_domains", 0) or 0))
     host = (r"(?=" + dchar + r"{1,253}" + tail + r")"
             + label + r"(?:\." + label + r"){" + str(n - 1) + r",}")
     alts = [host]

@@ -1,0 +1,113 @@
+"""Offline extended fuzz sweeps — the out-of-band companion to the
+committed seed ranges in tests/test_fuzz_differential.py (variant
+random-schema, seeds 9000+i) and tests/test_fuzz_typed.py (typed
+random-schema, seeds 31000+i). The committed tests pin small fast
+ranges; this script runs arbitrary ranges in one SparkSession so
+hundreds of seeds cost minutes, and prints every mismatching seed with
+the schema and the first differing instances. Bad seeds found here get
+minimized and folded into the committed tests (see ROUND_NOTES).
+
+Usage:
+  python scripts/fuzz_sweep.py variant 40 240      # seeds 9000+40..9000+239
+  python scripts/fuzz_sweep.py typed 25 200        # seeds 31000+25..
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def sweep_variant(start: int, end: int) -> int:
+    from test_fuzz_differential import (gen_schema, gen_value,
+                                        oracle_validator)
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.session import get_spark
+
+    spark = get_spark()
+    bad = 0
+    corners = [1, 1.0, True, [1, 1.0], [1, True], {"a": 1}, [], {}, "",
+               2 ** 53 + 1, 5e-324, -5e-324, [5e-324, 0], 10 ** 25,
+               -1.0, 1e-16]
+    for seed in range(start, end):
+        rng = random.Random(9000 + seed)
+        schema = gen_schema(rng)
+        values = [gen_value(rng) for _ in range(150)] + corners
+        docs = [json.dumps(v) for v in values]
+        try:
+            oracle = oracle_validator(schema)
+            want = [oracle.is_valid(v) for v in values]
+            df = spark.createDataFrame([(d,) for d in docs], "j string")
+            plan = compile_json_schema(schema)
+            got = [r["valid"] for r in
+                   plan.with_validation(df, "j", mode="flag").collect()]
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            print(f"SEED {seed} ERROR {type(exc).__name__}: {exc}\n"
+                  f"  schema={json.dumps(schema)}", flush=True)
+            bad += 1
+            continue
+        mism = [(docs[i], got[i], want[i])
+                for i in range(len(values)) if got[i] != want[i]]
+        if mism:
+            bad += 1
+            print(f"SEED {seed} {len(mism)} MISMATCHES\n"
+                  f"  schema={json.dumps(schema)}\n"
+                  f"  first: {mism[:3]}", flush=True)
+        if seed % 25 == 0:
+            print(f"... seed {seed} done ({bad} bad so far)", flush=True)
+    return bad
+
+
+def sweep_typed(start: int, end: int) -> int:
+    from test_fuzz_typed import N_DOCS, gen_doc_schema
+
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.datagen import documents_df
+    from jsonschema_rs_spark.oracle import clean, oracle_verdicts
+    from jsonschema_rs_spark.session import get_spark
+
+    spark = get_spark()
+    df = documents_df(spark, N_DOCS, violation_pct=30).drop("_vclass") \
+        .select("doc_id", "spans").orderBy("doc_id").cache()
+    instances = [clean(r) for r in df.collect()]
+    bad = 0
+    for seed in range(start, end):
+        rng = random.Random(31000 + seed)
+        schema = gen_doc_schema(rng)
+        try:
+            plan = compile_schema(schema, df.schema)
+            got = [r["valid"] for r in
+                   plan.with_validation(df).orderBy("doc_id").collect()]
+            want = oracle_verdicts(instances, schema)
+        except Exception as exc:  # noqa: BLE001
+            print(f"SEED {seed} ERROR {type(exc).__name__}: {exc}\n"
+                  f"  schema={json.dumps(schema)}", flush=True)
+            bad += 1
+            continue
+        mism = [(instances[i]["doc_id"], got[i], want[i])
+                for i in range(len(got)) if got[i] != want[i]]
+        if mism:
+            bad += 1
+            print(f"SEED {seed} {len(mism)} MISMATCHES\n"
+                  f"  schema={json.dumps(schema)}\n"
+                  f"  first: {mism[:5]}", flush=True)
+        if seed % 25 == 0:
+            print(f"... seed {seed} done ({bad} bad so far)", flush=True)
+    return bad
+
+
+def main():
+    path = sys.argv[1]
+    start, end = int(sys.argv[2]), int(sys.argv[3])
+    bad = (sweep_variant if path == "variant" else sweep_typed)(start, end)
+    print(f"{path} sweep [{start},{end}): {bad} bad seeds")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

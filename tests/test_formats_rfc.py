@@ -320,3 +320,14 @@ def test_idn_email(spark):
     got = _rule_check(spark, "idn-email", cases, options=_email_opts())
     assert got == cases, {k: (got[k], v) for k, v in cases.items()
                           if got[k] != v}
+
+
+def test_email_require_tld_kwarg(spark):
+    """jsonschema-py constructor parity: EmailOptions(require_tld=True)
+    behaves like with_required_tld (__init__.pyi EmailOptions)."""
+    from jsonschema_rs_spark.errors import EmailOptions
+    got = _rule_check(
+        spark, "email",
+        {"simon@localhost": False, "user@example.com": True},
+        options=_email_opts(EmailOptions(require_tld=True)))
+    assert got == {"simon@localhost": False, "user@example.com": True}
