@@ -26,7 +26,8 @@ from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
 from jsonschema_rs_spark.api import (Evaluation, Registry,
-                                     ValidationError, validator_for,
+                                     ValidationError,
+                                     ValidationErrorKind, validator_for,
                                      is_valid, validate, iter_errors,
                                      evaluate, meta,
                                      Draft4Validator, Draft6Validator,
@@ -47,6 +48,7 @@ __all__ = [
     "Evaluation",
     "Registry",
     "ValidationError",
+    "ValidationErrorKind",
     "validator_for",
     "is_valid",
     "validate",

@@ -32,17 +32,170 @@ _DRAFT_INTS = {4: "4", 6: "6", 7: "7",
                201909: "2019-09", 202012: "2020-12"}
 
 
+class _KindBase:
+    """Shared name/value/as_dict surface of every kind instance
+    (jsonschema-py __init__.pyi:215-222)."""
+
+    _kw = ""  # the JSON Schema keyword, set per subclass
+
+    def __init__(self, **payload):
+        for k, v in payload.items():
+            setattr(self, k, v)
+        self._payload = payload
+
+    @property
+    def name(self) -> str:
+        """The JSON Schema keyword that triggered this error."""
+        return self._kw
+
+    @property
+    def value(self):
+        vals = list(self._payload.values())
+        return vals[0] if len(vals) == 1 else (self._payload or None)
+
+    def as_dict(self) -> dict:
+        return dict(self._payload)
+
+    def __repr__(self):
+        inner = ", ".join(f"{k}={v!r}" for k, v in self._payload.items())
+        return f"ValidationErrorKind.{type(self).__name__}({inner})"
+
+
+class ValidationErrorKind:
+    """Typed error kinds — jsonschema-py `ValidationErrorKind`
+    (__init__.pyi:215-334; error.rs ValidationErrorKind variants).
+    `ValidationError.kind` is an instance of one of the inner classes;
+    payloads that are schema-derived (limits, enum options, patterns,
+    formats, expected consts, types, multiples) are reconstructed by
+    resolving the error's schema_path pointer into the schema. Payloads
+    only knowable from the failing instance (anyOf/oneOf sub-contexts,
+    unevaluated* index/name lists beyond the error's own instance_path)
+    are approximated from the error row or left empty — a documented
+    difference from the in-process reference, which holds the instance
+    while building the error."""
+
+
+def _def_kind(name, kw):
+    cls = type(name, (_KindBase,), {"_kw": kw})
+    setattr(ValidationErrorKind, name, cls)
+    return cls
+
+
+for _n, _k in [
+    ("AdditionalItems", "additionalItems"),
+    ("AdditionalProperties", "additionalProperties"),
+    ("AnyOf", "anyOf"), ("Constant", "const"), ("Contains", "contains"),
+    ("ContentEncoding", "contentEncoding"),
+    ("ContentMediaType", "contentMediaType"), ("Custom", "custom"),
+    ("Enum", "enum"), ("ExclusiveMaximum", "exclusiveMaximum"),
+    ("ExclusiveMinimum", "exclusiveMinimum"),
+    ("FalseSchema", "false schema"), ("Format", "format"),
+    ("MaxItems", "maxItems"), ("Maximum", "maximum"),
+    ("MaxLength", "maxLength"), ("MaxProperties", "maxProperties"),
+    ("MinItems", "minItems"), ("Minimum", "minimum"),
+    ("MinLength", "minLength"), ("MinProperties", "minProperties"),
+    ("MultipleOf", "multipleOf"), ("Not", "not"),
+    ("OneOfMultipleValid", "oneOf"), ("OneOfNotValid", "oneOf"),
+    ("Pattern", "pattern"), ("PropertyNames", "propertyNames"),
+    ("Required", "required"), ("Type", "type"),
+    ("UnevaluatedItems", "unevaluatedItems"),
+    ("UnevaluatedProperties", "unevaluatedProperties"),
+    ("UniqueItems", "uniqueItems"),
+]:
+    _def_kind(_n, _k)
+
+
+def _ptr_value(schema, pointer: str):
+    """Resolve a JSON-pointer-style schema_path into `schema`."""
+    node = schema
+    for seg in pointer.lstrip("/").split("/"):
+        if seg == "":
+            continue
+        seg = seg.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(seg)]
+        elif isinstance(node, dict):
+            node = node[seg]
+        else:
+            raise KeyError(seg)
+    return node
+
+
+# keyword -> (kind class name, payload attr) for schema-derived payloads
+_SCHEMA_KINDS = {
+    "maximum": ("Maximum", "limit"),
+    "minimum": ("Minimum", "limit"),
+    "exclusiveMaximum": ("ExclusiveMaximum", "limit"),
+    "exclusiveMinimum": ("ExclusiveMinimum", "limit"),
+    "maxLength": ("MaxLength", "limit"),
+    "minLength": ("MinLength", "limit"),
+    "maxItems": ("MaxItems", "limit"),
+    "minItems": ("MinItems", "limit"),
+    "maxProperties": ("MaxProperties", "limit"),
+    "minProperties": ("MinProperties", "limit"),
+    "multipleOf": ("MultipleOf", "multiple_of"),
+    "enum": ("Enum", "options"),
+    "const": ("Constant", "expected_value"),
+    "pattern": ("Pattern", "pattern"),
+    "format": ("Format", "format"),
+    "contentEncoding": ("ContentEncoding", "content_encoding"),
+    "contentMediaType": ("ContentMediaType", "content_media_type"),
+    "not": ("Not", "schema"),
+}
+_BARE_KINDS = {"contains": "Contains", "uniqueItems": "UniqueItems",
+               "anyOf": "AnyOf", "oneOf": "OneOfNotValid",
+               "propertyNames": "PropertyNames"}
+
+
+def _kind_for(schema, keyword: str, schema_path: str, instance_path: str,
+              message: str):
+    """Best-effort typed kind for an error row (see
+    ValidationErrorKind docstring for the approximation contract)."""
+    try:
+        if keyword in _SCHEMA_KINDS:
+            cls_name, attr = _SCHEMA_KINDS[keyword]
+            val = _ptr_value(schema, schema_path)
+            return getattr(ValidationErrorKind, cls_name)(**{attr: val})
+        if keyword == "type":
+            val = _ptr_value(schema, schema_path)
+            return ValidationErrorKind.Type(
+                types=val if isinstance(val, list) else [val])
+        if keyword == "required":
+            m = None
+            if "'" in message:
+                m = message.split("'")[1]
+            return ValidationErrorKind.Required(property=m)
+        if keyword in ("additionalProperties", "unevaluatedProperties"):
+            cls = ValidationErrorKind.AdditionalProperties \
+                if keyword == "additionalProperties" \
+                else ValidationErrorKind.UnevaluatedProperties
+            name = instance_path.rsplit("/", 1)[-1] if instance_path else ""
+            return cls(unexpected=[name] if name else [])
+        if keyword == "unevaluatedItems":
+            idx = instance_path.rsplit("/", 1)[-1]
+            return ValidationErrorKind.UnevaluatedItems(
+                unexpected=[int(idx)] if idx.isdigit() else [])
+        if keyword in _BARE_KINDS:
+            return getattr(ValidationErrorKind, _BARE_KINDS[keyword])()
+    except Exception:  # noqa: BLE001 — payload resolution is best-effort
+        pass
+    return ValidationErrorKind.Custom(keyword=keyword, message=message)
+
+
 class ValidationError(ValueError):
     """First validation failure, reference-style (jsonschema-py
-    ValidationError: message + instance_path + schema_path)."""
+    ValidationError: message + instance_path + schema_path + typed
+    `kind`)."""
 
     def __init__(self, message: str, instance_path: str = "",
-                 schema_path: str = "", keyword: str = ""):
+                 schema_path: str = "", keyword: str = "",
+                 kind=None):
         super().__init__(message)
         self.message = message
         self.instance_path = instance_path
         self.schema_path = schema_path
         self.keyword = keyword
+        self.kind = kind
 
 
 class Registry:
@@ -169,8 +322,11 @@ def iter_errors(schema: Any, instance: Any,
     compiled = validator_for(schema, **kwargs)
     _, errors = _one_row(compiled, instance)
     for e in errors:
-        yield ValidationError(e["message"], e["instance_path"],
-                              e["schema_path"], e["keyword"])
+        yield ValidationError(
+            e["message"], e["instance_path"], e["schema_path"],
+            e["keyword"],
+            kind=_kind_for(schema, e["keyword"], e["schema_path"],
+                           e["instance_path"], e["message"]))
 
 
 def evaluate(schema: Any, instance: Any, output_format: str = "flag",
@@ -261,7 +417,8 @@ __all__ = [
     "PatternOptions",
     "FancyRegexOptions",
     "RegexOptions",
-    "Registry", "Evaluation", "ValidationError", "validator_for",
+    "Registry", "Evaluation", "ValidationError", "ValidationErrorKind",
+    "validator_for",
     "is_valid", "validate", "iter_errors", "evaluate", "meta",
     "Draft4Validator", "Draft6Validator", "Draft7Validator",
     "Draft201909Validator", "Draft202012Validator",

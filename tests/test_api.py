@@ -142,3 +142,37 @@ def test_evaluation_class_views():
     ok = Evaluation({"properties": {"a": {"type": "integer"}}}, {"a": 1})
     assert ok.valid is True
     assert ok.annotations(), "properties must annotate evaluated names"
+
+
+def test_validation_error_kind(spark):
+    """ValidationError.kind — typed kinds with schema-derived payloads
+    (jsonschema-py __init__.pyi:215-334)."""
+    from jsonschema_rs_spark import ValidationErrorKind, api
+
+    schema = {"type": "object",
+              "properties": {"a": {"maximum": 5}, "b": {"enum": [1, 2]},
+                             "c": {"type": "string"},
+                             "d": {"multipleOf": 2.5},
+                             "e": {"pattern": "^x"},
+                             "f": {"const": "k"},
+                             "g": {"minLength": 3}},
+              "required": ["z"]}
+    inst = {"a": 9, "b": 3, "c": 1, "d": 3, "e": "y", "f": "q", "g": "ab"}
+    kinds = {e.keyword: e.kind for e in api.iter_errors(schema, inst)}
+
+    assert isinstance(kinds["maximum"], ValidationErrorKind.Maximum)
+    assert kinds["maximum"].limit == 5 and kinds["maximum"].value == 5
+    assert kinds["enum"].options == [1, 2]
+    assert kinds["type"].types == ["string"]
+    assert kinds["multipleOf"].multiple_of == 2.5
+    assert kinds["pattern"].pattern == "^x"
+    assert kinds["const"].expected_value == "k"
+    assert kinds["minLength"].limit == 3
+    assert kinds["required"].property == "z"
+    assert kinds["required"].name == "required"
+    assert kinds["maximum"].as_dict() == {"limit": 5}
+
+    # unknown/custom keywords degrade to Custom, never raise
+    errs = list(api.iter_errors({"not": {"const": 1}}, 1))
+    assert isinstance(errs[0].kind,
+                      (ValidationErrorKind.Not, ValidationErrorKind.Custom))
