@@ -154,7 +154,9 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     zip_with per plane against a literal int array (codegen'd)."""
     out = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(s) for s in plane])
+        # one py4j call per plane (F.lit on the whole list), not one
+        # per element — plan-build time is driver-side py4j chatter
+        lit_plane = F.lit(plane)
         d = F.aggregate(
             F.zip_with(vec, lit_plane,
                        lambda x, s: x.cast("double") * s.cast("double")),
@@ -341,15 +343,15 @@ def probe_buckets(vec: Column, planes: list[list[int]],
     """
     dots = F.array(*[
         F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(s) for s in plane]),
+            F.zip_with(vec, F.lit(plane),
                        lambda x, s: x.cast("double") * s.cast("double")),
             F.lit(0.0), lambda acc, v: acc + v)
         for plane in planes
     ])
     base = F.aggregate(
         F.zip_with(dots,
-                   F.array(*[F.lit(1 << i).cast("long")
-                             for i in range(len(planes))]),
+                   F.lit([1 << i for i in range(len(planes))])
+                   .cast("array<long>"),
                    lambda d, m: F.when(d > 0, m)
                    .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
@@ -360,8 +362,7 @@ def probe_buckets(vec: Column, planes: list[list[int]],
         F.sequence(F.lit(0), F.lit(len(planes) - 1)),
         lambda d, i: F.struct(F.abs(d).alias("m"),
                               i.cast("long").alias("i"))))
-    masks = F.array(*[F.lit(1 << j).cast("long")
-                      for j in range(len(planes))])
+    masks = F.lit([1 << j for j in range(len(planes))]).cast("array<long>")
     if max_flip_bits <= 1:
         flips = F.slice(F.transform(ranked, lambda s: s["i"]),
                         1, min(n_probe - 1, len(planes)))
@@ -403,11 +404,71 @@ def probe_buckets(vec: Column, planes: list[list[int]],
         F.transform(seq, lambda c: base.bitwiseXOR(c["x"])))
 
 
+def _probe_walk_py(vec, planes: list[list[int]], n_probe: int,
+                   max_flip_bits: int) -> list[int]:
+    """Pure-Python probe walk, BIT-IDENTICAL to probe_buckets' Column
+    arithmetic: per-plane dots are sequential left-fold double sums
+    (same IEEE op order as F.aggregate — numpy pairwise summation would
+    diverge in the last ulp and reorder near-tie margins), ranking and
+    subset scoring mirror the struct sort keys exactly. Shared by the
+    pUDF fast path and the test mirror."""
+    import itertools
+
+    n = len(planes)
+    dots = []
+    for plane in planes:
+        acc = 0.0
+        for x, s in zip(vec, plane):
+            acc += float(x) * float(s)
+        dots.append(acc)
+    base = sum(1 << i for i, d in enumerate(dots) if d > 0)
+    if n_probe <= 1:
+        return [base]
+    order = sorted(range(n), key=lambda i: (abs(dots[i]), i))
+    if max_flip_bits <= 1:
+        return [base] + [base ^ (1 << i)
+                         for i in order[:min(n_probe - 1, n)]]
+    m = min(n, _PROBE_RANKS)
+    cands = []
+    for r in range(1, min(max_flip_bits, m) + 1):
+        pool = range(1, (n if r == 1 else m) + 1)
+        for subset in itertools.combinations(pool, r):
+            score = 0.0
+            xmask = 0
+            for p in subset:
+                i = order[p - 1]
+                score += abs(dots[i])
+                xmask ^= 1 << i
+            cands.append((score, xmask))
+    seq = sorted(cands)[:min(n_probe - 1, len(cands))]
+    return [base] + [base ^ x for _, x in seq]
+
+
+def probe_buckets_udf(planes: list[list[int]], n_probe: int,
+                      max_flip_bits: int = 1):
+    """Arrow-batched pandas UDF computing the multi-probe walk —
+    value-identical to the pure-Column probe_buckets (pinned by
+    test_round4_fixes' mirror test running BOTH against the Python
+    reference). Exists because the perturbation-set Column expression
+    is enormous: Janino spends ~4-5 s codegen-compiling it even for an
+    8-row query side, while this pUDF runs the identical arithmetic in
+    milliseconds. The QUERY side of ANN is small by construction
+    (queries << corpus), so a Python crossing there costs one Arrow
+    batch; the corpus side stays the codegen'd lsh_bucket Column."""
+    @F.pandas_udf("array<long>")
+    def _probe(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: _probe_walk_py(
+            v, planes, n_probe, max_flip_bits))
+
+    return _probe
+
+
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_planes: int = 8, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "query_id",
-                 n_probe: int = 1, max_flip_bits: int = 1) -> DataFrame:
+                 n_probe: int = 1, max_flip_bits: int = 1,
+                 probe_impl: str = "pudf") -> DataFrame:
     """Approximate top-k: candidates = corpus rows in the SAME hyperplane
     bucket as the query, exact cosine re-rank on candidates only. The
     corpus is bucketed in one projection; the join is an equi-join on
@@ -427,6 +488,13 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       lsh_bucket(F.col(vec_col), planes).alias("bucket"))
     if n_probe <= 1:
         qbucket = lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    elif probe_impl == "pudf":
+        # default: the walk as one Arrow batch over the SMALL query
+        # side — the equivalent Column expression is so large that
+        # Janino codegen alone costs seconds (see probe_buckets_udf)
+        qbucket = F.explode(probe_buckets_udf(
+            planes, n_probe, max_flip_bits)(F.col(vec_col))
+        ).alias("bucket")
     else:
         qbucket = F.explode(probe_buckets(
             F.col(vec_col), planes, n_probe,

@@ -626,3 +626,38 @@ def test_negative_subnormal_typed_path(spark):
     plan = compile_schema(spec, df.schema)
     got = [r["valid"] for r in plan.with_validation(df).collect()]
     assert got == [False, False, True, True, True]
+
+
+def test_probe_pudf_matches_column_and_mirror(spark):
+    """The Arrow pUDF probe walk (the ann_topk_lsh default — the
+    equivalent Column expression costs seconds of Janino codegen) is
+    value-identical to BOTH the pure-Column probe_buckets and the
+    shared Python reference, including multi-bit perturbation sets."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    planes = sim.hyperplane_signs(8, 64)
+    for n_probe, bits in [(4, 1), (8, 2), (16, 3)]:
+        rows = emb.select(
+            "vec_id", "embedding",
+            sim.probe_buckets(F.col("embedding"), planes, n_probe,
+                              max_flip_bits=bits).alias("col_pb"),
+            sim.probe_buckets_udf(planes, n_probe, bits)(
+                F.col("embedding")).alias("udf_pb")).collect()
+        for r in rows:
+            want = sim._probe_walk_py(r["embedding"], planes,
+                                      n_probe, bits)
+            assert list(r["col_pb"]) == want, (n_probe, bits, r["vec_id"])
+            assert list(r["udf_pb"]) == want, (n_probe, bits, r["vec_id"])
+
+
+def test_ann_lsh_mp_pudf_equals_column_plan(spark):
+    """Full ann_topk_lsh results agree between probe_impl variants."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    kw = dict(k=5, n_planes=8, dim=64, n_probe=8, max_flip_bits=2)
+    a = sorted(map(tuple, sim.ann_topk_lsh(
+        emb, q, probe_impl="pudf", **kw).collect()))
+    b = sorted(map(tuple, sim.ann_topk_lsh(
+        emb, q, probe_impl="column", **kw).collect()))
+    assert a == b
