@@ -185,17 +185,20 @@ def _kind_for(schema, keyword: str, schema_path: str, instance_path: str,
 class ValidationError(ValueError):
     """First validation failure, reference-style (jsonschema-py
     ValidationError: message + instance_path + schema_path + typed
-    `kind`)."""
+    `kind` + the failing sub-`instance`; verbose_message aliases
+    message — the engine's messages are single-line)."""
 
     def __init__(self, message: str, instance_path: str = "",
                  schema_path: str = "", keyword: str = "",
-                 kind=None):
+                 kind=None, instance=None):
         super().__init__(message)
         self.message = message
+        self.verbose_message = message
         self.instance_path = instance_path
         self.schema_path = schema_path
         self.keyword = keyword
         self.kind = kind
+        self.instance = instance
 
 
 class Registry:
@@ -322,11 +325,16 @@ def iter_errors(schema: Any, instance: Any,
     compiled = validator_for(schema, **kwargs)
     _, errors = _one_row(compiled, instance)
     for e in errors:
+        try:
+            sub = _ptr_value(instance, e["instance_path"])
+        except Exception:  # noqa: BLE001 — e.g. a missing-property path
+            sub = None
         yield ValidationError(
             e["message"], e["instance_path"], e["schema_path"],
             e["keyword"],
             kind=_kind_for(schema, e["keyword"], e["schema_path"],
-                           e["instance_path"], e["message"]))
+                           e["instance_path"], e["message"]),
+            instance=sub)
 
 
 def evaluate(schema: Any, instance: Any, output_format: str = "flag",

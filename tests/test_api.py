@@ -176,3 +176,18 @@ def test_validation_error_kind(spark):
     errs = list(api.iter_errors({"not": {"const": 1}}, 1))
     assert isinstance(errs[0].kind,
                       (ValidationErrorKind.Not, ValidationErrorKind.Custom))
+
+
+def test_validation_error_instance_field(spark):
+    """ValidationError.instance — the failing sub-instance resolved
+    from instance_path (jsonschema-py __init__.pyi:327-334)."""
+    from jsonschema_rs_spark import api
+    errs = {e.keyword: e for e in api.iter_errors(
+        {"properties": {"a": {"maximum": 5},
+                        "arr": {"items": {"type": "string"}}}},
+        {"a": 9, "arr": ["ok", 7]})}
+    assert errs["maximum"].instance == 9
+    # the engine reports items failures at the ARRAY level (documented
+    # error-cardinality shape), so the sub-instance is the array
+    assert errs["items"].instance == ["ok", 7]
+    assert errs["maximum"].verbose_message == errs["maximum"].message
