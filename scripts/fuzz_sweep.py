@@ -101,10 +101,94 @@ def sweep_typed(start: int, end: int) -> int:
     return bad
 
 
+
+
+def sweep_dialect(start: int, end: int) -> int:
+    """Random 2020-12-grammar schemas compiled under EVERY dialect vs
+    the matching python Draft validators (multipleOf patched to the
+    exact kernel, as in oracle_validator) — cross-checks per-draft
+    keyword-set parity (a draft-4 oracle IGNORING prefixItems must
+    agree with the dialect compiler dropping it)."""
+    import math
+
+    import jsonschema
+    from test_fuzz_differential import gen_schema, gen_value
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+    from jsonschema_rs_spark.functions.numerics import (
+        exact_multiple_of_fraction,
+    )
+    from jsonschema_rs_spark.session import get_spark
+
+    def exact_multiple_of(validator, db, instance, schema_):
+        if isinstance(instance, bool) or \
+                not isinstance(instance, (int, float)):
+            return
+        dbf = float(db)
+        if dbf.is_integer() and abs(dbf) < 2 ** 53 and dbf == int(dbf):
+            if isinstance(instance, int):
+                failed = instance % int(dbf) != 0
+            elif not math.isfinite(instance):
+                failed = True
+            else:
+                failed = math.fmod(instance, dbf) != 0.0
+        else:
+            failed = not exact_multiple_of_fraction(float(instance), db)
+        if failed:
+            yield jsonschema.exceptions.ValidationError(
+                f"{instance} is not a multiple of {db}")
+
+    classes = {"4": jsonschema.Draft4Validator,
+               "6": jsonschema.Draft6Validator,
+               "7": jsonschema.Draft7Validator,
+               "2019-09": jsonschema.Draft201909Validator,
+               "2020-12": jsonschema.Draft202012Validator}
+    patched = {d: jsonschema.validators.extend(
+        c, {"multipleOf": exact_multiple_of}) for d, c in classes.items()}
+
+    spark = get_spark()
+    bad = 0
+    for seed in range(start, end):
+        rng = random.Random(9000 + seed)
+        schema = gen_schema(rng)
+        values = [gen_value(rng) for _ in range(120)]
+        values += [1, 1.0, -3.0, 100.0, 1.5, [1.0, 2], {"a": 2.0},
+                   {"a": 5, "b": 4.0}, 2 ** 53 + 1]
+        docs = [json.dumps(v) for v in values]
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        for draft in classes:
+            try:
+                want = [patched[draft](schema).is_valid(v)
+                        for v in values]
+                plan = compile_json_schema(
+                    schema, ValidationOptions(dialect=draft))
+                got = [r["valid"] for r in plan.with_validation(
+                    df, "j", mode="flag").collect()]
+            except Exception as exc:  # noqa: BLE001
+                print(f"SEED {seed} draft {draft} ERROR "
+                      f"{type(exc).__name__}: {exc}\n"
+                      f"  schema={json.dumps(schema)}", flush=True)
+                bad += 1
+                continue
+            mism = [(docs[i], got[i], want[i])
+                    for i in range(len(values)) if got[i] != want[i]]
+            if mism:
+                bad += 1
+                print(f"SEED {seed} draft {draft} {len(mism)} MISMATCHES\n"
+                      f"  schema={json.dumps(schema)}\n"
+                      f"  first: {mism[:3]}", flush=True)
+        if seed % 10 == 0:
+            print(f"... seed {seed} done ({bad} bad so far)", flush=True)
+    return bad
+
+
 def main():
     path = sys.argv[1]
     start, end = int(sys.argv[2]), int(sys.argv[3])
-    bad = (sweep_variant if path == "variant" else sweep_typed)(start, end)
+    fn = {"variant": sweep_variant, "typed": sweep_typed,
+          "dialect": sweep_dialect}[path]
+    bad = fn(start, end)
     print(f"{path} sweep [{start},{end}): {bad} bad seeds")
     sys.exit(1 if bad else 0)
 
