@@ -304,19 +304,27 @@ def _regex_format_udf():
 def _idn_hostname_udf():
     """RFC 5890 IDN hostname via the `idna` package (import-gated at
     compile time; callers fall back to the approximate Column check when
-    the package is absent). Accepts both U-labels (köln.de) and
-    A-labels (xn--kln-sna.de); rejects bad punycode, bidi violations,
-    and oversized labels — the corners a regex can't express."""
+    the package is absent). Mirrors the reference's UTS46 pipeline
+    (format.rs:778-800: Uts46::to_ascii with STD3 deny list +
+    DnsLength::Verify, non-transitional): uts46=True applies the same
+    case/width mapping ("München.de" is valid, r4 fix — uts46=False
+    rejected mixed-case U-labels the reference maps), and a trailing
+    dot is rejected outright (DnsLength::Verify refuses the empty root
+    label; "example.com." is in the reference's invalid vector list —
+    the former strip-then-check accepted it). Accepts both U-labels
+    (köln.de) and A-labels (xn--kln-sna.de); rejects bad punycode, bidi
+    violations, and oversized labels — the corners a regex can't
+    express."""
     def ok(v):
         import idna
 
-        if v == "":
+        if v == "" or v.endswith("."):
             return False
-        h = v[:-1] if v.endswith(".") else v
         try:
-            idna.encode(h, uts46=False, std3_rules=True)
+            idna.encode(v, uts46=True, std3_rules=True,
+                        transitional=False)
             return True
-        except idna.IDNAError:
+        except (idna.IDNAError, UnicodeError):
             return False
 
     return _str_pred_pandas_udf(ok)

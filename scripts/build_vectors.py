@@ -777,6 +777,11 @@ g("format", "format email rfc5321 (r4)",
    ("user@ex--ample.com", False), ("Name <u@example.com>", False),
    ("user@xn--kln-sna.de", True), ("user@xn--example.com", False)],
   **FMT)
+g("format", "format idn-hostname uts46 (r4)",
+  {"type": "string", "format": "idn-hostname"},
+  [("köln.de", True), ("München.de", True), ("xn--kln-sna.de", True),
+   ("example.com.", False), ("xn--example.com", False),
+   ("exa mple.com", False)], **FMT)
 g("format", "format idn-email (r4)",
   {"type": "string", "format": "idn-email"},
   [("用户@example.com", True), ("user@münchen.de", True),

@@ -78,10 +78,14 @@ def test_idn_hostname_exact(spark):
     cases = {
         "example.com": True,
         "köln.de": True,
+        "München.de": True,              # UTS46 case mapping (r4 fix)
         "xn--kln-sna.de": True,          # valid A-label
         "xn--a": False,                  # invalid punycode
         "-leading.example": False,
         "a" * 64 + ".com": False,        # label > 63 octets
+        "example.com.": False,           # trailing dot (DnsLength rule)
+        "١۲٣.example.com": False,        # mixed arabic-indic digits
+        "۱۲۳.example.com": True,         # uniform ext arabic-indic
         "": False,
     }
     df = spark.createDataFrame([(s,) for s in cases], "s string")
