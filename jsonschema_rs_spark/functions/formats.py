@@ -282,7 +282,10 @@ _COLUMN_FORMATS = {
     "iri": lambda c: c.rlike(_IRI_RE),
     "iri-reference": lambda c: c.rlike(_IRI_REF_RE),
     "uri-template": lambda c: c.rlike(_URI_TEMPLATE_RE),
-    "idn-hostname": lambda c: F.length(c).between(1, 253),  # refined via pUDF
+    # structural approximation (labels 1-63, no leading/trailing hyphen,
+    # no trailing dot); the exact IDNA check is the pUDF in format_rule
+    "idn-hostname": lambda c: c.rlike(
+        r"^(?=.{1,253}$)" + _IDN_LABEL + r"(?:\." + _IDN_LABEL + r")*$"),
 }
 
 
