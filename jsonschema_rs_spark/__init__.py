@@ -19,7 +19,8 @@ crates/jsonschema-py/python/jsonschema_rs/__init__.pyi):
 """
 
 from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
-                                        SchemaError, ValidationOptions)
+                                        ReferencingError, SchemaError,
+                                        ValidationOptions)
 from jsonschema_rs_spark.compiler.compiler import compile_schema
 from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
@@ -40,6 +41,7 @@ __all__ = [
     "CompiledSchema",
     "CompiledJsonSchema",
     "SchemaError",
+    "ReferencingError",
     "ValidationOptions",
     "EmailOptions",
     "PatternOptions",

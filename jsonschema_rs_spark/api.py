@@ -26,7 +26,8 @@ import json
 from typing import Any, Iterator
 
 from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
-                                        SchemaError, ValidationOptions)
+                                        ReferencingError, SchemaError,
+                                        ValidationOptions)
 
 _DRAFT_INTS = {4: "4", 6: "6", 7: "7",
                201909: "2019-09", 202012: "2020-12"}
@@ -422,6 +423,7 @@ class meta:
 
 __all__ = [
     "EmailOptions",
+    "ReferencingError",
     "PatternOptions",
     "FancyRegexOptions",
     "RegexOptions",

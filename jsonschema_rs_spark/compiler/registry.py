@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Any
 from urllib.parse import urldefrag, urljoin
 
-from jsonschema_rs_spark.errors import SchemaError
+from jsonschema_rs_spark.errors import ReferencingError, SchemaError
 
 # keys whose values are data, not schema locations — never walked, so a
 # '$anchor' key inside an enum literal can't poison the registry. Applied
@@ -122,15 +122,15 @@ class RefRegistry:
     def _retrieve(self, uri: str) -> Any:
         """Consult the user retriever for an unknown absolute URI and
         register the returned document (Retriever trait analog,
-        retriever.rs; errors become SchemaError like the reference's
-        Resolve error propagation)."""
+        retriever.rs; errors become ReferencingError — a SchemaError
+        subclass — like the reference's Resolve error propagation)."""
         try:
             doc = self.retriever(uri)
         except Exception as exc:
-            raise SchemaError(
+            raise ReferencingError(
                 f"retriever failed for {uri!r}: {exc}", "$ref") from exc
         if not isinstance(doc, (dict, bool)):
-            raise SchemaError(
+            raise ReferencingError(
                 f"retriever returned a non-schema ({type(doc).__name__}) "
                 f"for {uri!r}", "$ref")
         self._register_resource(uri, doc)
@@ -226,7 +226,7 @@ class RefRegistry:
         if doc is None and self.retriever is not None and target_uri:
             doc = self._retrieve(target_uri)
         if doc is None:
-            raise SchemaError(
+            raise ReferencingError(
                 f"unresolvable $ref {ref!r}: no embedded or registered "
                 f"resource for {target_uri!r} (supply it via "
                 f"ValidationOptions.resources or a compile-time "
@@ -238,7 +238,8 @@ class RefRegistry:
             return self._pointer(doc, frag, ref)
         target = self.anchors.get((urljoin(base, uri) if uri else base, frag))
         if target is None:
-            raise SchemaError(f"unresolvable anchor in $ref {ref!r}", "$ref")
+            raise ReferencingError(
+                f"unresolvable anchor in $ref {ref!r}", "$ref")
         return target
 
     def resolve_dynamic(self, ref: str, referrer: Any) -> Any:

@@ -36,6 +36,14 @@ class SchemaError(ValueError):
         self.message = message
 
 
+class ReferencingError(SchemaError):
+    """$ref-resolution failure — the jsonschema-py `ReferencingError`
+    analog (__init__.pyi:212-213; the referencing crate's Error
+    surfaced through validator builds). Subclasses SchemaError so
+    existing compile-failure handling is unchanged; `message` carries
+    the unresolved-URI detail."""
+
+
 @dataclass(frozen=True)
 class EmailOptions:
     """`format: email` / `format: idn-email` knobs — the analog of the

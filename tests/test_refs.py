@@ -635,3 +635,19 @@ def test_base_uri_differential_vs_jsonschema(spark):
            for r in plan.with_validation(df, "j").select("valid").collect()]
     want = [oracle.is_valid(d) for d in docs]
     assert got == want
+
+
+def test_referencing_error_type():
+    """Resolution failures raise ReferencingError (jsonschema-py
+    __init__.pyi:212-213), a SchemaError subclass."""
+    from jsonschema_rs_spark import ReferencingError
+    with pytest.raises(ReferencingError, match="unresolvable"):
+        compile_json_schema({"$ref": "https://nowhere.test/x.json"})
+    with pytest.raises(ReferencingError, match="retriever failed"):
+        from jsonschema_rs_spark.errors import ValidationOptions
+
+        def boom(uri):
+            raise IOError("nope")
+        compile_json_schema({"$ref": "https://a.test/x.json"},
+                            ValidationOptions(retriever=boom))
+    assert issubclass(ReferencingError, SchemaError)
