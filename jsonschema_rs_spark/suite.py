@@ -68,6 +68,26 @@ def _member_families(name: str) -> list[str]:
     return MERGED_FAMILIES.get(name, [name])
 
 
+def options_from_group(grp: dict) -> ValidationOptions:
+    """ValidationOptions for a vector group: the group's JSON `options`
+    dict, with JSON-able forms of the dataclass options (email_options /
+    pattern_options as kwarg dicts) inflated, and a draft pin compiling
+    under that DIALECT so per-draft keyword applicability is what the
+    vendored expectations certify. Shared by the driver suite queries
+    and tests/test_suite_vectors.py."""
+    opts_kw = dict(grp.get("options", {}))
+    if isinstance(opts_kw.get("email_options"), dict):
+        from jsonschema_rs_spark.errors import EmailOptions
+        opts_kw["email_options"] = EmailOptions(**opts_kw["email_options"])
+    if isinstance(opts_kw.get("pattern_options"), dict):
+        from jsonschema_rs_spark.errors import PatternOptions
+        opts_kw["pattern_options"] = PatternOptions(
+            **opts_kw["pattern_options"])
+    if "dialect" not in opts_kw and "draft" in grp:
+        opts_kw["dialect"] = grp["draft"]
+    return ValidationOptions(**opts_kw)
+
+
 def _family_rows(family: str):
     """[(vid, schema_idx, doc_json, expected)] + the compiled plans.
     `family` may be a merged name (MERGED_FAMILIES) or a raw one."""
@@ -78,13 +98,7 @@ def _family_rows(family: str):
               for grp in load_vectors() if grp["family"] == fam]
     plans, rows, vid = [], [], 0
     for si, grp in enumerate(groups):
-        opts_kw = dict(grp.get("options", {}))
-        if "dialect" not in opts_kw and "draft" in grp:
-            # a group pinned to a draft compiles under that DIALECT, so
-            # per-draft keyword applicability (dialects.py) is what the
-            # vendored python-jsonschema expectations certify
-            opts_kw["dialect"] = grp["draft"]
-        opts = ValidationOptions(**opts_kw)
+        opts = options_from_group(grp)
         plans.append(compile_json_schema(grp["schema"], opts))
         for t in grp["tests"]:
             rows.append((vid, si, json.dumps(t["data"]), bool(t["valid"])))

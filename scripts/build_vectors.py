@@ -782,6 +782,23 @@ g("format", "format idn-hostname uts46 (r4)",
   [("köln.de", True), ("München.de", True), ("xn--kln-sna.de", True),
    ("example.com.", False), ("xn--example.com", False),
    ("exa mple.com", False)], **FMT)
+g("format", "format email with required-TLD EmailOptions (r4)",
+  {"type": "string", "format": "email"},
+  [("simon@localhost", False), ("user@example.com", True)],
+  options={"validate_formats": True,
+           "email_options": {"require_tld": True}}, oracle=False)
+g("format", "format email without domain literals (r4)",
+  {"type": "string", "format": "email"},
+  [("email@[127.0.0.1]", False), ("user@example.com", True)],
+  options={"validate_formats": True,
+           "email_options": {"allow_domain_literal": False}},
+  oracle=False)
+g("format", "format email with display text (r4)",
+  {"type": "string", "format": "email"},
+  [("Name <user@example.com>", True), ("Name <not-an-email>", False),
+   ("user@example.com", True)],
+  options={"validate_formats": True,
+           "email_options": {"allow_display_text": True}}, oracle=False)
 g("format", "format idn-email (r4)",
   {"type": "string", "format": "idn-email"},
   [("用户@example.com", True), ("user@münchen.de", True),

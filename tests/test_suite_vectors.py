@@ -70,12 +70,8 @@ def test_vector(spark, case):
 
     docs = [json.dumps(t["data"]) for t in tests]
     df = spark.createDataFrame([(d,) for d in docs], "j string")
-    opts_kw = dict(case.get("options", {}))
-    if "dialect" not in opts_kw and "draft" in case:
-        # mirror suite.py: a draft-pinned group compiles under that
-        # DIALECT so per-draft applicability is what the vector checks
-        opts_kw["dialect"] = case["draft"]
-    plan = compile_json_schema(schema, ValidationOptions(**opts_kw))
+    from jsonschema_rs_spark.suite import options_from_group
+    plan = compile_json_schema(schema, options_from_group(case))
     got = [r["valid"] for r in
            plan.with_validation(df, "j", mode="flag").collect()]
     want = [t["valid"] for t in tests]
