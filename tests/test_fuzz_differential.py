@@ -247,8 +247,14 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
                    "multiple", "pattern", "nprops", "nitems"]
     deep_groups = ["props", "addprops", "items", "prefix", "contains",
                    "allof", "anyof", "oneof", "not", "ite", "depreq",
-                   "depschemas", "propnames", "unique"]
+                   "depschemas", "propnames", "unique",
+                   # r4 grammar growth: the coverage-walk keywords
+                   "unevalprops", "unevalitems"]
     pool = leaf_groups if depth >= 2 else leaf_groups + deep_groups * 2
+    if depth == 0:
+        # $defs/$ref probes the depth-unroll + registry machinery; only
+        # at the root because "#/$defs/d" is a root-based JSON pointer
+        pool = pool + ["defsref"] * 2
     out: dict = {}
     sub = lambda: gen_schema(rng, depth + 1)  # noqa: E731
     for _ in range(rng.randint(1, 3 if depth == 0 else 2)):
@@ -308,7 +314,10 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
         elif g in ("allof", "anyof", "oneof"):
             kw = {"allof": "allOf", "anyof": "anyOf",
                   "oneof": "oneOf"}[g]
-            out[kw] = [sub() for _ in range(rng.randint(1, 3))]
+            # extend, not assign — defsref/unevalprops may already have
+            # planted an allOf branch this merge round
+            out[kw] = out.get(kw, []) + \
+                [sub() for _ in range(rng.randint(1, 3))]
         elif g == "not":
             out["not"] = sub()
         elif g == "ite":
@@ -328,6 +337,20 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
                  {"pattern": rng.choice(_GS_PATTERNS)}])
         elif g == "unique":
             out["uniqueItems"] = True
+        elif g == "defsref":
+            out["$defs"] = {"d": sub()}
+            out["allOf"] = out.get("allOf", []) + [{"$ref": "#/$defs/d"}]
+        elif g == "unevalprops":
+            # evaluated names come from a SIBLING allOf branch, so the
+            # in-place coverage walk (compiler/unevaluated.py) is what
+            # decides which properties remain unevaluated
+            names = rng.sample(_GS_NAMES, rng.randint(1, 2))
+            out["allOf"] = out.get("allOf", []) + [
+                {"properties": {n: True for n in names}}]
+            out["unevaluatedProperties"] = rng.choice([False, sub()])
+        elif g == "unevalitems":
+            out["prefixItems"] = [sub()]
+            out["unevaluatedItems"] = rng.choice([False, sub()])
     return out
 
 
