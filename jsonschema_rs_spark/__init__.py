@@ -26,7 +26,8 @@ from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
 from jsonschema_rs_spark.plans.plan import CompiledSchema
 from jsonschema_rs_spark.session import get_spark
-from jsonschema_rs_spark.api import (Evaluation, Registry,
+from jsonschema_rs_spark.api import (Evaluation, FancyRegexOptions,
+                                     Registry, RegexOptions,
                                      ValidationError,
                                      ValidationErrorKind, validator_for,
                                      is_valid, validate, iter_errors,
@@ -45,6 +46,8 @@ __all__ = [
     "ValidationOptions",
     "EmailOptions",
     "PatternOptions",
+    "FancyRegexOptions",
+    "RegexOptions",
     "get_spark",
     # jsonschema-py-parity module surface (api.py)
     "Evaluation",

@@ -23,6 +23,7 @@ options.custom_keywords.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Iterator
 
 from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
@@ -162,10 +163,22 @@ def _kind_for(schema, keyword: str, schema_path: str, instance_path: str,
             return ValidationErrorKind.Type(
                 types=val if isinstance(val, list) else [val])
         if keyword == "required":
-            m = None
-            if "'" in message:
-                m = message.split("'")[1]
-            return ValidationErrorKind.Required(property=m)
+            # Anchor on the two known message templates so a property
+            # name containing an apostrophe ("it's") is captured whole;
+            # the quoted form is a repr/json.dumps literal, so decode it
+            # instead of splitting on quotes. None when neither matches.
+            prop = None
+            m = re.match(r"^missing required property (.+)$", message)
+            if m is None:
+                m = re.match(r"^(.+) is a required property$", message)
+            if m is not None:
+                try:
+                    import ast
+                    prop = ast.literal_eval(m.group(1))
+                except (ValueError, SyntaxError):
+                    prop = None
+            return ValidationErrorKind.Required(
+                property=prop if isinstance(prop, str) else None)
         if keyword in ("additionalProperties", "unevaluatedProperties"):
             cls = ValidationErrorKind.AdditionalProperties \
                 if keyword == "additionalProperties" \

@@ -1206,7 +1206,11 @@ def _depth_memo_key(schema: Any, options: ValidationOptions):
     try:
         return (json.dumps(schema, sort_keys=True), options.dialect,
                 options.draft4_integer, options.validate_formats,
-                options.ignore_unknown_formats, options.base_uri)
+                options.ignore_unknown_formats, options.base_uri,
+                # both change generated regex/pUDF plan shape, so they
+                # must key the cached unroll depth (frozen dataclasses,
+                # hashable)
+                options.email_options, options.pattern_options)
     except (TypeError, ValueError):
         return None
 

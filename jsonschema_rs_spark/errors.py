@@ -85,8 +85,11 @@ class EmailOptions:
         return replace(self, minimum_sub_domains=int(n))
 
     def with_no_minimum_sub_domains(self) -> "EmailOptions":
+        # Last-call-wins like the reference's consuming builder: also
+        # clears a constructor-set require_tld=True, which would
+        # otherwise keep effective_minimum_sub_domains at 2.
         from dataclasses import replace
-        return replace(self, minimum_sub_domains=0)
+        return replace(self, minimum_sub_domains=0, require_tld=False)
 
     def with_required_tld(self) -> "EmailOptions":
         from dataclasses import replace

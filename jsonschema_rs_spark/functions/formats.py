@@ -370,8 +370,11 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
             pass  # approximate Column fallback below
     if name == "hostname" and not in_hof:
         # punycode refinement (format.rs:621-646): xn-- labels must
-        # decode to a valid unicode label — only rows CONTAINING an
-        # xn-- label consult the pUDF; plain hostnames stay pure Column
+        # decode to a valid unicode label. Spark does not short-circuit
+        # boolean OR around Python UDFs, so the pUDF column is gated with
+        # F.when: rows WITHOUT an xn-- label feed NULL into the batch
+        # (the predicate maps None -> True without running the decoder)
+        # and only rows containing xn-- pay for the punycode decode.
         try:
             import idna  # noqa: F401
 
@@ -379,7 +382,7 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
             return Rule(
                 "format", sp + "/format", "invalid 'hostname' format",
                 lambda c: c.rlike(_HOSTNAME_RE)
-                & (~c.contains("xn--") | puny(c)), priority=10)
+                & puny(F.when(c.contains("xn--"), c)), priority=10)
         except ImportError:
             pass  # shape-only Column fallback below
     if name in ("email", "idn-email"):
