@@ -246,7 +246,8 @@ def _const_pred(value: Any, v: Column) -> Column:
 
 class VariantCompileContext:
     def __init__(self, root: Any, options: ValidationOptions,
-                 ref_depth_limit: int | None = None):
+                 ref_depth_limit: int | None = None,
+                 depth_strict: bool = False):
         from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.compiler.registry import RefRegistry
         from jsonschema_rs_spark.errors import resolved_ref_depth
@@ -262,6 +263,17 @@ class VariantCompileContext:
         # is already inside (i.e. the unroll actually recursed) — the
         # auto-tuner only measures plans where depth matters at all
         self.saw_ref_cycle = False
+        # set when a $ref site actually HIT the unroll bound (i.e. the
+        # compiled plan has at least one position where beyond-unroll
+        # content exists unchecked) + the schema paths of those sites —
+        # drives on_depth_exhausted (options) observability
+        self.saw_depth_exhaustion = False
+        self.exhausted_sites: list[str] = []
+        # True while compiling the STRICT twin of an "annotate"-mode
+        # plan: exhausted sites compile to a failing rule instead of
+        # being skipped ("fail" mode compiles its ONLY tree this way)
+        self.depth_strict = depth_strict or \
+            options.on_depth_exhausted == "fail"
         # >0 while compiling a subschema whose predicate executes INSIDE
         # a higher-order-function lambda (items/contains/
         # patternProperties/additionalProperties/propertyNames/
@@ -379,6 +391,19 @@ def _compile_variant_body(orig: Any, schema: dict,
                     rules.extend(sub.rules)
                 finally:
                     ctx._ref_depth[kw + ":" + ref] = depth
+            else:
+                # unroll bound reached: record the exhausted site; in a
+                # strict compile a PRESENT value here fails (the rule's
+                # central null guard keeps shallower documents valid),
+                # so depth exhaustion is observable instead of silently
+                # vacuous-true (the reference keeps checking at runtime,
+                # validator.rs:34-52 — this is the compiled-plan analog)
+                ctx.saw_depth_exhaustion = True
+                ctx.exhausted_sites.append(sp + "/" + kw)
+                if ctx.depth_strict:
+                    add(Rule(kw, sp + "/" + kw,
+                             "maximum evaluation depth exceeded",
+                             lambda c: F.lit(False), priority=0))
 
     if "type" in schema:
         ts = schema["type"]
@@ -1207,10 +1232,11 @@ def _depth_memo_key(schema: Any, options: ValidationOptions):
         return (json.dumps(schema, sort_keys=True), options.dialect,
                 options.draft4_integer, options.validate_formats,
                 options.ignore_unknown_formats, options.base_uri,
-                # both change generated regex/pUDF plan shape, so they
-                # must key the cached unroll depth (frozen dataclasses,
-                # hashable)
-                options.email_options, options.pattern_options)
+                # these change generated regex/pUDF/rule plan shape, so
+                # they must key the cached unroll depth (the options are
+                # frozen dataclasses, hashable)
+                options.email_options, options.pattern_options,
+                options.on_depth_exhausted)
     except (TypeError, ValueError):
         return None
 
@@ -1256,6 +1282,123 @@ def _codegen_probe(make_col) -> bool | None:
                 pass
 
 
+_PROBE_IDENTITY_KWS = ("$id", "$anchor", "$dynamicAnchor",
+                       "$recursiveAnchor", "$schema")
+_PROBE_REF_KWS = ("$ref", "$dynamicRef", "$recursiveRef")
+
+
+def _probe_keeps(s: Any) -> bool:
+    """True when a subtree must survive the probe transform: it contains
+    a ref, or resolution identity ($id/anchors) that some ref elsewhere
+    may target, or definitions that could hold either."""
+    if isinstance(s, dict):
+        if any(k in s for k in _PROBE_REF_KWS) \
+                or any(k in s for k in _PROBE_IDENTITY_KWS[:4]):
+            return True
+        return any(_probe_keeps(v) for v in s.values())
+    if isinstance(s, list):
+        return any(_probe_keeps(v) for v in s)
+    return False
+
+
+def _probe_schema(s: Any):
+    """Strip a schema down to its NAVIGATION structure toward $ref
+    sites: applicators that locate sub-instances are kept (with
+    transformed sub-schemas), every assertion keyword is dropped, and
+    branch applicators (anyOf/oneOf/not/if-then-else) are folded into
+    allOf so the probe reaches EVERY position any branch could evaluate
+    (a deliberate over-approximation). Compiled with depth_strict=True,
+    the probe's valid(v) is False exactly when a present value sits at a
+    position beyond the compiled unroll — the depth_exhausted signal —
+    while staying a small fraction of the real tree's size, so the
+    auto-tuned unroll depth is unaffected in practice. Returns None for
+    subtrees that can never reach a ref (pruned)."""
+    if not isinstance(s, dict):
+        return None
+    if not _probe_keeps(s):
+        return None
+    out: dict = {}
+    for kw in _PROBE_IDENTITY_KWS + _PROBE_REF_KWS:
+        if kw in s:
+            out[kw] = s[kw]
+    for kw in ("$defs", "definitions"):
+        if isinstance(s.get(kw), dict):
+            kept = {}
+            for k, v in s[kw].items():
+                t = _probe_schema(v)
+                if t is not None:
+                    kept[k] = t
+            if kept:
+                out[kw] = kept
+    for kw in ("properties", "patternProperties"):
+        if isinstance(s.get(kw), dict):
+            kept = {}
+            for k, v in s[kw].items():
+                t = _probe_schema(v)
+                if t is not None:
+                    kept[k] = t
+            if kept:
+                out[kw] = kept
+    if isinstance(s.get("propertyNames"), dict):
+        t = _probe_schema(s["propertyNames"])
+        if t is not None:
+            out["propertyNames"] = t
+    # every array-element applicator probes ALL elements (positional /
+    # existential semantics widened to universal — over-approximation)
+    elems = []
+    for kw in ("items", "additionalItems", "contains",
+               "unevaluatedItems"):
+        v = s.get(kw)
+        if isinstance(v, dict):
+            t = _probe_schema(v)
+            if t is not None:
+                elems.append(t)
+        elif isinstance(v, list):  # items array form
+            for e in v:
+                t = _probe_schema(e)
+                if t is not None:
+                    elems.append(t)
+    for e in s.get("prefixItems", []) if isinstance(
+            s.get("prefixItems"), list) else []:
+        t = _probe_schema(e)
+        if t is not None:
+            elems.append(t)
+    branches = []
+    if elems:
+        branches.append({"items": elems[0] if len(elems) == 1
+                         else {"allOf": elems}})
+    # additional/unevaluated object values probe ALL values: isolated in
+    # their own allOf branch so no properties siblings exempt keys
+    for kw in ("additionalProperties", "unevaluatedProperties"):
+        if isinstance(s.get(kw), dict):
+            t = _probe_schema(s[kw])
+            if t is not None:
+                branches.append({"additionalProperties": t})
+    # in-place branch applicators: union of all branches
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in s.get(kw, []) if isinstance(s.get(kw), list) else []:
+            t = _probe_schema(sub)
+            if t is not None:
+                branches.append(t)
+    for kw in ("not", "if", "then", "else"):
+        if isinstance(s.get(kw), dict):
+            t = _probe_schema(s[kw])
+            if t is not None:
+                branches.append(t)
+    for kw in ("dependentSchemas", "dependencies"):
+        if isinstance(s.get(kw), dict):
+            for sub in s[kw].values():
+                if isinstance(sub, dict):
+                    t = _probe_schema(sub)
+                    if t is not None:
+                        branches.append(t)
+    if branches:
+        out["allOf"] = branches
+    if list(out) == ["allOf"] and len(branches) == 1:
+        return branches[0]  # collapse the trivial single-branch wrapper
+    return out or None
+
+
 class CompiledJsonSchema:
     """Validator for a JSON-string column. Unparseable JSON is invalid
     (keyword 'json'), mirroring the reference CLI's behavior on malformed
@@ -1279,9 +1422,23 @@ class CompiledJsonSchema:
     def __init__(self, schema: Any,
                  options: ValidationOptions | None = None):
         options = options or ValidationOptions()
+        if options.on_depth_exhausted not in ("annotate", "fail",
+                                              "ignore"):
+            raise SchemaError("on_depth_exhausted must be 'annotate', "
+                              "'fail' or 'ignore'")
         meta_validate(schema)
         self.schema = schema
         self.options = options
+        # "annotate" mode carries a NAVIGATION-ONLY probe tree
+        # (_probe_schema: assertions stripped, branches folded, exhausted
+        # $ref sites fail for present values) so with_validation can emit
+        # depth_exhausted = NOT probe.valid — "a present value sits at a
+        # position beyond the compiled unroll". The probe is a small
+        # fraction of the real tree, but the auto-tuner still measures /
+        # ground-truth-probes the COMBINED plan (see _measured_size).
+        self._node_strict: Node | None = None
+        self._probe_is_reach = True
+        self._dual = options.on_depth_exhausted == "annotate"
         from jsonschema_rs_spark.errors import resolved_ref_depth
         start = resolved_ref_depth(options)
         if options.max_ref_depth is not None:
@@ -1317,16 +1474,79 @@ class CompiledJsonSchema:
                 self.ref_depth = start if not ctx.saw_ref_cycle \
                     else self._PROBE_DEPTH
                 if ctx.saw_ref_cycle:
+                    self._refresh_strict_twin(ctx)
                     ctx = self._autotune_depth(schema, options, start) \
                         or ctx
                 if memo_key is not None:
                     _DEPTH_MEMO[memo_key] = self.ref_depth
         self._contains_sites = list(ctx.contains_sites)
+        # depth-exhaustion observability (options.on_depth_exhausted):
+        # schemas that never exhaust (every non-recursive schema, and
+        # recursive ones on no path past the unroll) carry no twin —
+        # identical plan and output schema as before round 5.
+        self.exhausted_sites = list(ctx.exhausted_sites)
+        if ctx.saw_depth_exhaustion and self._dual \
+                and self._node_strict is None:
+            self._refresh_strict_twin(ctx)
+
+    def _refresh_strict_twin(self, ctx) -> None:
+        """(Re)compile the depth probe to match self.node's depth, or
+        drop it when the current plan has no exhausted sites / the mode
+        doesn't want one. Preferred: the navigation-only probe schema
+        (tiny). Fallback when the transform can't compile (e.g. a ref
+        targets an anchor inside an assertion subtree the transform
+        doesn't walk): the full strict twin of the real schema — bigger,
+        but always compilable."""
+        if not (self._dual and ctx.saw_depth_exhaustion):
+            self._node_strict = None
+            return
+        from dataclasses import replace
+        opts = self.options
+        if opts.resources or opts.retriever is not None:
+            res = {}
+            for u, doc in (opts.resources or {}).items():
+                res[u] = _probe_schema(doc) or {}
+            kw = {"resources": res}
+            if opts.retriever is not None:
+                orig_r = opts.retriever
+                kw["retriever"] = \
+                    lambda uri: (_probe_schema(orig_r(uri)) or {})
+            opts = replace(opts, **kw)
+        try:
+            probe = _probe_schema(self.schema)
+            if probe is None:
+                raise SchemaError("probe pruned to nothing")
+            pctx = VariantCompileContext(probe, opts,
+                                         ref_depth_limit=self.ref_depth,
+                                         depth_strict=True)
+            node = compile_variant(probe, pctx, "")
+            if not pctx.saw_depth_exhaustion:
+                # the transform lost the exhausting path (e.g. a ref
+                # under a keyword it doesn't walk) — probe would be
+                # silently signal-free; use the always-faithful twin
+                raise SchemaError("probe lost the exhausted site")
+            self._node_strict = node
+            # reachability semantics: ¬probe.valid = "present value at
+            # a beyond-unroll position"
+            self._probe_is_reach = True
+        except Exception:
+            sctx = VariantCompileContext(self.schema, self.options,
+                                         ref_depth_limit=self.ref_depth,
+                                         depth_strict=True)
+            self._node_strict = compile_variant(self.schema, sctx, "")
+            # twin semantics: (lenient != strict) = "the verdict is not
+            # determined by the checked portion"
+            self._probe_is_reach = False
 
     def _measured_size(self) -> int | None:
         try:
-            return len(self.node.valid(
-                F.try_parse_json(F.lit("{}")))._jc.toString())
+            probe = F.try_parse_json(F.lit("{}"))
+            size = len(self.node.valid(probe)._jc.toString())
+            if self._node_strict is not None:
+                # the runtime plan evaluates BOTH trees (valid +
+                # depth_exhausted), so the codegen budget must too
+                size += len(self._node_strict.valid(probe)._jc.toString())
+            return size
         except Exception:
             return None  # no JVM to measure against (e.g. Connect) —
             # keep the current depth; runtime fallback still works
@@ -1340,7 +1560,9 @@ class CompiledJsonSchema:
         plan; returns the ctx of the last recompile (None = the
         _PROBE_DEPTH ctx from __init__ stands)."""
         tuned = None
-        accepted = None  # (node, depth, ctx) of the last known-good plan
+        # (node, depth probe, probe kind, depth, ctx) of the last
+        # known-good plan
+        accepted = None
         depth = self.ref_depth
         while True:
             size = self._measured_size()
@@ -1351,15 +1573,18 @@ class CompiledJsonSchema:
             elif size >= self._CODEGEN_HARD_CHARS:
                 ok = False
             else:
-                ok = _codegen_probe(self.valid_column) is not False
+                ok = _codegen_probe(self._probe_column) is not False
             if ok:
                 if depth >= start:
                     return tuned
-                accepted = (self.node, depth, tuned)
+                accepted = (self.node, self._node_strict,
+                            getattr(self, "_probe_is_reach", True),
+                            depth, tuned)
                 depth += 1
             else:
                 if accepted is not None:
-                    self.node, self.ref_depth, tuned = accepted
+                    (self.node, self._node_strict, self._probe_is_reach,
+                     self.ref_depth, tuned) = accepted
                     return tuned
                 if depth <= 1:
                     return tuned
@@ -1368,6 +1593,18 @@ class CompiledJsonSchema:
                                           ref_depth_limit=depth)
             self.node = compile_variant(schema, tuned, "")
             self.ref_depth = depth
+            self._refresh_strict_twin(tuned)
+
+    def _probe_column(self, json_col: Column) -> Column:
+        """The column the ground-truth codegen probe compiles: the full
+        runtime surface — valid alone, or (valid, depth_exhausted) as a
+        struct when the plan carries the strict twin (a bare struct
+        output keeps both children in codegen; only struct(...).field
+        gets simplified away)."""
+        if self._node_strict is None:
+            return self.valid_column(json_col)
+        return F.struct(self.valid_column(json_col).alias("v"),
+                        self.depth_exhausted_column(json_col).alias("d"))
 
     def _msg_ctx(self):
         """Message-decorator scope: masked_with analog (error.rs:496-516;
@@ -1393,6 +1630,27 @@ class CompiledJsonSchema:
             .when(v.isNull(), F.lit(False)) \
             .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
 
+    def depth_exhausted_column(self, json_col: Column) -> Column:
+        """True when the document has content the compiled plan did not
+        check: a present value at a position beyond the unroll
+        (reachability probe), or — on the strict-twin fallback — when
+        the lenient and strict verdicts disagree. Only meaningful in
+        "annotate" mode on schemas with exhausted $ref sites; False
+        otherwise (including every document shallower than the unroll —
+        the failing rule's null guard keeps those agreeing)."""
+        if self._node_strict is None:
+            return F.lit(False)
+        v = F.try_parse_json(json_col)
+        return F.when(json_col.isNull() | v.isNull(), F.lit(False)) \
+            .otherwise(self._depth_signal(
+                v, F.coalesce(self.node.valid(v), F.lit(False))))
+
+    def _depth_signal(self, v: Column, lenient_valid: Column) -> Column:
+        probe = F.coalesce(self._node_strict.valid(v), F.lit(False))
+        if self._probe_is_reach:
+            return ~probe
+        return lenient_valid != probe
+
     def errors_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
         with self._msg_ctx():
@@ -1412,12 +1670,24 @@ class CompiledJsonSchema:
             .withColumn("__vt", F.schema_of_variant(F.col("__v")))
         jc, v = F.col(json_col), F.col("__v")
         _vt_stage().append((v, F.col("__vt")))
+
+        def _depth_col(valid_col):
+            # annotate-mode observability over the staged variant; the
+            # already-computed `valid` column feeds the strict-twin
+            # fallback so only the probe tree is added to the plan
+            return F.when(jc.isNull() | v.isNull(), F.lit(False)) \
+                .otherwise(self._depth_signal(v, valid_col))
+
         try:
             if mode == "flag":
                 valid = F.when(jc.isNull(), F.lit(True)) \
                     .when(v.isNull(), F.lit(False)) \
                     .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
-                return staged.withColumn("valid", valid).drop("__v", "__vt")
+                out = staged.withColumn("valid", valid)
+                if self._node_strict is not None:
+                    out = out.withColumn(
+                        "depth_exhausted", _depth_col(F.col("valid")))
+                return out.drop("__v", "__vt")
             # two context weights (validator.rs:106-109): the boolean plan
             # decides validity; error construction only runs on failing rows
             valid = F.when(jc.isNull(), F.lit(True)) \
@@ -1430,7 +1700,11 @@ class CompiledJsonSchema:
                           one_error(F.lit(""), "", "json",
                                     "invalid JSON document")) \
                     .otherwise(self.node.errors(v, F.lit("")))
-            return out.withColumn("errors", errs).drop("__v", "__vt")
+            out = out.withColumn("errors", errs)
+            if self._node_strict is not None:
+                out = out.withColumn(
+                    "depth_exhausted", _depth_col(F.col("valid")))
+            return out.drop("__v", "__vt")
         finally:
             _vt_stage().pop()
 

@@ -206,6 +206,25 @@ class ValidationOptions:
     # instead of the value — the masked_with analog (error.rs:496-516).
     message_values: bool = False
     max_ref_depth: int | None = None
+    # what happens when an instance reaches BEYOND the compiled unroll
+    # depth of a recursive $ref (the engine's one structural deviation
+    # from the reference's runtime cycle handling, validator.rs:34-52):
+    # - "annotate" (default): validity keeps the spec's vacuous-true for
+    #   the unchecked tail, but the plan carries a second, strict
+    #   valid tree and with_validation() appends a `depth_exhausted`
+    #   boolean = (lenient verdict != strict verdict), i.e. "this row's
+    #   pass/fail verdict is NOT determined by the checked portion of
+    #   the document". Schemas that never exhaust (including every
+    #   non-recursive schema) compile exactly as before and append
+    #   nothing.
+    # - "fail": beyond-unroll content fails its sub-schema — a present
+    #   value at an exhausted site emits a '$ref' error row
+    #   "maximum evaluation depth exceeded" and flags the row invalid
+    #   (conservative: never silently accepts unchecked content; note
+    #   that under `not`/`oneOf` the polarity inverts like any failing
+    #   sub-schema would).
+    # - "ignore": the pre-round-5 behavior (silent vacuous-true).
+    on_depth_exhausted: str = "annotate"
     draft4_integer: bool = False
     # UNUSED since round 3: multipleOf is decided by the exact rational
     # kernel (functions/numerics.py) on every path; kept so existing

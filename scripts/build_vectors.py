@@ -464,6 +464,39 @@ g("ref", "recursive list via $defs self-ref",
                                      "next": {"$ref": "#/$defs/node"}}}}},
   [({"v": 1}, True), ({"v": 1, "next": {"v": 2}}, True),
    ({"v": 1, "next": {"v": "x"}}, False), ({"v": 1, "next": {}}, False)])
+def _chain(depth, bad_at=None):
+    doc = None
+    for i in reversed(range(depth)):
+        v = "oops" if bad_at == i else i
+        doc = {"v": v, **({"next": doc} if doc is not None else {})}
+    return doc
+
+
+_CHAIN_SCHEMA = {"$ref": "#/$defs/node",
+                 "$defs": {"node": {
+                     "type": "object", "required": ["v"],
+                     "properties": {"v": {"type": "integer"},
+                                    "next": {"$ref": "#/$defs/node"}}}}}
+
+g("ref", "depth exhaustion: deep violations caught under fail mode",
+  _CHAIN_SCHEMA,
+  # unroll=3 checks nodes 1-3; node 4+ is beyond. fail mode rejects any
+  # present beyond-unroll content, so deep violations (python-jsonschema
+  # agrees: invalid) can no longer pass vacuously-true
+  [(_chain(2), True), (_chain(3), True),
+   (_chain(3, bad_at=2), False),
+   (_chain(8, bad_at=7), False), (_chain(8, bad_at=3), False)],
+  options={"max_ref_depth": 3, "on_depth_exhausted": "fail"})
+g("ref", "depth exhaustion: fail mode conservatively rejects deep-valid",
+  _CHAIN_SCHEMA,
+  # python-jsonschema recurses to the real depth and calls this valid;
+  # fail mode trades that for never silently accepting unchecked
+  # content — a deliberate, documented divergence (hence oracle: false;
+  # hand-verified and pinned by the engine's own driver oracle)
+  [(_chain(8), False), (_chain(4), False), (_chain(3), True)],
+  options={"max_ref_depth": 3, "on_depth_exhausted": "fail"},
+  oracle=False)
+
 g("ref", "$dynamicRef recursive tree",
   {"$id": "https://example.com/tree", "$dynamicAnchor": "node",
    "type": "object", "required": ["data"],

@@ -53,6 +53,134 @@ def test_required_kind_property_extraction(message, want):
     assert kind.property == want
 
 
+# -- recursive-$ref depth exhaustion is observable (VERDICT r4 #1) ----------
+
+
+CHAIN_SCHEMA = {"$ref": "#/$defs/node",
+                "$defs": {"node": {
+                    "type": "object", "required": ["v"],
+                    "properties": {"v": {"type": "integer"},
+                                   "next": {"$ref": "#/$defs/node"}}}}}
+
+
+def _chain(depth, bad_at=None):
+    import json
+    doc = None
+    for i in reversed(range(depth)):
+        v = "oops" if bad_at == i else i
+        doc = {"v": v, **({"next": doc} if doc is not None else {})}
+    return json.dumps(doc)
+
+
+def _depth_plan(mode, depth=3):
+    from jsonschema_rs_spark import compile_json_schema
+    return compile_json_schema(CHAIN_SCHEMA, ValidationOptions(
+        max_ref_depth=depth, on_depth_exhausted=mode))
+
+
+def test_depth_annotate_flags_unchecked_content(spark):
+    """Default mode: validity keeps the spec's vacuous-true, but every
+    row whose content goes beyond the unroll carries
+    depth_exhausted=true — checked-true and vacuous-true are now
+    distinguishable per row."""
+    plan = _depth_plan("annotate")
+    df = spark.createDataFrame(
+        [("within", _chain(3)), ("beyond_ok", _chain(8)),
+         ("beyond_bad", _chain(8, bad_at=7)),
+         ("checked_bad", _chain(2, bad_at=1))],
+        "name string, doc string")
+    got = {r["name"]: (r["valid"], r["depth_exhausted"])
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"within": (True, False),
+                   "beyond_ok": (True, True),
+                   "beyond_bad": (True, True),
+                   "checked_bad": (False, False)}
+
+
+def test_depth_fail_rejects_beyond_unroll(spark):
+    plan = _depth_plan("fail")
+    df = spark.createDataFrame(
+        [("within", _chain(3)), ("beyond_ok", _chain(8))],
+        "name string, doc string")
+    out = plan.with_validation(df, "doc", mode="verbose")
+    assert "depth_exhausted" not in out.columns  # fail mode: one tree
+    got = {r["name"]: r for r in out.collect()}
+    assert got["within"]["valid"] is True
+    assert got["beyond_ok"]["valid"] is False
+    errs = got["beyond_ok"]["errors"]
+    assert any(e["keyword"] == "$ref"
+               and e["message"] == "maximum evaluation depth exceeded"
+               for e in errs)
+
+
+def test_depth_ignore_keeps_r4_behavior(spark):
+    plan = _depth_plan("ignore")
+    assert plan._node_strict is None
+    df = spark.createDataFrame([("x", _chain(8, bad_at=7))],
+                               "name string, doc string")
+    out = plan.with_validation(df, "doc")
+    assert "depth_exhausted" not in out.columns
+    assert out.collect()[0]["valid"] is True
+
+
+def test_depth_nonrecursive_schema_is_unchanged(spark):
+    """No exhausted sites → no probe tree, no extra column: identical
+    plan and output schema as before round 5 (zero cost on the hot
+    path)."""
+    from jsonschema_rs_spark import compile_json_schema
+    plan = compile_json_schema({"properties": {"n": {"type": "integer"}}})
+    assert plan._node_strict is None
+    df = spark.createDataFrame([('{"n": 1}',)], "doc string")
+    assert "depth_exhausted" not in plan.with_validation(df, "doc").columns
+
+
+def test_depth_probe_is_small_and_reachability():
+    """The navigation-only probe must stay a fraction of the real tree
+    so it never drags the auto-tuned unroll down."""
+    from pyspark.sql import functions as F
+    plan = _depth_plan("annotate")
+    assert plan._probe_is_reach
+    pr = F.try_parse_json(F.lit("{}"))
+    lenient = len(plan.node.valid(pr)._jc.toString())
+    probe = len(plan._node_strict.valid(pr)._jc.toString())
+    assert probe < lenient / 2
+
+
+def test_depth_annotate_auto_depth_not_reduced(spark):
+    """The probe must not shrink the auto-tuned unroll vs ignore mode."""
+    from jsonschema_rs_spark import compile_json_schema
+    d_ign = compile_json_schema(
+        CHAIN_SCHEMA, ValidationOptions(on_depth_exhausted="ignore"))
+    d_ann = compile_json_schema(
+        CHAIN_SCHEMA, ValidationOptions(on_depth_exhausted="annotate"))
+    assert d_ann.ref_depth == d_ign.ref_depth
+
+
+def test_probe_schema_transform_prunes_and_keeps():
+    from jsonschema_rs_spark.compiler.variant import _probe_schema
+    # ref-free subtrees prune away entirely
+    assert _probe_schema({"type": "object",
+                          "properties": {"a": {"type": "string"}}}) is None
+    # navigation to refs survives; assertions are dropped; anchors kept
+    p = _probe_schema({
+        "type": "object", "required": ["a"],
+        "properties": {"a": {"$ref": "#/$defs/t"}, "b": {"minimum": 3}},
+        "$defs": {"t": {"$anchor": "t", "type": "integer"}}})
+    assert p == {"$defs": {"t": {"$anchor": "t"}},
+                 "properties": {"a": {"$ref": "#/$defs/t"}}}
+    # branch applicators fold into allOf; contains widens to items
+    p2 = _probe_schema({"anyOf": [{"contains": {"$ref": "#/x"}},
+                                  {"const": 3}]})
+    assert p2 == {"items": {"$ref": "#/x"}}
+
+
+def test_depth_invalid_mode_rejected():
+    from jsonschema_rs_spark import SchemaError, compile_json_schema
+    with pytest.raises(SchemaError):
+        compile_json_schema({"type": "object"},
+                            ValidationOptions(on_depth_exhausted="bogus"))
+
+
 def test_depth_memo_key_covers_email_and_pattern_options():
     schema = {"type": "string", "format": "email"}
     base = ValidationOptions()
