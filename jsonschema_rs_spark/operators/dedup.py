@@ -406,25 +406,32 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 20,
-                         algorithm: str = "propagate") -> DataFrame:
+                         algorithm: str = "auto") -> DataFrame:
     """(id, component) where component = min id in the cluster.
 
-    algorithm="propagate" (default): iterative min-label propagation —
-    each round every node adopts the smallest label in its neighborhood;
-    converges in O(diameter) rounds (near-dup clusters are tiny, so
-    typically 2-4). Per round: one groupBy shuffle over the edge list.
-    Warns if max_iterations is exhausted before the fixpoint (possible
-    on pathological long chains — switch to "star" there).
+    algorithm="auto" (default): min-label propagation, and if it fails
+    to reach its fixpoint within max_iterations (adversarial long-chain
+    graphs whose diameter exceeds the budget), AUTOMATICALLY rerun with
+    star contraction instead of returning possibly-split labels — no
+    judgment call left to the caller. Near-dup clusters converge in 2-4
+    propagate rounds, so the star fallback almost never fires.
+
+    algorithm="propagate": iterative min-label propagation — each round
+    every node adopts the smallest label in its neighborhood; converges
+    in O(diameter) rounds. Per round: one groupBy shuffle over the edge
+    list. Warns (only) if max_iterations is exhausted.
 
     algorithm="star": alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — O(log n) rounds independent of diameter, two groupBy
     shuffles per round. The scale path for adversarial graph shapes
     (templated-document chains whose diameter grows with corpus size).
-    Both return identical labels at the fixpoint.
+    All return identical labels at the fixpoint.
 
     Used by curate(strategy='cc') to keep exactly one doc per duplicate
     CLUSTER (greedy pair-drop can over-delete chains a-b, b-c)."""
+    if algorithm not in ("auto", "propagate", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "star":
         return _connected_components_star(pairs, id_a, id_b, max_iterations)
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -460,6 +467,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         else:
             labels = updated.localCheckpoint(eager=True)
     if not converged and max_iterations > 1:
+        if algorithm == "auto":
+            # don't hand back possibly-split labels: the star path is
+            # O(log n) rounds regardless of diameter, so it finishes
+            # where propagation's O(diameter) budget ran out
+            logging.getLogger(__name__).info(
+                "connected_components: propagation hit the %d-iteration "
+                "budget; switching to star contraction.", max_iterations)
+            # star needs ~log2(n) rounds — don't inherit a propagate
+            # budget that was sized (too small) for O(diameter) rounds
+            return _connected_components_star(pairs, id_a, id_b,
+                                              max(max_iterations, 20))
         logging.getLogger(__name__).warning(
             "connected_components: min-label propagation did NOT converge "
             "within %d iterations — labels may split true components. Use "

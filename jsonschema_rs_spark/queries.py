@@ -486,16 +486,20 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster labels: connected components (iterative
-    min-label propagation, dedup.connected_components) over the same
-    threshold-adaptive MinHash near-dup pairs as minhash_pairs. The
-    DuckDB oracle computes the min-label fixpoint exactly via a
-    recursive transitive-closure CTE, so a green row certifies the
-    distributed propagation loop converged to the true components."""
+    """Duplicate-cluster labels: connected components via alternating
+    large-star/small-star contraction (dedup._connected_components_star,
+    Kiveris et al. SoCC'14 — the O(log n)-rounds 100 TB path,
+    diameter-independent) over the same threshold-adaptive MinHash
+    near-dup pairs as minhash_pairs. The DuckDB oracle computes the
+    min-label fixpoint exactly via a recursive transitive-closure CTE,
+    so a green row certifies the distributed star fixpoint equals the
+    true components. (The propagate path is differential-tested against
+    star and a union-find in pytest; `auto` runs propagate and falls
+    back to star on non-convergence.)"""
     docs = _read_wide(spark, sf_dir, "documents")
     pairs = dd.minhash_near_duplicates(docs, num_hashes="auto",
                                        threshold=0.5)
-    return dd.connected_components(pairs)
+    return dd.connected_components(pairs, algorithm="star")
 
 
 def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -311,8 +311,14 @@ def test_connected_components_star_long_chain(spark):
     assert star == {i: 0 for i in range(120)}
     prop = {r["id"]: r["component"]
             for r in dd.connected_components(
-                pairs, max_iterations=5).collect()}
+                pairs, max_iterations=5, algorithm="propagate").collect()}
     assert prop != star  # propagation genuinely can't finish in 5 rounds
+    # default "auto" must NOT hand back those split labels: it detects
+    # the blown budget and reruns via star contraction
+    auto = {r["id"]: r["component"]
+            for r in dd.connected_components(
+                pairs, max_iterations=5).collect()}
+    assert auto == star
 
 
 def test_connected_components_star_random_vs_union_find(spark):
