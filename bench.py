@@ -199,34 +199,49 @@ def main() -> None:
     medians["validate_interleaved"] = round(t_flag_med, 4)
     parity = verdict_parity(spark, 5000)
 
+    skew = skew_checks(spark, N_DOCS)
+
     total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline suite wall-clock (validation + table checks + "
-                  "pipeline ops); docs_per_sec = flag-mode validation "
-                  f"throughput on {N_DOCS} generated interleaved docs "
-                  "(best-of-6; *_median keys carry the typical case)",
+    # the driver's artifact capture keeps only the TAIL of stdout, so
+    # the printed line must stay compact or its head (metric/value) is
+    # lost (exactly what happened to BENCH_r04.json: "parsed": null).
+    # Headline = required keys + best-of per-query secs; everything
+    # else (medians, flagship samples, parity detail, estimator notes)
+    # goes to BENCH_DETAIL.json next to this script.
+    headline = {
+        "metric": "suite wall-clock; docs_per_sec = flag-mode "
+                  "validation best-of-6",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_median": medians,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # labeled estimators (ADVICE r3): best-of-N rejects this box's
-        # co-tenant stalls; median shows what a typical pass costs
         "docs_per_sec": round(N_DOCS / t_flag),
-        "docs_per_sec_estimator": "best-of-6",
         "docs_per_sec_median": round(N_DOCS / t_flag_med),
-        "flagship_samples_sec": [round(s, 4) for s in flag_samples],
         "n_docs": N_DOCS,
         "cpus": CPUS,
-        "verdict_parity": parity,
-        "skew_checks": skew_checks(spark, N_DOCS),
+        "parity": parity["match_rate"],
+        "detail": "BENCH_DETAIL.json",
     }
+    detail = dict(headline)
+    detail.update({
+        "queries_median": medians,
+        # labeled estimators (ADVICE r3): best-of-N rejects this box's
+        # co-tenant stalls; median shows what a typical pass costs
+        "docs_per_sec_estimator": "best-of-6",
+        "flagship_samples_sec": [round(s, 4) for s in flag_samples],
+        "verdict_parity": parity,
+        "skew_checks": skew,
+    })
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         import scaling_bench
-        out["scaling"] = scaling_bench.measure(N_DOCS)
+        detail["scaling"] = scaling_bench.measure(N_DOCS)
 
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    print(json.dumps(headline, separators=(",", ":")))
 
 
 if __name__ == "__main__":
