@@ -231,6 +231,28 @@ def build_bounds(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
 
 
 def build_multiple_of(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
+    rules = _build_multiple_of_rules(schema, dt, ctx, sp)
+    m = schema["multipleOf"]
+    if (rules
+            and getattr(ctx.options, "multiple_of_semantics",
+                        "spec") == "reference"
+            and isinstance(m, float) and not m.is_integer()):
+        # reference-quirk mode (ext/numeric.rs:62-86
+        # is_multiple_of_float): a positive FRACTIONAL divisor fast-
+        # bails `value < multiple -> false`, which rejects every
+        # negative value. Spec semantics (the default) judge by exact
+        # rational divisibility like python-jsonschema; this opt-in
+        # pins migration parity with the reference crate instead.
+        # Equivalent closed form: exact-multiple AND value >= 0 (zero
+        # passes both ways; 0 < value < multiple is already non-
+        # multiple under the exact kernel).
+        for r in rules:
+            r.pred = (lambda p: lambda c: p(c) & (c >= 0))(r.pred)
+    return rules
+
+
+def _build_multiple_of_rules(schema: dict, dt: T.DataType, ctx,
+                             sp: str) -> list[Rule]:
     if not is_numeric(dt):
         return []
     m = schema["multipleOf"]

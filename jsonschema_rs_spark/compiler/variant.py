@@ -489,8 +489,14 @@ def _compile_variant_body(orig: Any, schema: dict,
     if "multipleOf" in schema:
         mraw = schema["multipleOf"]
 
+        _mo_quirk = (getattr(ctx.options, "multiple_of_semantics",
+                             "spec") == "reference"
+                     and isinstance(mraw, float)
+                     and not mraw.is_integer())
+
         def mult_pred(v: Column, mraw=mraw,
-                      in_hof=ctx.hof_depth > 0) -> Column:
+                      in_hof=ctx.hof_depth > 0,
+                      quirk=_mo_quirk) -> Column:
             # EXACT path (reference BigFraction kernel,
             # ext/numeric.rs:62-86): exact rational divisibility of the
             # value's shortest-decimal form — a JSON number's decimal
@@ -585,6 +591,11 @@ def _compile_variant_body(orig: Any, schema: dict,
                 # corner deviation for nested values like 5e-324)
                 ok = exact_multiple_of_double(
                     d, mraw, fraction_fallback=not in_hof)
+            if quirk:
+                # reference-quirk mode (ext/numeric.rs:62-86): positive
+                # fractional divisors reject every negative value —
+                # see keywords.build_multiple_of for the rationale
+                ok = ok & (d >= 0)
             return ~_is_number(v) | F.coalesce(ok, F.lit(False))
 
         add(Rule("multipleOf", sp + "/multipleOf", "not a multiple",
@@ -1236,7 +1247,7 @@ def _depth_memo_key(schema: Any, options: ValidationOptions):
                 # they must key the cached unroll depth (the options are
                 # frozen dataclasses, hashable)
                 options.email_options, options.pattern_options,
-                options.on_depth_exhausted)
+                options.on_depth_exhausted, options.multiple_of_semantics)
     except (TypeError, ValueError):
         return None
 

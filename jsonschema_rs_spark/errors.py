@@ -230,6 +230,14 @@ class ValidationOptions:
     # kernel (functions/numerics.py) on every path; kept so existing
     # callers constructing options with this field don't break
     float_multiple_rel_tol: float = 1e-9
+    # "spec" (default): multipleOf judges negative values by exact
+    # rational divisibility, like python-jsonschema and the written
+    # spec. "reference": pin migration parity with the reference
+    # crate's float validator, which fast-bails `value < multiple ->
+    # false` for positive FRACTIONAL divisors and so rejects every
+    # negative value (ext/numeric.rs:62-86 is_multiple_of_float) —
+    # a deliberate, documented reference quirk.
+    multiple_of_semantics: str = "spec"
     custom_keywords: dict = field(default_factory=dict)
     custom_formats: dict = field(default_factory=dict)
     # str -> bool callables keyed by encoding/media-type name, batched

