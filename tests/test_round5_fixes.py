@@ -189,3 +189,34 @@ def test_depth_memo_key_covers_email_and_pattern_options():
     k1 = _depth_memo_key(schema, base)
     k2 = _depth_memo_key(schema, with_email)
     assert k1 is not None and k2 is not None and k1 != k2
+
+
+# -- draft-4 big-fraction-form residual: verified parser-level (r4 #7) -------
+
+
+def test_draft4_big_fraction_form_normalized(spark):
+    """VERDICT r4 asked to probe 'the preserved decimal scale (scale>0 =>
+    fraction form)' for fraction forms beyond int64. The probe does not
+    exist: Spark's variant parser normalizes trailing fractional zeros,
+    so the integer and fraction lexical forms parse to IDENTICAL
+    variants (same type string, same bytes). This pins the evidence —
+    if a future Spark preserves the scale, this test fails and the
+    residual becomes fixable in _is_integer_strict."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("18446744073709551615", "18446744073709551615.0")],
+        "a string, b string")
+    r = df.select(
+        F.schema_of_variant(F.try_parse_json("a")).alias("ta"),
+        F.schema_of_variant(F.try_parse_json("b")).alias("tb"),
+        (F.try_parse_json("a").cast("string")
+         == F.try_parse_json("b").cast("string")).alias("same_render"),
+    ).collect()[0]
+    assert r["ta"] == r["tb"] == "DECIMAL(20,0)"
+    assert r["same_render"]
+    # and within int64 the lexical class IS preserved (the r4 fix):
+    r2 = df.select(
+        F.schema_of_variant(F.try_parse_json(F.lit("7"))).alias("i"),
+        F.schema_of_variant(F.try_parse_json(F.lit("7.0"))).alias("f"),
+    ).collect()[0]
+    assert r2["i"] == "BIGINT" and r2["f"] == "DECIMAL(1,0)"
