@@ -205,14 +205,20 @@ _IDN_LABEL = r"(?:(?!-)[^\x00-\x20\x7F@.<>\[\]\\\"]{1,63}(?<!-))"
 def _addr_spec_re(idn: bool, opts, display: bool) -> str:
     """One addr-spec regex for the given EmailOptions: local = dot-atom
     (with an @-within-64 length gate) | quoted-string (RFC 5321
-    QtextSMTP / quoted-pairSMTP), domain = reference hostname with >=
-    minimum_sub_domains labels | bracketed IPv4/IPv6 literal. With
-    display=True the addr-spec is wrapped as `display text <addr>`."""
+    QtextSMTP / quoted-pairSMTP; octet-length gated separately in
+    _email_shape — a repetition bound here would count escape PAIRS as
+    one), domain = reference hostname with >= minimum_sub_domains
+    labels | bracketed IPv4/IPv6 literal. With display=True the
+    addr-spec is wrapped as `phrase <addr>` where phrase is the RFC
+    5322 display-name grammar (space-separated atext/obs-dot words and
+    quoted strings — the email_address crate's display handling; the
+    old `[^<>]*` accepted unquoted specials like `,;:()`), with the
+    display-name itself optional (name-addr allows a bare angle-addr)."""
     tail = r">$" if display else r"$"
     dchar = r"[^@>]" if display else r"[^@]"
     atext = _EMAIL_ATEXT_IDN if idn else _EMAIL_ATEXT
     dot_atom = r"(?=[^@]{1,64}@)" + atext + r"+(?:\." + atext + r"+)*"
-    quoted = r"\"(?:[ !#-\[\]-~]|\\[ -~]){1,62}\""
+    quoted = r"\"(?:[ !#-\[\]-~]|\\[ -~])+\""
     local = "(?:" + dot_atom + "|" + quoted + ")"
     label = _IDN_LABEL if idn else _HOST_LABEL
     n = max(1, int(getattr(opts, "effective_minimum_sub_domains", 0) or 0))
@@ -224,15 +230,33 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
         alts.append(r"\[IPv6:" + _URI_GRAMMAR["ipv6"][1:-1] + r"\]")
     addr = local + "@" + "(?:" + "|".join(alts) + ")"
     if display:
-        return r"^[^<>]*<" + addr + r">$"
+        word = r"(?:(?:" + atext + r"|\.)+|" + quoted + r")"
+        phrase = r"(?:" + word + r"(?:[ \t]+" + word + r")*[ \t]*)?"
+        return r"^" + phrase + r"<" + addr + r">$"
     return r"^" + addr + r"$"
+
+
+# local part of the addr-spec wherever it sits (start of string, or
+# after the display-name's '<'): quoted-string first so embedded dots/
+# specials don't split it, else the run up to the '@'
+_EMAIL_LOCAL_EXTRACT = r'(?:^|<)("(?:[^"\\]|\\.)*"|[^@<]+)@'
 
 
 def _email_shape(c: Column, idn: bool, opts) -> Column:
     ok = c.rlike(_addr_spec_re(idn, opts, display=False))
     if getattr(opts, "allow_display_text", False):
         ok = ok | c.rlike(_addr_spec_re(idn, opts, display=True))
-    return ok
+    # email_address-crate length gates count OCTETS (str::len is bytes):
+    # LOCAL_PART_MAX_LENGTH = 64 includes the quotes, each escape octet,
+    # and every UTF-8 continuation octet — unit-counting regex bounds
+    # can't see any of those, so gate the extracted local separately.
+    # No whole-string gate: the crate strips display text BEFORE parsing
+    # (a display name's length is unbounded) and never checks total
+    # address length — 64 + 1 + DOMAIN_MAX_LENGTH(254) caps the
+    # addr-spec at 319 implicitly (the named-host path is tighter still:
+    # is_valid_hostname's 253, the {1,253} lookahead in the regex)
+    local = F.regexp_extract(c, _EMAIL_LOCAL_EXTRACT, 1)
+    return ok & (F.octet_length(local) <= 64)
 
 
 def _email_domain(c: Column) -> Column:

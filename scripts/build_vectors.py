@@ -837,6 +837,55 @@ g("format", "format idn-email (r4)",
   [("用户@example.com", True), ("user@münchen.de", True),
    ("user@exa mple.com", False), ("not-an-email", False),
    ("user@münchen..de", False)], **FMT)
+# round-5 email micro-corners (COVERAGE §2.2 closed): the email_address
+# crate (0.2.9) counts LENGTHS IN OCTETS — str::len is bytes, and
+# LOCAL_PART_MAX_LENGTH = 64 is checked on the raw local slice, so the
+# quotes and EACH octet of an escape pair count ("\a" is 2); there is NO
+# separate total-address cap (display text is stripped before parsing
+# and 64+1+DOMAIN_MAX_LENGTH(254) implies <= 319 for the addr-spec, the
+# named-host path tighter still at is_valid_hostname's 253).
+# python-jsonschema's email checker is shape-only, so these pin the
+# engine's own crate-parity semantics (oracle: false)
+_D253 = ".".join(["d" * 49] * 5) + ".com"          # exactly 253 octets
+assert len(_D253) == 253
+g("format", "format email octet-counted lengths (r5)",
+  {"type": "string", "format": "email"},
+  [('"' + r"\a" * 31 + '"@example.com', True),    # 64 octets incl. quotes
+   ('"' + r"\a" * 32 + '"@example.com', False),   # 66 octets: escape=2 each
+   ('"' + "a" * 62 + '"@example.com', True),      # unescaped: exactly 64
+   ('"' + "a" * 63 + '"@example.com', False),     # 65-octet local
+   ("a" * 64 + "@example.com", True),             # dot-atom at the cap
+   ("a" * 65 + "@example.com", False),
+   ("a@" + _D253, True),                          # 253-octet domain: cap
+   ("a@x" + _D253, False)],                       # 254: past hostname's 253
+  **FMT)
+g("format", "format idn-email octet-counted local (r5)",
+  {"type": "string", "format": "idn-email"},
+  # ö is 2 octets in UTF-8: 33 of them = 66 octets > 64 even though the
+  # unit count (33) is well under the old unit-based gate
+  [("ö" * 32 + "@example.com", True),             # 64 octets: at the cap
+   ("ö" * 33 + "@example.com", False),            # 66 octets
+   ("用" * 21 + "@example.com", True),             # 63 octets (3 each)
+   ("用" * 22 + "@example.com", False)],           # 66 octets
+  **FMT)
+g("format", "format email display-name phrase grammar (r5)",
+  {"type": "string", "format": "email"},
+  # RFC 5322 phrase: space-separated atext/obs-dot words and quoted
+  # strings; the old [^<>]* shape accepted unquoted specials
+  [("Simon <simon@example.com>", True),
+   ("John Q. Public <jqp@example.com>", True),
+   ('"Quoted, Name" <q@example.com>', True),
+   ("<simon@example.com>", True),                 # bare angle-addr
+   ("Name, Comma <u@example.com>", False),        # unquoted specials
+   ("Semi;colon <u@example.com>", False),
+   ("Col:on <u@example.com>", False),
+   ("Par(en) <u@example.com>", False),
+   ("Simon <simon@example.com> ", False),         # trailing junk
+   # display text is stripped BEFORE the crate parses the addr-spec, so
+   # its length is unbounded (no 320-ish whole-string cap exists)
+   ("Name " * 60 + "Tail <u@example.com>", True)],
+  options={"validate_formats": True,
+           "email_options": {"allow_display_text": True}}, oracle=False)
 
 # ---------------------------------------------------------------------------
 # generated family: every keyword × the canonical instance set
