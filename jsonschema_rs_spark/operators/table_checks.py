@@ -310,8 +310,10 @@ def ks_statistic_sketch(a: DataFrame, b: DataFrame, column: str,
                         k: int = 200, rel_err: float = 1e-4) -> dict:
     """Scale path: compare quantile sketches instead of sorting 100 TB.
     D ≈ max CDF gap evaluated at the union of both sketches' quantile
-    points; error is bounded by 1/k + 2*rel_err. Driver-side math on 2(k+1)
-    floats."""
+    points; each side's staircase point-CDF is within 1/k (+rel_err) of
+    its empirical CDF, so the error is bounded by 2/k + 2*rel_err.
+    Driver-side math on 2(k+1) floats. The same math in oracle-
+    certifiable DataFrame form: ks_statistic_sketch_inplan."""
     qa = quantile_sketch(a, column, k, rel_err)
     qb = quantile_sketch(b, column, k, rel_err)
 
@@ -322,6 +324,78 @@ def ks_statistic_sketch(a: DataFrame, b: DataFrame, column: str,
     points = sorted(set(qa) | set(qb))
     d = max(abs(cdf(qa, x) - cdf(qb, x)) for x in points) if points else 0.0
     return {"ks_stat": d, "k": k}
+
+
+def ks_statistic_sketch_inplan(a: DataFrame, b: DataFrame, column: str,
+                               k: int = 200) -> DataFrame:
+    """DataFrame form of the sketch-KS math, oracle-certifiable.
+
+    Each side is summarized by its k rank-selected quantile points —
+    the last order statistic of each of the k equal-probability CDF
+    buckets, rank ceil(i*n/k) for i = 1..k: exactly the summary a
+    GK/KLL sketch converges to as rel_err → 0. D is then the max CDF
+    gap over the union of the ≤2k points, each side's point-CDF
+    evaluated as count(points ≤ x)/k. Every step is a Column
+    expression, so DuckDB can recompute it verbatim (the driver oracle
+    certifies the sketch MATH; ks_statistic_sketch keeps approxQuantile
+    for the one-pass 100 TB summary whose GK internals aren't
+    SQL-replayable).
+
+    Plan shape: rank selection reuses the exact plan's
+    repartitionByRange + per-partition row_number + broadcast prefix
+    offsets (never a global single-partition sort over data-sized
+    input); everything after the selection is O(k) rows, where the
+    single-partition window is over a CONSTANT 2k rows by construction.
+
+    Error vs the exact statistic: each side's staircase point-CDF is
+    within 1/k of its empirical CDF, so |D_sketch − D_exact| ≤ 2/k
+    (+ 2·rel_err when the points come from a GK summary instead of
+    exact order statistics). ks_events_value asserts this bound in
+    both engines.
+    """
+    def _points(df: DataFrame, tag_a: bool) -> DataFrame:
+        s = df.select(F.col(column).cast("double").alias("v")) \
+            .where(F.col("v").isNotNull()) \
+            .repartitionByRange(F.col("v")) \
+            .withColumn("__part", F.spark_partition_id())
+        tot = s.groupBy("__part").agg(F.count(F.lit(1)).alias("t"))
+        wo = Window.orderBy("__part") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        offs = tot.select(
+            "__part",
+            F.coalesce(F.sum("t").over(wo), F.lit(0)).alias("__off"))
+        grand = tot.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("n"))
+        w = Window.partitionBy("__part").orderBy("v")
+        ranked = s.join(F.broadcast(offs), "__part") \
+            .select("v", (F.row_number().over(w)
+                          + F.col("__off")).cast("long").alias("rn")) \
+            .crossJoin(F.broadcast(grand))
+        # integer bucket index (rn*k) div n increments exactly k times
+        # as rn walks 1..n (n times when n < k) — select the row where
+        # it increments: the last order statistic of each bucket.
+        # Integer div keeps the predicate bit-identical across engines.
+        sel = (F.expr(f"(rn * {int(k)}) div n")
+               > F.expr(f"((rn - 1) * {int(k)}) div n"))
+        return ranked.where(sel).select(
+            "v",
+            F.lit(1 if tag_a else 0).alias("ia"),
+            F.lit(0 if tag_a else 1).alias("ib"))
+
+    p = _points(a, True).unionAll(_points(b, False))
+    kc = p.agg(F.coalesce(F.sum("ia"), F.lit(0)).alias("ka"),
+               F.coalesce(F.sum("ib"), F.lit(0)).alias("kb"))
+    # ≤ 2k rows total: a single-partition RANGE window here is a
+    # constant-size step, not a data-sized sort (ties across sides
+    # accumulate together exactly like bisect_right over each list)
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cdfs = p.select(F.sum("ia").over(w).alias("ca"),
+                    F.sum("ib").over(w).alias("cb"))
+    gap = F.abs(F.try_divide(F.col("ca"), F.col("ka"))
+                - F.try_divide(F.col("cb"), F.col("kb")))
+    return cdfs.crossJoin(F.broadcast(kc)).agg(
+        F.coalesce(F.max(gap), F.lit(0.0)).alias("ks_sketch"),
+        F.coalesce(F.max("ka"), F.lit(0)).alias("k_a"),
+        F.coalesce(F.max("kb"), F.lit(0)).alias("k_b"))
 
 
 def ks_pvalue(d: float, n_a: int, n_b: int) -> float:

@@ -378,11 +378,42 @@ c AS (SELECT
       AS cb
   FROM u),
 t AS (SELECT CAST(max(ca) AS BIGINT) AS na, CAST(max(cb) AS BIGINT) AS nb
-      FROM c)
-SELECT t.na AS n_a, t.nb AS nb_out,
-       round(max(abs(ca / CAST(t.na AS DOUBLE)
-                   - cb / CAST(t.nb AS DOUBLE))), 6) AS ks_stat
-FROM c, t GROUP BY t.na, t.nb
+      FROM c),
+ex AS (SELECT t.na, t.nb,
+       max(abs(ca / CAST(t.na AS DOUBLE)
+             - cb / CAST(t.nb AS DOUBLE))) AS ks_raw
+       FROM c, t GROUP BY t.na, t.nb),
+-- sketch path: k rank-selected quantile points per side (the last
+-- order statistic of each of the k equal-probability CDF buckets,
+-- integer-div bucket index so the selection is bit-identical to the
+-- Spark plan), then max point-CDF gap over the union of points
+ra AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+       FROM u WHERE ia = 1),
+rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+       FROM u WHERE ib = 1),
+p AS (
+  SELECT v, 1 AS ia, 0 AS ib FROM ra
+   WHERE (rn * 200) // n > ((rn - 1) * 200) // n
+  UNION ALL
+  SELECT v, 0, 1 FROM rb
+   WHERE (rn * 200) // n > ((rn - 1) * 200) // n),
+kc AS (SELECT CAST(sum(ia) AS BIGINT) AS ka, CAST(sum(ib) AS BIGINT) AS kb
+       FROM p),
+pc AS (SELECT
+  sum(ia) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS ca,
+  sum(ib) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cb
+  FROM p),
+sk AS (SELECT max(abs(ca / CAST(kc.ka AS DOUBLE)
+                    - cb / CAST(kc.kb AS DOUBLE))) AS sk_raw
+       FROM pc, kc)
+SELECT ex.na AS n_a, ex.nb AS nb_out,
+       round(ex.ks_raw, 6) AS ks_stat,
+       round(sk.sk_raw, 6) AS ks_sketch,
+       (abs(round(ex.ks_raw, 6) - round(sk.sk_raw, 6))
+        <= 2.0 / 200 + 2e-6) AS within_bound
+FROM ex, sk
 """.replace("nb_out", "n_b")
 
 CHISQ_EVENTS_HALVES = """

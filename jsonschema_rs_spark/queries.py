@@ -384,12 +384,28 @@ def ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS via the RANGE-PARTITIONED plan (the scale
     default): per-partition windows + broadcast prefix offsets, never a
     single-partition global sort. ks_statistic_exact (global window) is
-    demoted to a small-scale test oracle (test_table_checks)."""
+    demoted to a small-scale test oracle (test_table_checks).
+
+    r5: the SKETCH path is certified here too — the in-plan
+    quantile-point variant (ks_statistic_sketch_inplan, the math the
+    100 TB approxQuantile summary converges to) runs alongside and the
+    documented |D_sketch − D_exact| ≤ 2/k bound is asserted as a
+    column, recomputed identically by the DuckDB oracle."""
     ev = _read(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "click")
     b = ev.where(F.col("event_type") == "error")
-    r = tc.ks_statistic_exact_scalable(a, b, "value")
-    return r.select("n_a", "n_b", F.round("ks_stat", 6).alias("ks_stat"))
+    k = 200
+    exact = tc.ks_statistic_exact_scalable(a, b, "value")
+    sk = tc.ks_statistic_sketch_inplan(a, b, "value", k=k)
+    # compare the 6dp-rounded stats (the cross-engine-stable renderings
+    # the oracle hashes) with a 2-ulp-of-rounding slack on the bound
+    ks_r = F.round("ks_stat", 6)
+    sk_r = F.round("ks_sketch", 6)
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_a", "n_b",
+        ks_r.alias("ks_stat"),
+        sk_r.alias("ks_sketch"),
+        (F.abs(ks_r - sk_r) <= F.lit(2.0 / k + 2e-6)).alias("within_bound"))
 
 
 def chisq_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:

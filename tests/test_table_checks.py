@@ -107,6 +107,49 @@ def test_ks_sketch_close_to_exact(spark):
     assert abs(approx - exact) < 0.05
 
 
+def test_ks_sketch_inplan_within_documented_bound(spark):
+    """The in-plan quantile-point KS (the oracle-certified sketch math)
+    stays within |D_sketch − D_exact| ≤ 2/k of the exact statistic, and
+    equals the python bisect formulation on the same rank-selected
+    points."""
+    import numpy as np
+    rng = np.random.RandomState(9)
+    xa = rng.normal(0, 1, 1500)
+    xb = rng.normal(0.4, 1.2, 900)
+    a = spark.createDataFrame([(float(v),) for v in xa], "v double")
+    b = spark.createDataFrame([(float(v),) for v in xb], "v double")
+    k = 50
+    exact = tc.ks_statistic_exact(a, b, "v").first()["ks_stat"]
+    row = tc.ks_statistic_sketch_inplan(a, b, "v", k=k).first()
+    assert row["k_a"] == k and row["k_b"] == k
+    assert abs(row["ks_sketch"] - exact) <= 2.0 / k
+
+    # python oracle on the same deterministic point rule
+    def points(x):
+        s = np.sort(x)
+        n = len(s)
+        return [s[rn - 1] for rn in range(1, n + 1)
+                if (rn * k) // n > ((rn - 1) * k) // n]
+
+    pa, pb = points(xa), points(xb)
+    import bisect
+    ev = sorted(set(pa) | set(pb))
+    d = max(abs(bisect.bisect_right(pa, x) / len(pa)
+                - bisect.bisect_right(pb, x) / len(pb)) for x in ev)
+    assert row["ks_sketch"] == pytest.approx(d, abs=1e-12)
+
+
+def test_ks_sketch_inplan_small_and_empty_sides(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(7)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    # n < k: every order statistic is a point; identical sides → D = 0
+    row = tc.ks_statistic_sketch_inplan(a, a, "v", k=50).first()
+    assert row["k_a"] == 7 and row["ks_sketch"] == 0.0
+    # one empty side: in-plan guard (try_divide) → null gaps → 0.0
+    row = tc.ks_statistic_sketch_inplan(a, empty, "v", k=50).first()
+    assert row["k_b"] == 0 and row["ks_sketch"] == 0.0
+
+
 def test_chi_square_identical_distributions(spark):
     df = spark.createDataFrame([(i % 5,) for i in range(500)], "c long")
     r = tc.chi_square_drift(df, df, "c").first()
