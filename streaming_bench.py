@@ -1,0 +1,196 @@
+"""Streaming throughput/latency evidence for BENCH_SCALING.md.
+
+The streaming validators are correctness-pinned (stream == batch ==
+oracle in tests/test_runs_streaming.py); this bench gives the streaming
+path NUMBERS on the same box the batch bench uses:
+
+A. stateless validation (streaming/validate.py): file-source
+   readStream over the materialized interleaved docs table, flag-mode
+   validation (the same single codegen'd Project as batch), noop sink,
+   availableNow trigger — per-batch processing throughput and latency.
+B. stateful windowed drift (streaming/drift.py): rate source mapped to
+   event-shaped rows, 10 s event-time windows + 10 s watermark,
+   chi-square vs a fixed reference — sustained rows/sec at the probe
+   rate, per-trigger latency, and end-to-end watermark lag.
+
+Run: python streaming_bench.py   (env SPARK_GRAFT_CPUS, default all)
+Appends/overwrites the "## Streaming" section of BENCH_SCALING.md and
+prints one compact JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+MARKER = "## Streaming"
+
+
+def _median(xs):
+    return statistics.median(xs) if xs else None
+
+
+def _as_dict(p):
+    """PySpark returns progress as a dict on some versions and as a
+    StreamingQueryProgress (with .json) on others."""
+    if p is None or isinstance(p, dict):
+        return p
+    return json.loads(p.json)
+
+
+def bench_stateless_validate(spark, n_docs: int = 2_000_000) -> dict:
+    import bench
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.docspec import DOC_SPEC_FULL, default_options
+    from jsonschema_rs_spark.streaming.validate import validate_stream
+
+    path = bench.materialize_docs(spark, n_docs)
+    schema = spark.read.parquet(path).schema
+    plan = compile_schema(DOC_SPEC_FULL, spark.read.parquet(path).schema,
+                          default_options())
+
+    def run():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 32).parquet(path))
+        v = validate_stream(src, plan, mode="flag")
+        q = (v.writeStream.format("noop")
+             .option("checkpointLocation",
+                     f"/tmp/jrs_sbench_ckpt_{time.time_ns()}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        prog = [_as_dict(p) for p in q.recentProgress]
+        q.stop()
+        return prog
+
+    run()                      # JIT / codegen / page-cache warmup
+    prog = run()
+    batches = [p for p in prog if p.get("numInputRows", 0) > 0]
+    rows = sum(p["numInputRows"] for p in batches)
+    proc_ms = [p["durationMs"]["triggerExecution"] for p in batches]
+    return {
+        "docs": rows,
+        "batches": len(batches),
+        "docs_per_sec": round(rows / (sum(proc_ms) / 1000.0)),
+        "median_batch_ms": _median(proc_ms),
+    }
+
+
+def bench_stateful_drift(spark, rows_per_sec: int, run_secs: int = 35,
+                         cores: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from jsonschema_rs_spark.streaming.drift import chi_square_drift_stream
+
+    cores = cores or os.cpu_count()
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", str(rows_per_sec))
+           .option("numPartitions", str(cores)).load())
+    ev = src.select(
+        F.col("timestamp").alias("ts"),
+        F.concat(F.lit("t"), (F.col("value") % 5)).alias("event_type"))
+    probs = {f"t{i}": 0.2 for i in range(5)}
+    out = chi_square_drift_stream(ev, "event_type", "ts", probs,
+                                  window="10 seconds",
+                                  watermark="10 seconds")
+    q = (out.writeStream.format("noop").outputMode("update")
+         .option("checkpointLocation",
+                 f"/tmp/jrs_sbench_ckpt_{time.time_ns()}")
+         .start())
+    t_end = time.time() + run_secs
+    samples = []
+    while time.time() < t_end:
+        time.sleep(1.0)
+        p = _as_dict(q.lastProgress)
+        if p is None:
+            continue
+        if p.get("numInputRows", 0) > 0:
+            wm = p.get("eventTime", {}).get("watermark")
+            lag = None
+            if wm:
+                import calendar
+                # watermark strings are UTC ("...Z"); timegm, not mktime
+                wm_s = calendar.timegm(time.strptime(
+                    wm.split(".")[0].rstrip("Z"), "%Y-%m-%dT%H:%M:%S"))
+                lag = time.time() - wm_s
+            samples.append({
+                "processed_rps": p.get("processedRowsPerSecond", 0.0),
+                "input_rps": p.get("inputRowsPerSecond", 0.0),
+                "trigger_ms": p["durationMs"]["triggerExecution"],
+                "wm_lag_s": lag,
+            })
+    q.stop()
+    # drop the ramp-up third: the first triggers pay state-store and
+    # codegen warmup the steady state never sees
+    steady = samples[len(samples) // 3:]
+    lags = [s["wm_lag_s"] for s in steady if s["wm_lag_s"] is not None]
+    return {
+        "probe_rows_per_sec": rows_per_sec,
+        "processed_rps": round(_median(
+            [s["processed_rps"] for s in steady]) or 0),
+        "input_rps": round(_median([s["input_rps"] for s in steady]) or 0),
+        "median_trigger_ms": _median([s["trigger_ms"] for s in steady]),
+        "median_watermark_lag_s": round(_median(lags), 1) if lags else None,
+        "triggers_sampled": len(steady),
+    }
+
+
+def render_section(a: dict, hi: dict, lo: dict, cores: int) -> str:
+    return f"""{MARKER} (local[{cores}], measured by streaming_bench.py)
+
+The streaming validators are correctness-pinned elsewhere (stream ==
+batch == oracle); these are their measured rates on this box.
+
+**A. Stateless validation** (streaming/validate.py: file-source
+readStream over the {a['docs']:,}-doc interleaved table, flag-mode
+validation, noop sink, availableNow):
+{a['docs_per_sec']:,} docs/sec sustained across {a['batches']} batches,
+median batch {a['median_batch_ms']} ms. Same plan as batch (one
+codegen'd Project, no state store), so throughput tracks the batch
+number minus micro-batch scheduling overhead.
+
+**B. Stateful windowed drift** (streaming/drift.py: rate source, 10 s
+event-time windows, 10 s watermark, chi-square vs fixed reference —
+ONE stateful agg, state = (k+1) longs per window):
+
+| probe rate (rows/s) | processed rows/s (median) | trigger (ms, median) | watermark lag (s, median) |
+| --- | --- | --- | --- |
+| {hi['probe_rows_per_sec']:,} (ceiling probe) | {hi['processed_rps']:,} | {hi['median_trigger_ms']} | {hi['median_watermark_lag_s']} |
+| {lo['probe_rows_per_sec']:,} (steady state) | {lo['processed_rps']:,} | {lo['median_trigger_ms']} | {lo['median_watermark_lag_s']} |
+
+At the steady-state rate the input and processed rates match
+(input {lo['input_rps']:,}/s vs processed {lo['processed_rps']:,}/s) —
+no backlog growth — and end-to-end latency is watermark delay (10 s)
+plus one trigger. The ceiling probe over-drives the source so its
+processed rate measures the single-box stateful ceiling. State is
+bounded by windows-in-flight x categories regardless of rate, so on a
+cluster this scales with executors like any keyed agg (the shuffle key
+is the window).
+"""
+
+
+def main() -> None:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    from jsonschema_rs_spark.session import get_spark
+    spark = get_spark(app_name="streaming_bench", cores=cores)
+    a = bench_stateless_validate(spark)
+    hi = bench_stateful_drift(spark, rows_per_sec=16_000_000)
+    lo = bench_stateful_drift(spark, rows_per_sec=1_000_000)
+    section = render_section(a, hi, lo, cores)
+    md_path = os.path.join(REPO, "BENCH_SCALING.md")
+    with open(md_path) as f:
+        md = f.read()
+    if MARKER in md:
+        md = md[:md.index(MARKER)].rstrip() + "\n\n" + section
+    else:
+        md = md.rstrip() + "\n\n" + section
+    with open(md_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"metric": "streaming_bench", "stateless": a,
+                      "drift_ceiling": hi, "drift_steady": lo}))
+
+
+if __name__ == "__main__":
+    main()
