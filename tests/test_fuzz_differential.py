@@ -35,7 +35,11 @@ def gen_value(rng: random.Random, depth: int = 0):
         return None
     if k == "arr":
         return [gen_value(rng, depth + 1) for _ in range(rng.randint(0, 4))]
-    keys = ["a", "b", "c", "num1", "x-y", "Z", ""]
+    # r5: non-ASCII keys (accented BMP, CJK, Greek, and an astral
+    # crab) so patternProperties/propertyNames interplays see the
+    # code-point corners
+    keys = ["a", "b", "c", "num1", "x-y", "Z", "",
+            "é", "名前", "Ωx", "🦀x"]
     return {rng.choice(keys): gen_value(rng, depth + 1)
             for _ in range(rng.randint(0, 4))}
 
@@ -233,6 +237,12 @@ def test_fuzz_dialect(spark, draft, schema_idx):
 # (the patched oracle decides those exactly too).
 
 _GS_NAMES = ["a", "b", "c", "num1", "x-y", "Z", ""]
+# r5: names/patterns over non-ASCII keys. No \w/\b (Java defaults them
+# ASCII-only where Python is unicode-aware); explicit classes and
+# code-point quantifiers translate identically through regex/ecma.py.
+_GS_UNI_NAMES = ["é", "名前", "Ωx", "🦀x", "aé", "名"]
+_GS_UNI_PATTERNS = ["^[a-zé名前Ω]+$", "^名", "é$", "^[^🦀]*$",
+                    "^.{0,2}$"]
 _GS_PATTERNS = ["^[a-z]+$", "^a", "[0-9]$", "^[a-zA-Z_ -]*$"]
 _GS_TYPES = ["null", "boolean", "string", "number", "integer",
              "object", "array"]
@@ -249,7 +259,10 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
                    "allof", "anyof", "oneof", "not", "ite", "depreq",
                    "depschemas", "propnames", "unique",
                    # r4 grammar growth: the coverage-walk keywords
-                   "unevalprops", "unevalitems"]
+                   "unevalprops", "unevalitems",
+                   # r5 grammar growth: the remaining untouched
+                   # interplays (r4 VERDICT item 8)
+                   "containsuneval", "dynref", "uniprops"]
     pool = leaf_groups if depth >= 2 else leaf_groups + deep_groups * 2
     if depth == 0:
         # $defs/$ref probes the depth-unroll + registry machinery; only
@@ -338,7 +351,8 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
         elif g == "unique":
             out["uniqueItems"] = True
         elif g == "defsref":
-            out["$defs"] = {"d": sub()}
+            # setdefault-merge: dynref may have planted $defs already
+            out.setdefault("$defs", {})["d"] = sub()
             out["allOf"] = out.get("allOf", []) + [{"$ref": "#/$defs/d"}]
         elif g == "unevalprops":
             # evaluated names come from a SIBLING allOf branch, so the
@@ -351,10 +365,43 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
         elif g == "unevalitems":
             out["prefixItems"] = [sub()]
             out["unevaluatedItems"] = rng.choice([False, sub()])
+        elif g == "containsuneval":
+            # contains-MATCHED indexes are evaluated in 2020-12, so
+            # unevaluatedItems must skip exactly the matched set (plus
+            # any prefixItems) — the annotation-driven coverage walk,
+            # conditioned on whether contains itself succeeded
+            out["contains"] = sub()
+            if rng.random() < 0.5:
+                out["minContains"] = rng.randint(0, 2)
+            if rng.random() < 0.5:
+                out["prefixItems"] = [sub()]
+            out["unevaluatedItems"] = rng.choice([False, sub()])
+        elif g == "dynref":
+            # single-resource $dynamicAnchor + $dynamicRef — the shape
+            # python-jsonschema resolves correctly (no sibling-branch
+            # rebinds, where the library leaks dynamic scope) — pulled
+            # in through an allOf branch so unevaluated* has to see
+            # evaluated names THROUGH the dynamic reference
+            out.setdefault("$defs", {})["dyn"] = \
+                dict({"$dynamicAnchor": "it"}, **sub())
+            out["allOf"] = out.get("allOf", []) + [{"$dynamicRef": "#it"}]
+            if rng.random() < 0.5:
+                out["unevaluatedProperties"] = rng.choice([False, sub()])
+        elif g == "uniprops":
+            # patternProperties x propertyNames under non-ASCII keys:
+            # code-point quantifiers, astral class members, CJK/Greek
+            # literals — Java (rlike) and Python (oracle) must agree
+            out["patternProperties"] = {
+                rng.choice(_GS_UNI_PATTERNS): sub()}
+            out["propertyNames"] = rng.choice(
+                [{"pattern": rng.choice(_GS_UNI_PATTERNS)},
+                 {"minLength": 1}, {"maxLength": 3}])
+            if rng.random() < 0.4:
+                out["properties"] = {rng.choice(_GS_UNI_NAMES): sub()}
     return out
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(60))
 def test_fuzz_random_schema(spark, seed):
     rng = random.Random(9000 + seed)
     schema = gen_schema(rng)
