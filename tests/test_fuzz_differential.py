@@ -381,10 +381,18 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
             # python-jsonschema resolves correctly (no sibling-branch
             # rebinds, where the library leaks dynamic scope) — pulled
             # in through an allOf branch so unevaluated* has to see
-            # evaluated names THROUGH the dynamic reference
-            out.setdefault("$defs", {})["dyn"] = \
-                dict({"$dynamicAnchor": "it"}, **sub())
-            out["allOf"] = out.get("allOf", []) + [{"$dynamicRef": "#it"}]
+            # evaluated names THROUGH the dynamic reference. The anchor
+            # name is UNIQUE per site: the whole generated document is
+            # one resource (no $id), and 2020-12 core §8.2.2 forbids
+            # defining an anchor name twice in a resource — the first
+            # sweep's same-name nests were ill-formed schemas whose
+            # resolution is undefined (7/1100 seeds diverged there,
+            # engine outermost-first vs the library's last-registered)
+            name = f"it{rng.randint(0, 10 ** 6)}"
+            out.setdefault("$defs", {})[f"dyn_{name}"] = \
+                dict({"$dynamicAnchor": name}, **sub())
+            out["allOf"] = out.get("allOf", []) + \
+                [{"$dynamicRef": f"#{name}"}]
             if rng.random() < 0.5:
                 out["unevaluatedProperties"] = rng.choice([False, sub()])
         elif g == "uniprops":
