@@ -386,8 +386,11 @@ def ks_statistic_sketch_inplan(a: DataFrame, b: DataFrame, column: str,
                F.coalesce(F.sum("ib"), F.lit(0)).alias("kb"))
     # ≤ 2k rows total: a single-partition RANGE window here is a
     # constant-size step, not a data-sized sort (ties across sides
-    # accumulate together exactly like bisect_right over each list)
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    # accumulate together exactly like bisect_right over each list).
+    # __qpt marks it for plan-quality checks: single-partition windows
+    # are only ever over the constant-size quantile points
+    p = p.withColumnRenamed("v", "__qpt")
+    w = Window.orderBy("__qpt").rangeBetween(Window.unboundedPreceding, 0)
     cdfs = p.select(F.sum("ia").over(w).alias("ca"),
                     F.sum("ib").over(w).alias("cb"))
     gap = F.abs(F.try_divide(F.col("ca"), F.col("ka"))
@@ -396,6 +399,83 @@ def ks_statistic_sketch_inplan(a: DataFrame, b: DataFrame, column: str,
         F.coalesce(F.max(gap), F.lit(0.0)).alias("ks_sketch"),
         F.coalesce(F.max("ka"), F.lit(0)).alias("k_a"),
         F.coalesce(F.max("kb"), F.lit(0)).alias("k_b"))
+
+
+def ks_exact_and_sketch(a: DataFrame, b: DataFrame, column: str,
+                        k: int = 200) -> DataFrame:
+    """Exact KS and the certified sketch-KS in ONE range-partitioned
+    pass (the ks_events_value driver query's plan).
+
+    The ranged union already materializes everything both statistics
+    need: per-side RANGE cumsums (+ broadcast prefix offsets) are the
+    exact CDFs, and per-side ROWS cumsums over the same sort give each
+    row's global rank WITHIN its side — a side-a row's rows-cumsum of
+    `ia` walks 1..n_a in value order — from which the k quantile points
+    are rank-selected with the same integer-div bucket rule as
+    ks_statistic_sketch_inplan (ties share a value, so the selected
+    VALUES are order-independent). One source scan and one range
+    exchange feed both branches (Catalyst exchange reuse dedups the
+    identical subtree; the exact branch and the point branch each add
+    one partition-local sort); the sketch tail after selection is O(k)
+    rows. Returns (n_a, n_b, ks_stat, ks_sketch) in one row —
+    |ks_sketch − ks_stat| ≤ 2/k (see ks_statistic_sketch_inplan).
+    """
+    ua = a.select(F.col(column).cast("double").alias("v"),
+                  F.lit(1).alias("ia"), F.lit(0).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    ub = b.select(F.col(column).cast("double").alias("v"),
+                  F.lit(0).alias("ia"), F.lit(1).alias("ib")) \
+        .where(F.col("v").isNotNull())
+    u = ua.unionAll(ub).repartitionByRange(F.col("v")) \
+        .withColumn("__part", F.spark_partition_id())
+    tot = u.groupBy("__part").agg(F.sum("ia").alias("ta"),
+                                  F.sum("ib").alias("tb"))
+    wo = Window.orderBy("__part") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__part",
+        F.coalesce(F.sum("ta").over(wo), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("tb").over(wo), F.lit(0)).alias("__ob"))
+    grand = tot.agg(F.coalesce(F.sum("ta"), F.lit(0)).alias("n_a"),
+                    F.coalesce(F.sum("tb"), F.lit(0)).alias("n_b"))
+    wr = Window.partitionBy("__part").orderBy("v") \
+        .rangeBetween(Window.unboundedPreceding, 0)
+    ws = Window.partitionBy("__part").orderBy("v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    base = u.join(F.broadcast(offs), "__part") \
+        .crossJoin(F.broadcast(grand)) \
+        .select("__part", "v", "ia", "ib", "n_a", "n_b",
+                (F.sum("ia").over(wr) + F.col("__oa")).alias("ca"),
+                (F.sum("ib").over(wr) + F.col("__ob")).alias("cb"),
+                (F.sum("ia").over(ws) + F.col("__oa")).alias("ra"),
+                (F.sum("ib").over(ws) + F.col("__ob")).alias("rb"))
+    gap = F.abs(F.try_divide(F.col("ca"), F.col("n_a"))
+                - F.try_divide(F.col("cb"), F.col("n_b")))
+    exact = base.agg(
+        F.coalesce(F.max("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.max(gap), F.lit(0.0)).alias("ks_stat"))
+    # a selected row's (ia, ib) already tags which side's point it is
+    kk = int(k)
+    sel_a = (F.col("ia") == 1) & \
+        (F.expr(f"(ra * {kk}) div n_a") > F.expr(f"((ra - 1) * {kk}) div n_a"))
+    sel_b = (F.col("ib") == 1) & \
+        (F.expr(f"(rb * {kk}) div n_b") > F.expr(f"((rb - 1) * {kk}) div n_b"))
+    # the point column is renamed __qpt so plan-quality checks can
+    # tell this window (constant ≤2k rows by construction) from a
+    # data-sized one: single-partition windows are only ever over __qpt
+    p = base.where(sel_a | sel_b).select(
+        F.col("v").alias("__qpt"), "ia", "ib")
+    kc = p.agg(F.coalesce(F.sum("ia"), F.lit(0)).alias("ka"),
+               F.coalesce(F.sum("ib"), F.lit(0)).alias("kb"))
+    wv = Window.orderBy("__qpt").rangeBetween(Window.unboundedPreceding, 0)
+    cdfs = p.select(F.sum("ia").over(wv).alias("pca"),
+                    F.sum("ib").over(wv).alias("pcb"))
+    sgap = F.abs(F.try_divide(F.col("pca"), F.col("ka"))
+                 - F.try_divide(F.col("pcb"), F.col("kb")))
+    sk = cdfs.crossJoin(F.broadcast(kc)).agg(
+        F.coalesce(F.max(sgap), F.lit(0.0)).alias("ks_sketch"))
+    return exact.crossJoin(F.broadcast(sk))
 
 
 def ks_pvalue(d: float, n_a: int, n_b: int) -> float:

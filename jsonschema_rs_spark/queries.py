@@ -395,13 +395,12 @@ def ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.where(F.col("event_type") == "click")
     b = ev.where(F.col("event_type") == "error")
     k = 200
-    exact = tc.ks_statistic_exact_scalable(a, b, "value")
-    sk = tc.ks_statistic_sketch_inplan(a, b, "value", k=k)
+    both = tc.ks_exact_and_sketch(a, b, "value", k=k)
     # compare the 6dp-rounded stats (the cross-engine-stable renderings
     # the oracle hashes) with a 2-ulp-of-rounding slack on the bound
     ks_r = F.round("ks_stat", 6)
     sk_r = F.round("ks_sketch", 6)
-    return exact.crossJoin(F.broadcast(sk)).select(
+    return both.select(
         "n_a", "n_b",
         ks_r.alias("ks_stat"),
         sk_r.alias("ks_sketch"),

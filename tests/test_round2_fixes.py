@@ -43,11 +43,15 @@ def test_ks_scalable_matches_exact_and_no_global_window(spark):
 
 
 def test_ks_query_uses_scalable_plan(spark):
+    """Every window over DATA-sized input must be partitioned by the
+    range bucket (__part). The one exception is the sketch branch's
+    point-CDF window, which is over the rank-selected quantile points —
+    ≤2k rows by construction, marked by its __qpt order column."""
     from jsonschema_rs_spark.queries import ks_events_value
     p = physical(ks_events_value(spark, "/root/testdata/sf0.001"))
     for line in p.splitlines():
         if "windowspecdefinition" in line:
-            assert "__part" in line
+            assert "__part" in line or "__qpt" in line, line
 
 
 # -- LSH hot buckets --------------------------------------------------------
