@@ -432,11 +432,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     CLUSTER (greedy pair-drop can over-delete chains a-b, b-c)."""
     if algorithm not in ("auto", "propagate", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # materialize the 2-column edge list ONCE: pairs is usually the lazy
+    # tail of an expensive candidate pipeline (MinHash-LSH), and both CC
+    # algorithms drive multiple actions over it (per-round joins/counts,
+    # the final roots anti-join) — without this every action re-executes
+    # the whole upstream pipeline
+    base = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .localCheckpoint(eager=True))
     if algorithm == "star":
-        return _connected_components_star(pairs, id_a, id_b, max_iterations)
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        return _connected_components_star(base, "src", "dst", max_iterations)
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = edges.select("src").union(edges.select("dst")) \
         .distinct().withColumnRenamed("src", "id") \
         .withColumn("component", F.col("id"))
@@ -476,7 +482,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 "budget; switching to star contraction.", max_iterations)
             # star needs ~log2(n) rounds — don't inherit a propagate
             # budget that was sized (too small) for O(diameter) rounds
-            return _connected_components_star(pairs, id_a, id_b,
+            return _connected_components_star(base, "src", "dst",
                                               max(max_iterations, 20))
         logging.getLogger(__name__).warning(
             "connected_components: min-label propagation did NOT converge "
@@ -537,10 +543,17 @@ def _connected_components_star(pairs: DataFrame, id_a: str, id_b: str,
     for _ in range(max_iterations):
         new_edges = _cc_small_star(_cc_large_star(edges)) \
             .localCheckpoint(eager=True)
-        changed = new_edges.join(edges, ["src", "dst"], "left_anti").count()
-        same_size = new_edges.count() == edges.count()
+        # set equality as ONE action: both sides are deduped, so the
+        # fixpoint test is an empty symmetric difference — a full-outer
+        # join counting rows missing from either side (the former
+        # anti-join + two size counts cost three driver actions/round)
+        diff = (new_edges.withColumn("__n", F.lit(1))
+                .join(edges.withColumn("__o", F.lit(1)),
+                      ["src", "dst"], "full_outer")
+                .where(F.col("__n").isNull() | F.col("__o").isNull())
+                .count())
         edges = new_edges
-        if changed == 0 and same_size:
+        if diff == 0:
             converged = True
             break
     if not converged:
