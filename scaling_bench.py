@@ -261,8 +261,17 @@ right-sized pre-touched heaps (-Xms=-Xmx, +AlwaysPreTouch at executor
 scale) — heap growth during the job caused kernel mmap-lock storms
 (60-95% system time) that destroyed concurrent-JVM throughput.
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    # Preserve the "## Streaming" section streaming_bench.py appends —
+    # the two scripts own disjoint halves of this file.
+    streaming_tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        if "## Streaming" in prev:
+            streaming_tail = "\n" + prev[prev.index("## Streaming"):]
+    with open(path, "w") as f:
+        f.write(md + streaming_tail)
     print(json.dumps({"executors": ex, "threads": r}))
 
 
