@@ -175,7 +175,14 @@ def _kind_for(schema, keyword: str, schema_path: str, instance_path: str,
                 try:
                     import ast
                     prop = ast.literal_eval(m.group(1))
-                except (ValueError, SyntaxError):
+                    if isinstance(prop, str):
+                        # json.dumps escapes astral chars as surrogate
+                        # PAIRS (𝄞); literal_eval keeps them
+                        # as two lone surrogates — recombine so the
+                        # property matches the schema's actual name
+                        prop = prop.encode(
+                            "utf-16", "surrogatepass").decode("utf-16")
+                except (ValueError, SyntaxError, UnicodeDecodeError):
                     prop = None
             return ValidationErrorKind.Required(
                 property=prop if isinstance(prop, str) else None)

@@ -1312,6 +1312,55 @@ def _probe_keeps(s: Any) -> bool:
     return False
 
 
+# pointer steps whose paths the probe transform preserves VERBATIM:
+# keyword + name for the maps, bare keyword for propertyNames. Every
+# other applicator (allOf/N, items, then, additionalProperties, ...) is
+# folded/reindexed into a synthesized allOf, so a JSON-pointer ref
+# through one would resolve inside the probe — possibly cleanly — to
+# the WRONG subtree.
+_PROBE_SAFE_STEP = {"$defs", "definitions", "properties",
+                    "patternProperties"}
+
+
+def _probe_safe_fragment(frag: str) -> bool:
+    """True when a ref fragment keeps its meaning under the probe
+    transform: anchors / $dynamicRef names are position-independent;
+    JSON pointers only while every step walks path-preserved keywords."""
+    if not frag or not frag.startswith("/"):
+        return True  # root, plain anchor, or dynamic-anchor name
+    parts = [p.replace("~1", "/").replace("~0", "~")
+             for p in frag.split("/")[1:]]
+    i = 0
+    while i < len(parts):
+        kw = parts[i]
+        if kw == "propertyNames":
+            i += 1
+        elif kw in _PROBE_SAFE_STEP and i + 1 < len(parts):
+            i += 2
+        else:
+            return False
+    return True
+
+
+def _probe_refs_safe(doc: Any) -> bool:
+    """Scan a schema document for ref fragments the probe transform
+    cannot preserve (positional JSON pointers). Conservative: ref-shaped
+    keys inside non-schema values (enum/const payloads) count too —
+    a false positive only costs the faithful-twin fallback."""
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            if k in _PROBE_REF_KWS and isinstance(v, str):
+                frag = v.split("#", 1)[1] if "#" in v else ""
+                if not _probe_safe_fragment(frag):
+                    return False
+            if not _probe_refs_safe(v):
+                return False
+        return True
+    if isinstance(doc, list):
+        return all(_probe_refs_safe(v) for v in doc)
+    return True
+
+
 def _probe_schema(s: Any):
     """Strip a schema down to its NAVIGATION structure toward $ref
     sites: applicators that locate sub-instances are kept (with
@@ -1520,10 +1569,27 @@ class CompiledJsonSchema:
             kw = {"resources": res}
             if opts.retriever is not None:
                 orig_r = opts.retriever
-                kw["retriever"] = \
-                    lambda uri: (_probe_schema(orig_r(uri)) or {})
+
+                def _probe_retrieve(uri, orig_r=orig_r):
+                    doc = orig_r(uri)
+                    if not _probe_refs_safe(doc):
+                        raise SchemaError(
+                            "positional $ref pointer in retrieved "
+                            "document — probe paths unreliable")
+                    return _probe_schema(doc) or {}
+
+                kw["retriever"] = _probe_retrieve
             opts = replace(opts, **kw)
         try:
+            # positional JSON-pointer refs (#/allOf/0, #/items, ...)
+            # can resolve cleanly inside the restructured probe to the
+            # WRONG subtree; detect them up front and take the
+            # always-faithful twin instead
+            if not _probe_refs_safe(self.schema) or any(
+                    not _probe_refs_safe(doc)
+                    for doc in (self.options.resources or {}).values()):
+                raise SchemaError(
+                    "positional $ref pointer — probe paths unreliable")
             probe = _probe_schema(self.schema)
             if probe is None:
                 raise SchemaError("probe pruned to nothing")

@@ -12,6 +12,7 @@ engine. Draft selection covers 4/6/7/2019-09/2020-12 via `dialect`.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Optional
 
 # unroll depth used when ValidationOptions.max_ref_depth is None (auto)
 DEFAULT_REF_DEPTH = 8
@@ -64,8 +65,11 @@ class EmailOptions:
 
     # minimum dot-separated domain segments (with_minimum_sub_domains);
     # 0 = no minimum (with_no_minimum_sub_domains); 2 = require a TLD
-    # (with_required_tld)
-    minimum_sub_domains: int = 0
+    # (with_required_tld). None = unset — require_tld decides. An
+    # explicit value ALWAYS wins over require_tld: the crate has one
+    # underlying field (require_tld is just min=2) and the py binding
+    # applies minimum_sub_domains AFTER require_tld (lib.rs:974-982).
+    minimum_sub_domains: Optional[int] = None
     # accept bracketed IP domains (with_domain_literal /
     # without_domain_literal)
     allow_domain_literal: bool = True
@@ -78,22 +82,25 @@ class EmailOptions:
 
     @property
     def effective_minimum_sub_domains(self) -> int:
-        return max(self.minimum_sub_domains, 2 if self.require_tld else 0)
+        if self.minimum_sub_domains is not None:
+            return int(self.minimum_sub_domains)
+        return 2 if self.require_tld else 0
 
     def with_minimum_sub_domains(self, n: int) -> "EmailOptions":
+        # Last-call-wins like the reference's consuming builder: the
+        # crate's single underlying field means an explicit minimum
+        # replaces a prior with_required_tld()/require_tld=True.
         from dataclasses import replace
-        return replace(self, minimum_sub_domains=int(n))
+        return replace(self, minimum_sub_domains=int(n),
+                       require_tld=False)
 
     def with_no_minimum_sub_domains(self) -> "EmailOptions":
-        # Last-call-wins like the reference's consuming builder: also
-        # clears a constructor-set require_tld=True, which would
-        # otherwise keep effective_minimum_sub_domains at 2.
-        from dataclasses import replace
-        return replace(self, minimum_sub_domains=0, require_tld=False)
+        return self.with_minimum_sub_domains(0)
 
     def with_required_tld(self) -> "EmailOptions":
+        # the crate's with_required_tld IS with_minimum_sub_domains(2)
         from dataclasses import replace
-        return replace(self, minimum_sub_domains=2)
+        return replace(self, minimum_sub_domains=2, require_tld=True)
 
     def with_domain_literal(self) -> "EmailOptions":
         from dataclasses import replace

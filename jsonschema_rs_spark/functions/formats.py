@@ -238,8 +238,11 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
 
 # local part of the addr-spec wherever it sits (start of string, or
 # after the display-name's '<'): quoted-string first so embedded dots/
-# specials don't split it, else the run up to the '@'
-_EMAIL_LOCAL_EXTRACT = r'(?:^|<)("(?:[^"\\]|\\.)*"|[^@<]+)@'
+# specials don't split it, else the run up to the '@'. Anchored on the
+# FINAL '@domain' (domains cannot contain '@'), so a display phrase
+# containing '@' (e.g. `"x@y" <a@b.com>`) never wins the extraction —
+# an unanchored first-match regex captured display text there.
+_EMAIL_LOCAL_EXTRACT = r'(?:^|[<\s])("(?:[^"\\]|\\.)*"|[^@<>\s]+)@[^@]*$'
 
 
 def _email_shape(c: Column, idn: bool, opts) -> Column:
@@ -429,9 +432,13 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
 
             def check(c, idn=idn, opts=opts, dom_udf=dom_udf):
                 dom = _email_domain(c)
-                refine = (F.length(dom) == 0) | dom_udf(dom) \
+                # gate the pUDF input with F.when (None -> True inside
+                # the predicate): Spark does not short-circuit | around
+                # Python UDFs, so an ungated dom_udf(dom) would pay the
+                # Arrow round trip on EVERY row
+                refine = dom_udf(F.when(F.length(dom) > 0, dom)) \
                     if idn else \
-                    (~dom.contains("xn--") | dom_udf(dom))
+                    dom_udf(F.when(dom.contains("xn--"), dom))
                 return _email_shape(c, idn, opts) & refine
 
             return Rule("format", sp + "/format",

@@ -472,7 +472,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 break
         else:
             labels = updated.localCheckpoint(eager=True)
-    if not converged and max_iterations > 1:
+    # max_iterations == 1 never runs the convergence check, so treat it
+    # as unconverged too — returning silently there handed back possibly
+    # split labels with neither the star fallback nor the warning
+    if not converged:
         if algorithm == "auto":
             # don't hand back possibly-split labels: the star path is
             # O(log n) rounds regardless of diameter, so it finishes

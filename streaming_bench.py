@@ -101,11 +101,20 @@ def bench_stateful_drift(spark, rows_per_sec: int, run_secs: int = 35,
          .start())
     t_end = time.time() + run_secs
     samples = []
+    seen_batches = set()
     while time.time() < t_end:
         time.sleep(1.0)
         p = _as_dict(q.lastProgress)
         if p is None:
             continue
+        # dedupe by batchId: a trigger slower than the 1 s poll would
+        # otherwise be sampled repeatedly, biasing medians toward slow
+        # triggers
+        bid = p.get("batchId")
+        if bid is not None:
+            if bid in seen_batches:
+                continue
+            seen_batches.add(bid)
         if p.get("numInputRows", 0) > 0:
             wm = p.get("eventTime", {}).get("watermark")
             lag = None

@@ -293,6 +293,27 @@ def test_email_options_reference_tests(spark):
                    "Name <not-an-email>": False}
 
 
+def test_email_display_phrase_containing_at(spark):
+    """The local-part octet gate must anchor on the addr-spec, not the
+    first '@' in the string: a quoted display word containing '@' used
+    to hijack the extraction (the regex captured display text), causing
+    both false accepts (an oversized quoted local went unmeasured) and
+    false rejects (display octets counted as the local)."""
+    from jsonschema_rs_spark.errors import EmailOptions
+    opts = _email_opts(EmailOptions().with_display_text())
+    cases = {
+        # '@' inside the quoted display word, 1-octet real local
+        '"x@y" <q@example.com>': True,
+        '"ab' + "x" * 60 + '@cd" <q@example.com>': True,
+        # quoted local at/over the 64-octet boundary behind such a phrase
+        '"x@y" <"' + "a" * 62 + '"@example.com>': True,    # 64 octets
+        '"x@y" <"' + "a" * 63 + '"@example.com>': False,   # 65 octets
+    }
+    got = _rule_check(spark, "email", cases, options=opts)
+    assert got == cases, {k: (got[k], v) for k, v in cases.items()
+                          if got[k] != v}
+
+
 def test_email_punycode_domain(spark):
     """email domains ride the same punycode decode as `hostname`
     (format.rs:540-541 is_valid_email -> is_valid_hostname)."""

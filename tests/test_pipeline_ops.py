@@ -319,6 +319,13 @@ def test_connected_components_star_long_chain(spark):
             for r in dd.connected_components(
                 pairs, max_iterations=5).collect()}
     assert auto == star
+    # max_iterations=1 never even reaches the convergence CHECK (it
+    # runs from round 2) — that must count as unconverged too, not
+    # silently return round-1 labels
+    auto1 = {r["id"]: r["component"]
+             for r in dd.connected_components(
+                 pairs, max_iterations=1).collect()}
+    assert auto1 == star
 
 
 def test_connected_components_star_random_vs_union_find(spark):

@@ -28,6 +28,17 @@ def test_email_options_no_minimum_undoes_require_tld():
     # chaining order is last-call-wins both ways
     assert EmailOptions().with_no_minimum_sub_domains() \
         .with_required_tld().effective_minimum_sub_domains == 2
+    # an explicit minimum replaces require_tld too (the crate has ONE
+    # underlying field; with_required_tld IS with_minimum_sub_domains(2))
+    assert EmailOptions(require_tld=True) \
+        .with_minimum_sub_domains(1).effective_minimum_sub_domains == 1
+    # jsonschema-py binding parity: minimum_sub_domains is applied AFTER
+    # require_tld (lib.rs:974-982), so the kwarg combination resolves to
+    # the explicit minimum
+    assert EmailOptions(require_tld=True, minimum_sub_domains=1) \
+        .effective_minimum_sub_domains == 1
+    assert EmailOptions(require_tld=True) \
+        .effective_minimum_sub_domains == 2
 
 
 def test_regex_options_top_level_reexports():
@@ -44,6 +55,11 @@ def test_regex_options_top_level_reexports():
     ("missing required property \"it's\"", "it's"),
     ('"z" is a required property', "z"),
     ("\"it's\" is a required property", "it's"),
+    # astral-plane name: json.dumps escapes it as a surrogate PAIR;
+    # literal_eval alone yields two lone surrogates, which must be
+    # recombined to match the schema's actual property name
+    (__import__("json").dumps("\U0001D11E") + " is a required property",
+     "\U0001D11E"),
     ("something unrelated", None),
 ])
 def test_required_kind_property_extraction(message, want):
@@ -123,6 +139,62 @@ def test_depth_ignore_keeps_r4_behavior(spark):
     assert out.collect()[0]["valid"] is True
 
 
+def test_depth_probe_safe_fragment_classifier():
+    from jsonschema_rs_spark.compiler.variant import _probe_safe_fragment
+    # path-preserved: maps + names, propertyNames, anchors, root
+    for frag in ("", "/$defs/node", "/properties/a/properties/b",
+                 "/definitions/x", "/patternProperties/^a/$defs/y",
+                 "/propertyNames/$defs/z", "anchor-name"):
+        assert _probe_safe_fragment(frag), frag
+    # reindexed/folded by the probe transform: positional applicators
+    for frag in ("/allOf/0", "/items", "/prefixItems/1", "/then",
+                 "/not", "/properties/a/anyOf/1", "/additionalProperties",
+                 "/dependentSchemas/k", "/$defs"):
+        assert not _probe_safe_fragment(frag), frag
+
+
+def test_depth_positional_ref_forces_faithful_twin(spark):
+    """A $ref through a positionally-reindexed keyword (#/allOf/0) must
+    not use the navigation probe: the probe transform folds applicators
+    into a synthesized allOf, so such a pointer can resolve CLEANLY to
+    the wrong subtree (here #/allOf/0 would hit the folded items
+    wrapper). The compiler detects the pointer up front and takes the
+    always-faithful strict twin; exhaustion semantics stay exact."""
+    import json
+
+    from jsonschema_rs_spark import compile_json_schema
+    schema = {
+        "$defs": {"node": {
+            "type": "object", "required": ["v"],
+            "properties": {"v": {"type": "integer"},
+                           "next": {"$ref": "#/$defs/node"}}}},
+        "items": {"$ref": "#/$defs/node"},
+        "allOf": [{"properties": {"tag": {"$ref": "#/$defs/node"}}}],
+        "properties": {"alt": {"$ref": "#/allOf/0"}},
+    }
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=3, on_depth_exhausted="annotate"))
+    assert plan._node_strict is not None
+    assert plan._probe_is_reach is False  # twin, not the probe
+
+    def nest(d, bad=False):
+        doc = {"v": "x" if bad else 0}
+        for i in range(d):
+            doc = {"v": i, "next": doc}
+        return doc
+
+    df = spark.createDataFrame(
+        [("within", json.dumps({"alt": {"tag": nest(1)}})),
+         ("beyond", json.dumps({"alt": {"tag": nest(10)}})),
+         ("checked_bad", json.dumps({"alt": {"tag": {"v": "x"}}}))],
+        "name string, doc string")
+    got = {r["name"]: (r["valid"], r["depth_exhausted"])
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got["within"] == (True, False)
+    assert got["beyond"][0] is True and got["beyond"][1] is True
+    assert got["checked_bad"][0] is False
+
+
 def test_depth_nonrecursive_schema_is_unchanged(spark):
     """No exhausted sites → no probe tree, no extra column: identical
     plan and output schema as before round 5 (zero cost on the hot
@@ -134,9 +206,11 @@ def test_depth_nonrecursive_schema_is_unchanged(spark):
     assert "depth_exhausted" not in plan.with_validation(df, "doc").columns
 
 
-def test_depth_probe_is_small_and_reachability():
+def test_depth_probe_is_small_and_reachability(spark):
     """The navigation-only probe must stay a fraction of the real tree
-    so it never drags the auto-tuned unroll down."""
+    so it never drags the auto-tuned unroll down. (The spark fixture is
+    required even though no DataFrame is built: ._jc Column
+    construction needs a live JVM/SparkContext.)"""
     from pyspark.sql import functions as F
     plan = _depth_plan("annotate")
     assert plan._probe_is_reach
