@@ -954,6 +954,13 @@ def _key_coverage(schema: Any, ctx):
     applicators (dynamic, validity-conditioned for in-place branches)."""
     if not isinstance(schema, dict):
         return lambda v, k: F.lit(False)
+    # coverage must see the DIALECT-EFFECTIVE node: a keyword the active
+    # draft ignores ($dynamicRef under 2019-09, ...) asserts nothing AND
+    # annotates nothing — without this gate it still marked keys
+    # evaluated (dialect fuzz find). `orig` stays the ref referrer (the
+    # registry's base-URI map is keyed by object identity).
+    orig = schema
+    schema = ctx.dialect.effective(schema)
     parts = []
     names = tuple(schema.get("properties", {}).keys())
     if names:
@@ -979,7 +986,7 @@ def _key_coverage(schema: Any, ctx):
         if depth < ctx.ref_depth_limit:
             ctx._ref_depth["cov:" + ref] = depth + 1
             try:
-                cov = _key_coverage(ctx.resolve_ref(ref, schema), ctx)
+                cov = _key_coverage(ctx.resolve_ref(ref, orig), ctx)
                 parts.append(cov)
             finally:
                 ctx._ref_depth["cov:" + ref] = depth
@@ -992,9 +999,20 @@ def _key_coverage(schema: Any, ctx):
             ctx._ref_depth["covd:" + ref] = depth + 1
             try:
                 parts.append(_key_coverage(
-                    ctx.registry.resolve_dynamic(ref, schema), ctx))
+                    ctx.registry.resolve_dynamic(ref, orig), ctx))
             finally:
                 ctx._ref_depth["covd:" + ref] = depth
+    if "$recursiveRef" in schema:
+        depth = ctx._ref_depth.get("covr:#", 0)
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
+            ctx._ref_depth["covr:#"] = depth + 1
+            try:
+                parts.append(_key_coverage(
+                    ctx.registry.resolve_recursive(), ctx))
+            finally:
+                ctx._ref_depth["covr:#"] = depth
     if "if" in schema:
         if_node = compile_variant(schema["if"], ctx, "/__cov")
         if_cov = _key_coverage(schema["if"], ctx)
@@ -1029,6 +1047,10 @@ def _index_coverage(schema: Any, ctx):
     by this schema's array applicators."""
     if not isinstance(schema, dict):
         return lambda v, i, el: F.lit(False)
+    # dialect-effective view for keyword reads; orig stays the ref
+    # referrer (see _key_coverage)
+    orig = schema
+    schema = ctx.dialect.effective(schema)
     # draft 4-7 array-form `items` covers only its listed indices; the
     # rest are evaluated only if `additionalItems` is present (mirrors
     # the _array_rules normalization — without this, [1, 2] against
@@ -1067,7 +1089,7 @@ def _index_coverage(schema: Any, ctx):
         if depth < ctx.ref_depth_limit:
             ctx._ref_depth["icov:" + ref] = depth + 1
             try:
-                parts.append(_index_coverage(ctx.resolve_ref(ref, schema),
+                parts.append(_index_coverage(ctx.resolve_ref(ref, orig),
                                              ctx))
             finally:
                 ctx._ref_depth["icov:" + ref] = depth
@@ -1080,9 +1102,20 @@ def _index_coverage(schema: Any, ctx):
             ctx._ref_depth["icovd:" + ref] = depth + 1
             try:
                 parts.append(_index_coverage(
-                    ctx.registry.resolve_dynamic(ref, schema), ctx))
+                    ctx.registry.resolve_dynamic(ref, orig), ctx))
             finally:
                 ctx._ref_depth["icovd:" + ref] = depth
+    if "$recursiveRef" in schema:
+        depth = ctx._ref_depth.get("icovr:#", 0)
+        if depth >= 1:
+            ctx.saw_ref_cycle = True
+        if depth < ctx.ref_depth_limit:
+            ctx._ref_depth["icovr:#"] = depth + 1
+            try:
+                parts.append(_index_coverage(
+                    ctx.registry.resolve_recursive(), ctx))
+            finally:
+                ctx._ref_depth["icovr:#"] = depth
     if "if" in schema:
         if_node = compile_variant(schema["if"], ctx, "/__cov")
         if_cov = _index_coverage(schema["if"], ctx)

@@ -121,3 +121,48 @@ def test_draft4_typed_integer(spark):
     got12 = {r["id"]: r["valid"]
              for r in plan12.with_validation(df).collect()}
     assert got12 == {1: True, 2: False}
+
+
+def test_unevaluated_coverage_is_dialect_gated(spark):
+    """A keyword the active draft ignores must annotate NOTHING for
+    unevaluated* coverage (dialect fuzz find, r5): under 2019-09,
+    prefixItems and $dynamicRef are unknown keywords — they used to be
+    correctly dropped as assertions but still marked positions evaluated
+    in the coverage walk, making the engine more permissive than
+    python-jsonschema's Draft201909Validator."""
+    import json
+
+    from jsonschema_rs_spark import compile_json_schema
+    d19 = "https://json-schema.org/draft/2019-09/schema"
+
+    def check(schema, docs):
+        plan = compile_json_schema(schema)
+        df = spark.createDataFrame([(json.dumps(d),) for d in docs],
+                                   "j string")
+        return [r["valid"] for r in
+                plan.with_validation(df, "j", mode="flag").collect()]
+
+    # prefixItems ignored under 2019-09: no assertion AND no coverage
+    s = {"$schema": d19, "allOf": [{"prefixItems": [True]}],
+         "unevaluatedItems": False}
+    assert check(s, [[1]]) == [False]
+    # ... but still full coverage under 2020-12
+    s12 = dict(s, **{"$schema":
+                     "https://json-schema.org/draft/2020-12/schema"})
+    assert check(s12, [[1]]) == [True]
+
+    # $dynamicRef ignored under 2019-09: the referenced subtree's items
+    # annotation must not leak into coverage
+    s = {"$schema": d19,
+         "$defs": {"d": {"$dynamicAnchor": "a",
+                         "items": {"type": "string"}}},
+         "allOf": [{"$dynamicRef": "#a"}], "unevaluatedItems": False}
+    assert check(s, [[1], ["x"]]) == [False, False]
+
+    # same interplay for object keys: properties behind a 2019-09
+    # $dynamicRef must not exempt keys from unevaluatedProperties
+    s = {"$schema": d19,
+         "$defs": {"d": {"$dynamicAnchor": "a",
+                         "properties": {"x": True}}},
+         "allOf": [{"$dynamicRef": "#a"}], "unevaluatedProperties": False}
+    assert check(s, [{"x": 1}, {}]) == [False, True]
