@@ -49,6 +49,7 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
     memory at any scale.
     """
     columns = columns or df.columns
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         col = F.col(c)
@@ -58,7 +59,7 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
         else:
             aggs.append(F.approx_count_distinct(col, rsd=hll_rsd)
                         .alias(f"{c}__distinct"))
-        dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[c]
+        dt = dtypes[c]
         if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
             aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
             aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
@@ -72,7 +73,8 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
-            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.try_divide(F.col(f"{c}__nulls"), F.col("__n"))
+            .alias("null_rate"),
             F.col(f"{c}__distinct").alias("n_distinct"),
             F.col(f"{c}__min").alias("min_value"),
             F.col(f"{c}__max").alias("max_value"),
@@ -87,14 +89,26 @@ def numeric_histogram(df: DataFrame, column: str, n_buckets: int = 20,
                       hi: float | None = None) -> DataFrame:
     """Equi-width histogram sketch: one pass if (lo, hi) given, else two
     (min/max scan + bucket-count scan). width_bucket keeps it JVM-side."""
+    hi_from_scan = hi is None
     if lo is None or hi is None:
         row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+        if row["lo"] is None and lo is None:
+            # empty input / all-null column: an empty histogram, not a
+            # TypeError on float(None)
+            spark = df.sparkSession
+            return spark.createDataFrame([], "bucket int, n long")
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0
     b = F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi),
                        F.lit(n_buckets))
+    if hi_from_scan:
+        # width_bucket's upper bound is exclusive, so the scan-derived
+        # maximum itself lands in overflow bucket n+1 — clamp it into
+        # the top nominal bucket (explicit hi keeps true overflow rows
+        # visible in n+1)
+        b = F.least(b, F.lit(n_buckets))
     return (
         df.where(F.col(column).isNotNull())
         .groupBy(b.alias("bucket"))
@@ -239,14 +253,18 @@ def ks_statistic_exact(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
 
 
 def _ks_finish(cdfs: DataFrame) -> DataFrame:
+    # same empty-side guards as ks_statistic_exact_scalable (the two
+    # must stay result-identical): try_divide instead of `/` so one
+    # empty sample yields ks 0.0 rather than an ANSI DIVIDE_BY_ZERO,
+    # and coalesced aggregates so even two empty samples return a row
     totals = cdfs.agg(F.max("ca").alias("n_a"), F.max("cb").alias("n_b"))
-    gap = cdfs.crossJoin(F.broadcast(totals)).agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max(F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b")))
-        .alias("ks_stat"),
+    gap = F.abs(F.try_divide(F.col("ca"), F.col("n_a"))
+                - F.try_divide(F.col("cb"), F.col("n_b")))
+    return cdfs.crossJoin(F.broadcast(totals)).agg(
+        F.coalesce(F.max("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0)).alias("n_b"),
+        F.coalesce(F.max(gap), F.lit(0.0)).alias("ks_stat"),
     )
-    return gap
 
 
 def ks_statistic_exact_scalable(a: DataFrame, b: DataFrame,
@@ -321,6 +339,11 @@ def ks_statistic_sketch(a: DataFrame, b: DataFrame, column: str,
         import bisect
         return bisect.bisect_right(q, x) / len(q)
 
+    if not qa or not qb:
+        # an empty sketch (no non-null values on that side) → ks 0.0,
+        # matching the exact paths' coalesced null gaps and
+        # ks_statistic_sketch_inplan — not a ZeroDivisionError
+        return {"ks_stat": 0.0, "k": k}
     points = sorted(set(qa) | set(qb))
     d = max(abs(cdf(qa, x) - cdf(qb, x)) for x in points) if points else 0.0
     return {"ks_stat": d, "k": k}

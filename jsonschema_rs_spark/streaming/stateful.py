@@ -116,11 +116,23 @@ def violation_sessions(stream_df: DataFrame, plan, key_col: str,
             s, e, n = ts[0], ts[0], 0
         closed = []
         for t in ts:
-            if t - e > gap_s and n > 0:
+            if n == 0:
+                s, e, n = t, t, 1
+            elif t - e > gap_s:
                 closed.append({"key": key[0], "session_start": s,
                                "session_end": e, "n_violations": n})
                 s, e, n = t, t, 1
+            elif s - t > gap_s:
+                # late (cross-batch out-of-order) event more than gap
+                # BEFORE the open session: its own already-elapsed
+                # session, emitted immediately — merging it used to
+                # report a session_start after a counted violation
+                closed.append({"key": key[0], "session_start": t,
+                               "session_end": t, "n_violations": 1})
             else:
+                # in-gap event: may extend the session backward (late)
+                # or forward
+                s = min(s, t)
                 e = max(e, t)
                 n += 1
         state.update((s, e, n))

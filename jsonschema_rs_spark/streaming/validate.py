@@ -89,24 +89,32 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time()
         v = plan.with_validation(batch_df, mode="verbose")
-        agg = (
-            v.select("valid",
-                     F.transform(F.col("errors"),
-                                 lambda e: e["keyword"]).alias("__kws"))
-            .groupBy()
+        # counts: coalesced so an EMPTY micro-batch (failure-recovery
+        # replay, empty trigger) writes 0s, not NULLs — the metrics
+        # contract's bigint columns feed `n_invalid > 0`-style filters.
+        counts = (
+            v.groupBy()
             .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(F.col("valid").cast("long")).alias("n_valid"),
-                 F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
-                 F.flatten(F.collect_list("__kws")).alias("__all_kws"))
-            .withColumn(
-                "violation_keywords",
-                F.map_from_entries(F.transform(
-                    F.array_distinct(F.col("__all_kws")),
-                    lambda k: F.struct(
-                        k.alias("key"),
-                        F.size(F.filter(F.col("__all_kws"),
-                                        lambda x: x == k)).cast("bigint")
-                        .alias("value")))))
+                 F.coalesce(F.sum(F.col("valid").cast("long")),
+                            F.lit(0)).alias("n_valid"),
+                 F.coalesce(F.sum((~F.col("valid")).cast("long")),
+                            F.lit(0)).alias("n_invalid")))
+        # keyword histogram via explode + groupBy(keyword): the shuffle
+        # carries only (keyword, count) pairs. The previous
+        # collect_list+flatten gathered EVERY keyword occurrence of the
+        # whole micro-batch into one task (unbounded memory) and
+        # re-scanned that array once per distinct keyword.
+        kws = (
+            v.where(~F.col("valid"))
+            .select(F.explode("errors").alias("__e"))
+            .groupBy(F.col("__e.keyword").alias("__k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct(F.col("__k").alias("key"),
+                                        F.col("__c").alias("value"))))
+                 .alias("violation_keywords")))
+        agg = (
+            counts.crossJoin(F.broadcast(kws))
             .select(
                 F.lit(run_id).alias("run_id"),
                 F.lit(-1).cast("bigint").alias("snapshot_id"),

@@ -259,6 +259,53 @@ def test_streaming_violation_sessions(spark, tmp_path):
     assert r["session_end"] - r["session_start"] == 8.0
 
 
+def test_streaming_violation_sessions_late_events(spark, tmp_path):
+    """Cross-batch out-of-order events: an in-gap late event extends the
+    open session BACKWARD (session_start = min); a late event more than
+    gap before it becomes its own immediately-emitted session — it used
+    to be silently merged, reporting a session_start after one of its
+    counted violations."""
+    from datetime import datetime
+
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.streaming.stateful import violation_sessions
+
+    src = str(tmp_path / "sess_late_src")
+    os.makedirs(src)
+    schema = "user string, value double, ts timestamp"
+
+    def t(m, s):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    # batch 1 opens u1's session at 05:00; batch 2 delivers a late
+    # in-gap event (04:30, extends backward) and a far-late one (00:10,
+    # own session), then a far-future one (20:00) that closes the
+    # extended session
+    b1 = [("u1", -1.0, t(5, 0))]
+    b2 = [("u1", -2.0, t(4, 30)), ("u1", -3.0, t(0, 10)),
+          ("u1", -4.0, t(20, 0))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/f2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    plan = compile_schema(
+        {"type": "object", "properties": {"value": {"minimum": 0}}},
+        spark.createDataFrame([], schema).schema)
+    out = violation_sessions(stream, plan, "user", "ts", gap_s=60.0)
+    q = (out.writeStream.format("memory").queryName("t_sess_late")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = sorted(spark.sql("select * from t_sess_late").collect(),
+                  key=lambda r: r["session_start"])
+    assert len(rows) == 2
+    lone, burst = rows
+    assert lone["n_violations"] == 1
+    assert lone["session_start"] == lone["session_end"]
+    assert burst["n_violations"] == 2          # 05:00 + late 04:30
+    assert burst["session_end"] - burst["session_start"] == 30.0
+    assert burst["session_start"] - lone["session_start"] == 260.0
+
+
 def test_chi_square_drift_stream_matches_batch_and_oracle(spark, tmp_path):
     """Stream == batch == hand-computed chi-square per window; novel
     categories surface in n_unexpected, not the statistic."""

@@ -222,3 +222,39 @@ def test_ks_exact_scalable_matches_window_version(spark):
     p = tc.ks_statistic_exact_scalable(a, b, "v") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" in p
+
+
+def test_ks_empty_side_guards(spark):
+    """One (or both) empty samples must yield ks 0.0 on EVERY KS path —
+    not an ANSI DIVIDE_BY_ZERO (window version), ZeroDivisionError
+    (sketch), or NULL stat."""
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    for lhs, rhs in ((a, empty), (empty, a), (empty, empty)):
+        r1 = tc.ks_statistic_exact(lhs, rhs, "v").first()
+        r2 = tc.ks_statistic_exact_scalable(lhs, rhs, "v").first()
+        assert r1["ks_stat"] == 0.0 and r2["ks_stat"] == 0.0
+        assert (r1["n_a"], r1["n_b"]) == (r2["n_a"], r2["n_b"])
+        assert tc.ks_statistic_sketch(lhs, rhs, "v", k=10)["ks_stat"] == 0.0
+
+
+def test_numeric_histogram_empty_and_allnull(spark):
+    empty = spark.createDataFrame([], "v double")
+    assert tc.numeric_histogram(empty, "v").count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert tc.numeric_histogram(nulls, "v").count() == 0
+
+
+def test_numeric_histogram_scan_derived_max_in_top_bucket(spark):
+    """With scan-derived bounds the data maximum must land in the top
+    NOMINAL bucket, not width_bucket's exclusive-upper overflow n+1.
+    An explicit hi keeps true overflow visible in n+1."""
+    df = spark.createDataFrame([(float(v),) for v in range(1, 11)],
+                               "v double")
+    got = {r["bucket"]: r["n"] for r in
+           tc.numeric_histogram(df, "v", n_buckets=5).collect()}
+    assert max(got) == 5 and sum(got.values()) == 10
+    got_exp = {r["bucket"]: r["n"] for r in
+               tc.numeric_histogram(df, "v", n_buckets=5, lo=1.0,
+                                    hi=10.0).collect()}
+    assert got_exp.get(6) == 1  # v=10.0 == explicit hi -> overflow
