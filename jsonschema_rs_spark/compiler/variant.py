@@ -1273,14 +1273,19 @@ def _depth_memo_key(schema: Any, options: ValidationOptions):
             or options.custom_content_media_types):
         return None
     try:
-        return (json.dumps(schema, sort_keys=True), options.dialect,
-                options.draft4_integer, options.validate_formats,
-                options.ignore_unknown_formats, options.base_uri,
-                # these change generated regex/pUDF/rule plan shape, so
-                # they must key the cached unroll depth (the options are
-                # frozen dataclasses, hashable)
-                options.email_options, options.pattern_options,
-                options.on_depth_exhausted, options.multiple_of_semantics)
+        key = (json.dumps(schema, sort_keys=True), options.dialect,
+               options.draft4_integer, options.validate_formats,
+               options.ignore_unknown_formats, options.base_uri,
+               # these change generated regex/pUDF/rule plan shape, so
+               # they must key the cached unroll depth (the options are
+               # frozen dataclasses, hashable — but a caller MAY pass a
+               # plain dict, which the format readers tolerate, so probe
+               # hashability here and skip the memo rather than crash
+               # at the lookup)
+               options.email_options, options.pattern_options,
+               options.on_depth_exhausted, options.multiple_of_semantics)
+        hash(key)
+        return key
     except (TypeError, ValueError):
         return None
 
@@ -1394,7 +1399,65 @@ def _probe_refs_safe(doc: Any) -> bool:
     return True
 
 
-def _probe_schema(s: Any):
+def _collect_ref_targets(docs) -> frozenset:
+    """Every SAFE pointer-fragment target in the given schema documents,
+    as tuples of unescaped steps — the probe transform must keep these
+    positions resolvable even when the targeted subtree is assertion-
+    only (it would otherwise prune it, and the unresolvable $ref in the
+    probe would force the full faithful-twin fallback, doubling
+    _measured_size for common '$ref to a plain type def' schemas).
+    Conservative superset: fragments are collected across ALL documents
+    without tracking which document each ref resolves into — an extra
+    empty spine in the probe is harmless."""
+    out = set()
+
+    def walk(d):
+        if isinstance(d, dict):
+            for k, v in d.items():
+                if k in _PROBE_REF_KWS and isinstance(v, str) \
+                        and "#" in v:
+                    frag = v.split("#", 1)[1]
+                    if frag.startswith("/") and _probe_safe_fragment(frag):
+                        out.add(tuple(
+                            p.replace("~1", "/").replace("~0", "~")
+                            for p in frag.split("/")[1:]))
+                walk(v)
+        elif isinstance(d, list):
+            for v in d:
+                walk(v)
+
+    for doc in docs:
+        walk(doc)
+    return frozenset(out)
+
+
+def _target_spine(path, targets):
+    """Minimal schema skeleton ({} leaves) reaching every ref target at
+    or under `path`, or None when no target touches it. Safe fragments
+    alternate map-keyword/name steps (plus bare propertyNames), so the
+    skeleton is just nested dicts."""
+    node: dict = {}
+    hit = False
+    for tg in targets:
+        if tg == path:
+            hit = True
+        elif len(tg) > len(path) and tg[:len(path)] == path:
+            hit = True
+            cur = node
+            rest = tg[len(path):]
+            i = 0
+            while i < len(rest):
+                if rest[i] == "propertyNames":
+                    cur = cur.setdefault("propertyNames", {})
+                    i += 1
+                else:
+                    cur = cur.setdefault(rest[i], {}) \
+                             .setdefault(rest[i + 1], {})
+                    i += 2
+    return node if hit else None
+
+
+def _probe_schema(s: Any, targets: frozenset = frozenset(), path=()):
     """Strip a schema down to its NAVIGATION structure toward $ref
     sites: applicators that locate sub-instances are kept (with
     transformed sub-schemas), every assertion keyword is dropped, and
@@ -1405,7 +1468,11 @@ def _probe_schema(s: Any):
     position beyond the compiled unroll — the depth_exhausted signal —
     while staying a small fraction of the real tree's size, so the
     auto-tuned unroll depth is unaffected in practice. Returns None for
-    subtrees that can never reach a ref (pruned)."""
+    subtrees that can never reach a ref (pruned). `targets`/`path` keep
+    pointer-ref DESTINATIONS resolvable: an assertion-only subtree that
+    some ref targets survives as a minimal {}-leaf spine instead of
+    being pruned (path=None marks positions reindexed by the transform,
+    which no safe fragment can address)."""
     if not isinstance(s, dict):
         return None
     if not _probe_keeps(s):
@@ -1414,26 +1481,23 @@ def _probe_schema(s: Any):
     for kw in _PROBE_IDENTITY_KWS + _PROBE_REF_KWS:
         if kw in s:
             out[kw] = s[kw]
-    for kw in ("$defs", "definitions"):
+    for kw in ("$defs", "definitions", "properties", "patternProperties"):
         if isinstance(s.get(kw), dict):
             kept = {}
             for k, v in s[kw].items():
-                t = _probe_schema(v)
-                if t is not None:
-                    kept[k] = t
-            if kept:
-                out[kw] = kept
-    for kw in ("properties", "patternProperties"):
-        if isinstance(s.get(kw), dict):
-            kept = {}
-            for k, v in s[kw].items():
-                t = _probe_schema(v)
+                cp = path + (kw, k) if path is not None else None
+                t = _probe_schema(v, targets, cp)
+                if t is None and cp is not None:
+                    t = _target_spine(cp, targets)
                 if t is not None:
                     kept[k] = t
             if kept:
                 out[kw] = kept
     if isinstance(s.get("propertyNames"), dict):
-        t = _probe_schema(s["propertyNames"])
+        cp = path + ("propertyNames",) if path is not None else None
+        t = _probe_schema(s["propertyNames"], targets, cp)
+        if t is None and cp is not None:
+            t = _target_spine(cp, targets)
         if t is not None:
             out["propertyNames"] = t
     # every array-element applicator probes ALL elements (positional /
@@ -1443,17 +1507,17 @@ def _probe_schema(s: Any):
                "unevaluatedItems"):
         v = s.get(kw)
         if isinstance(v, dict):
-            t = _probe_schema(v)
+            t = _probe_schema(v, targets, None)
             if t is not None:
                 elems.append(t)
         elif isinstance(v, list):  # items array form
             for e in v:
-                t = _probe_schema(e)
+                t = _probe_schema(e, targets, None)
                 if t is not None:
                     elems.append(t)
     for e in s.get("prefixItems", []) if isinstance(
             s.get("prefixItems"), list) else []:
-        t = _probe_schema(e)
+        t = _probe_schema(e, targets, None)
         if t is not None:
             elems.append(t)
     branches = []
@@ -1464,25 +1528,25 @@ def _probe_schema(s: Any):
     # their own allOf branch so no properties siblings exempt keys
     for kw in ("additionalProperties", "unevaluatedProperties"):
         if isinstance(s.get(kw), dict):
-            t = _probe_schema(s[kw])
+            t = _probe_schema(s[kw], targets, None)
             if t is not None:
                 branches.append({"additionalProperties": t})
     # in-place branch applicators: union of all branches
     for kw in ("allOf", "anyOf", "oneOf"):
         for sub in s.get(kw, []) if isinstance(s.get(kw), list) else []:
-            t = _probe_schema(sub)
+            t = _probe_schema(sub, targets, None)
             if t is not None:
                 branches.append(t)
     for kw in ("not", "if", "then", "else"):
         if isinstance(s.get(kw), dict):
-            t = _probe_schema(s[kw])
+            t = _probe_schema(s[kw], targets, None)
             if t is not None:
                 branches.append(t)
     for kw in ("dependentSchemas", "dependencies"):
         if isinstance(s.get(kw), dict):
             for sub in s[kw].values():
                 if isinstance(sub, dict):
-                    t = _probe_schema(sub)
+                    t = _probe_schema(sub, targets, None)
                     if t is not None:
                         branches.append(t)
     if branches:
@@ -1595,21 +1659,27 @@ class CompiledJsonSchema:
             return
         from dataclasses import replace
         opts = self.options
+        # ref targets collected across root + resource docs: a probed
+        # document must keep the positions refs POINT AT resolvable,
+        # wherever the pointing ref lives (superset is harmless)
+        targets = _collect_ref_targets(
+            [self.schema, *(opts.resources or {}).values()])
         if opts.resources or opts.retriever is not None:
             res = {}
             for u, doc in (opts.resources or {}).items():
-                res[u] = _probe_schema(doc) or {}
+                res[u] = _probe_schema(doc, targets) or {}
             kw = {"resources": res}
             if opts.retriever is not None:
                 orig_r = opts.retriever
 
-                def _probe_retrieve(uri, orig_r=orig_r):
+                def _probe_retrieve(uri, orig_r=orig_r, targets=targets):
                     doc = orig_r(uri)
                     if not _probe_refs_safe(doc):
                         raise SchemaError(
                             "positional $ref pointer in retrieved "
                             "document — probe paths unreliable")
-                    return _probe_schema(doc) or {}
+                    return _probe_schema(
+                        doc, targets | _collect_ref_targets([doc])) or {}
 
                 kw["retriever"] = _probe_retrieve
             opts = replace(opts, **kw)
@@ -1623,7 +1693,7 @@ class CompiledJsonSchema:
                     for doc in (self.options.resources or {}).values()):
                 raise SchemaError(
                     "positional $ref pointer — probe paths unreliable")
-            probe = _probe_schema(self.schema)
+            probe = _probe_schema(self.schema, targets)
             if probe is None:
                 raise SchemaError("probe pruned to nothing")
             pctx = VariantCompileContext(probe, opts,

@@ -92,7 +92,8 @@ def numeric_histogram(df: DataFrame, column: str, n_buckets: int = 20,
     hi_from_scan = hi is None
     if lo is None or hi is None:
         row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
-        if row["lo"] is None and lo is None:
+        if (row["lo"] is None and lo is None) or \
+                (row["hi"] is None and hi is None):
             # empty input / all-null column: an empty histogram, not a
             # TypeError on float(None)
             spark = df.sparkSession

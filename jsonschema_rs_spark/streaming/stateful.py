@@ -110,31 +110,31 @@ def violation_sessions(stream_df: DataFrame, plan, key_col: str,
         ts = sorted(t for pdf in pdfs for t in pdf["__ts"].dropna())
         if not ts:
             return
+        # interval-merge sessionization over the batch's events PLUS the
+        # open session from state, all in time order — so cross-batch
+        # out-of-order events merge with each other and with the open
+        # session exactly as gap semantics require (a per-event fold
+        # used to emit every far-late event as its own singleton, never
+        # merging two late events within gap_s of each other). The
+        # latest session stays open in state; every earlier one can only
+        # be extended by a yet-later batch delivering a yet-earlier
+        # event, which the single-open-session state cannot represent —
+        # those close immediately (documented best-effort for lateness
+        # beyond the open session's reach).
+        segs = [(t, t, 1) for t in ts]
         if state.exists:
-            s, e, n = state.get
-        else:
-            s, e, n = ts[0], ts[0], 0
-        closed = []
-        for t in ts:
-            if n == 0:
-                s, e, n = t, t, 1
-            elif t - e > gap_s:
-                closed.append({"key": key[0], "session_start": s,
-                               "session_end": e, "n_violations": n})
-                s, e, n = t, t, 1
-            elif s - t > gap_s:
-                # late (cross-batch out-of-order) event more than gap
-                # BEFORE the open session: its own already-elapsed
-                # session, emitted immediately — merging it used to
-                # report a session_start after a counted violation
-                closed.append({"key": key[0], "session_start": t,
-                               "session_end": t, "n_violations": 1})
+            segs.append(tuple(state.get))
+        segs.sort()
+        merged = [list(segs[0])]
+        for s0, e0, n0 in segs[1:]:
+            if s0 - merged[-1][1] <= gap_s:
+                merged[-1][1] = max(merged[-1][1], e0)
+                merged[-1][2] += n0
             else:
-                # in-gap event: may extend the session backward (late)
-                # or forward
-                s = min(s, t)
-                e = max(e, t)
-                n += 1
+                merged.append([s0, e0, n0])
+        closed = [{"key": key[0], "session_start": s0, "session_end": e0,
+                   "n_violations": n0} for s0, e0, n0 in merged[:-1]]
+        s, e, n = merged[-1]
         state.update((s, e, n))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)

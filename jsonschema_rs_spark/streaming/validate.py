@@ -88,47 +88,64 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time()
+        # slim + persist: counts and the keyword histogram are two
+        # aggregations with different groupings, so without a stage
+        # boundary each branch would re-run the full verbose validation
+        # over the micro-batch. Persist only (valid, keyword array) —
+        # a boolean + a few short strings per row, bounded regardless
+        # of document size — and validate once.
         v = plan.with_validation(batch_df, mode="verbose")
-        # counts: coalesced so an EMPTY micro-batch (failure-recovery
-        # replay, empty trigger) writes 0s, not NULLs — the metrics
-        # contract's bigint columns feed `n_invalid > 0`-style filters.
-        counts = (
-            v.groupBy()
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.coalesce(F.sum(F.col("valid").cast("long")),
-                            F.lit(0)).alias("n_valid"),
-                 F.coalesce(F.sum((~F.col("valid")).cast("long")),
-                            F.lit(0)).alias("n_invalid")))
-        # keyword histogram via explode + groupBy(keyword): the shuffle
-        # carries only (keyword, count) pairs. The previous
-        # collect_list+flatten gathered EVERY keyword occurrence of the
-        # whole micro-batch into one task (unbounded memory) and
-        # re-scanned that array once per distinct keyword.
-        kws = (
-            v.where(~F.col("valid"))
-            .select(F.explode("errors").alias("__e"))
-            .groupBy(F.col("__e.keyword").alias("__k"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct(F.col("__k").alias("key"),
-                                        F.col("__c").alias("value"))))
-                 .alias("violation_keywords")))
-        agg = (
-            counts.crossJoin(F.broadcast(kws))
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(-1).cast("bigint").alias("snapshot_id"),
-                F.lit(f"batch-{batch_id}").alias("part_id"),
-                "n_rows", "n_valid", "n_invalid", "violation_keywords",
-                F.array().cast("array<string>").alias("input_files"),
-                F.lit(t0).alias("started"),
-                F.lit(_time.time()).alias("finished"),
+        slim = v.select(
+            "valid",
+            F.when(~F.col("valid"),
+                   F.transform(F.col("errors"),
+                               lambda e: e["keyword"])).alias("__kws"))
+        slim = slim.persist()
+        try:
+            # counts: coalesced so an EMPTY micro-batch (failure-
+            # recovery replay, empty trigger) writes 0s, not NULLs —
+            # the metrics contract's bigint columns feed
+            # `n_invalid > 0`-style filters.
+            counts = (
+                slim.groupBy()
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.coalesce(F.sum(F.col("valid").cast("long")),
+                                F.lit(0)).alias("n_valid"),
+                     F.coalesce(F.sum((~F.col("valid")).cast("long")),
+                                F.lit(0)).alias("n_invalid")))
+            # keyword histogram via explode + groupBy(keyword): the
+            # shuffle carries only (keyword, count) pairs. The previous
+            # collect_list+flatten gathered EVERY keyword occurrence of
+            # the whole micro-batch into one task (unbounded memory)
+            # and re-scanned that array once per distinct keyword.
+            kws = (
+                slim.where(~F.col("valid"))
+                .select(F.explode("__kws").alias("__k"))
+                .groupBy("__k")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct(F.col("__k").alias("key"),
+                                            F.col("__c").alias("value"))))
+                     .alias("violation_keywords")))
+            agg = (
+                counts.crossJoin(F.broadcast(kws))
+                .select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(-1).cast("bigint").alias("snapshot_id"),
+                    F.lit(f"batch-{batch_id}").alias("part_id"),
+                    "n_rows", "n_valid", "n_invalid",
+                    "violation_keywords",
+                    F.array().cast("array<string>").alias("input_files"),
+                    F.lit(t0).alias("started"),
+                    F.lit(_time.time()).alias("finished"),
+                )
             )
-        )
-        agg.write.mode("overwrite") \
-            .option("partitionOverwriteMode", "dynamic") \
-            .partitionBy("run_id", "part_id") \
-            .parquet(runs_path)
+            agg.write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("run_id", "part_id") \
+                .parquet(runs_path)
+        finally:
+            slim.unpersist()
 
     writer = (stream_df.writeStream
               .foreachBatch(write_batch)

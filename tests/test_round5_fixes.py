@@ -294,3 +294,61 @@ def test_draft4_big_fraction_form_normalized(spark):
         F.schema_of_variant(F.try_parse_json(F.lit("7.0"))).alias("f"),
     ).collect()[0]
     assert r2["i"] == "BIGINT" and r2["f"] == "DECIMAL(1,0)"
+
+
+# -- r5 code-review fixes: they stay fixed ------------------------------------
+
+
+def test_depth_memo_key_tolerates_dict_options():
+    """A plain-dict email_options/pattern_options is tolerated end-to-end
+    (the format readers use getattr with defaults), so the memo key must
+    skip the cache for unhashable options rather than crash at the
+    _DEPTH_MEMO lookup."""
+    assert _depth_memo_key(
+        {"type": "string", "format": "email"},
+        ValidationOptions(email_options={"require_tld": True})) is None
+    # hashable frozen-dataclass options still key the memo
+    assert _depth_memo_key(
+        {"type": "string", "format": "email"},
+        ValidationOptions(email_options=EmailOptions())) is not None
+
+
+def test_depth_probe_keeps_referenced_assertion_only_defs():
+    """A plain $ref to an assertion-only def must not force the
+    faithful-twin fallback: the probe keeps the targeted position as a
+    {}-leaf spine (including targets NESTED inside pruned subtrees), so
+    the tiny navigation probe stays compilable and the auto-tuned unroll
+    depth is unaffected."""
+    from jsonschema_rs_spark import compile_json_schema
+    from jsonschema_rs_spark.compiler.variant import (
+        _collect_ref_targets, _probe_schema)
+    schema = {
+        "$defs": {
+            "id": {"type": "string"},                    # assertion-only
+            "leafbag": {"properties": {"deep": {"minimum": 3}}},
+            "node": {"type": "object", "required": ["v"],
+                     "properties": {"v": {"type": "integer"},
+                                    "next": {"$ref": "#/$defs/node"}}}},
+        "properties": {"a": {"$ref": "#/$defs/id"},
+                       "b": {"$ref": "#/$defs/leafbag/properties/deep"},
+                       "root": {"$ref": "#/$defs/node"}},
+    }
+    targets = _collect_ref_targets([schema])
+    assert ("$defs", "id") in targets
+    assert ("$defs", "leafbag", "properties", "deep") in targets
+    probe = _probe_schema(schema, targets)
+    assert probe["$defs"]["id"] == {}
+    assert probe["$defs"]["leafbag"] == {"properties": {"deep": {}}}
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=3, on_depth_exhausted="annotate"))
+    assert plan._node_strict is not None
+    assert plan._probe_is_reach is True  # probe, not the faithful twin
+
+
+def test_histogram_explicit_lo_scanned_hi_allnull(spark):
+    """Explicit lo + scanned hi over an all-null column returns an empty
+    histogram (the r5 guard covered only the lo-scanned side)."""
+    import jsonschema_rs_spark.operators.table_checks as tc
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    assert tc.numeric_histogram(nulls, "v", lo=0.0).count() == 0
+    assert tc.numeric_histogram(nulls, "v", hi=10.0).count() == 0

@@ -366,3 +366,46 @@ def test_chi_square_drift_stream_matches_batch_and_oracle(spark, tmp_path):
         assert abs(g["chi2"] - round(chi2, 6)) < 1e-6, ws
         assert g["n_unexpected"] == counts.get(dropped, 0), ws
         assert g["dof"] == len(probs) - 1
+
+
+def test_streaming_violation_sessions_late_events_merge(spark, tmp_path):
+    """Two far-late events within gap_s of EACH OTHER must merge into
+    one closed session — the per-event fold used to emit every far-late
+    event as its own singleton (code-review r5)."""
+    from datetime import datetime
+
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.streaming.stateful import violation_sessions
+
+    src = str(tmp_path / "sess_late_merge_src")
+    os.makedirs(src)
+    schema = "user string, value double, ts timestamp"
+
+    def t(m, s):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    # batch 1 opens the session at 16:40; batch 2 delivers two far-late
+    # events 30 s apart (01:40, 02:10) — one merged session — and a
+    # far-future event (40:00) that closes the open one
+    b1 = [("u1", -1.0, t(16, 40))]
+    b2 = [("u1", -2.0, t(1, 40)), ("u1", -3.0, t(2, 10)),
+          ("u1", -4.0, t(40, 0))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/f2")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    plan = compile_schema(
+        {"type": "object", "properties": {"value": {"minimum": 0}}},
+        spark.createDataFrame([], schema).schema)
+    out = violation_sessions(stream, plan, "user", "ts", gap_s=60.0)
+    q = (out.writeStream.format("memory").queryName("t_sess_late_merge")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = sorted(spark.sql("select * from t_sess_late_merge").collect(),
+                  key=lambda r: r["session_start"])
+    assert len(rows) == 2
+    late, opened = rows
+    assert late["n_violations"] == 2               # 01:40 + 02:10 merged
+    assert late["session_end"] - late["session_start"] == 30.0
+    assert opened["n_violations"] == 1             # the 16:40 session
+    assert opened["session_start"] == opened["session_end"]
