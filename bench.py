@@ -223,7 +223,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     detail = dict(headline)
+    detail.pop("detail")  # no self-reference in the detail artifact
     detail.update({
+        # full-precision timings here (the headline rounds to 3dp for
+        # stdout compactness; this file IS the full record)
+        "queries": {k: round(v, 6) for k, v in timings.items()},
         "queries_median": medians,
         # labeled estimators (ADVICE r3): best-of-N rejects this box's
         # co-tenant stalls; median shows what a typical pass costs

@@ -29,6 +29,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# quantile points per side for the certified KS sketch path — the ONE
+# definition both the Spark plan (queries.ks_events_value) and the DuckDB
+# oracle SQL (oracles.KS_EVENTS_VALUE template) derive from, so the
+# rank-selection rule and the 2/k error bound can never silently diverge
+KS_SKETCH_K = 200
+
 # ---------------------------------------------------------------------------
 # single-scan column stats
 # ---------------------------------------------------------------------------
@@ -90,19 +96,29 @@ def numeric_histogram(df: DataFrame, column: str, n_buckets: int = 20,
     """Equi-width histogram sketch: one pass if (lo, hi) given, else two
     (min/max scan + bucket-count scan). width_bucket keeps it JVM-side."""
     hi_from_scan = hi is None
+    # NaN compares GREATER than every value in Spark (and NaN == NaN),
+    # so a single NaN row would make the scanned hi = NaN and
+    # width_bucket(v, lo, NaN, n) dump EVERY row into one bucket —
+    # exclude NaN from the bounds scan and from the bucket counts, the
+    # same treatment nulls get (only float/double can hold NaN)
+    is_fractional = isinstance(df.schema[column].dataType,
+                               (T.FloatType, T.DoubleType))
+    vcol = F.col(column)
+    if is_fractional:
+        vcol = F.when(~F.isnan(column), F.col(column))
     if lo is None or hi is None:
-        row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).first()
+        row = df.agg(F.min(vcol).alias("lo"), F.max(vcol).alias("hi")).first()
         if (row["lo"] is None and lo is None) or \
                 (row["hi"] is None and hi is None):
-            # empty input / all-null column: an empty histogram, not a
-            # TypeError on float(None)
+            # empty input / all-null (or all-NaN) column: an empty
+            # histogram, not a TypeError on float(None)
             spark = df.sparkSession
             return spark.createDataFrame([], "bucket int, n long")
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     if hi <= lo:
         hi = lo + 1.0
-    b = F.width_bucket(F.col(column).cast("double"), F.lit(lo), F.lit(hi),
+    b = F.width_bucket(vcol.cast("double"), F.lit(lo), F.lit(hi),
                        F.lit(n_buckets))
     if hi_from_scan:
         # width_bucket's upper bound is exclusive, so the scan-derived
@@ -111,7 +127,7 @@ def numeric_histogram(df: DataFrame, column: str, n_buckets: int = 20,
         # visible in n+1)
         b = F.least(b, F.lit(n_buckets))
     return (
-        df.where(F.col(column).isNotNull())
+        df.where(vcol.isNotNull())
         .groupBy(b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
@@ -426,7 +442,7 @@ def ks_statistic_sketch_inplan(a: DataFrame, b: DataFrame, column: str,
 
 
 def ks_exact_and_sketch(a: DataFrame, b: DataFrame, column: str,
-                        k: int = 200) -> DataFrame:
+                        k: int = KS_SKETCH_K) -> DataFrame:
     """Exact KS and the certified sketch-KS in ONE range-partitioned
     pass (the ks_events_value driver query's plan).
 

@@ -17,6 +17,7 @@ Engine-parity rules baked into these strings:
 from __future__ import annotations
 
 from jsonschema_rs_spark.operators.similarity import hyperplane_signs
+from jsonschema_rs_spark.operators.table_checks import KS_SKETCH_K
 from jsonschema_rs_spark.operators.text_analysis import (
     BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS)
 
@@ -364,7 +365,10 @@ WHERE user_id IS NOT NULL
 GROUP BY user_id
 """
 
-KS_EVENTS_VALUE = """
+# k (quantile points per side) comes from the SAME constant the Spark
+# plan uses (table_checks.KS_SKETCH_K) so rank selection and the 2/k
+# bound cannot silently diverge between engine and oracle
+_KS_EVENTS_VALUE_T = """
 WITH u AS (
   SELECT value AS v, 1 AS ia, 0 AS ib FROM events
    WHERE event_type = 'click' AND value IS NOT NULL
@@ -393,10 +397,10 @@ rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
        FROM u WHERE ib = 1),
 p AS (
   SELECT v, 1 AS ia, 0 AS ib FROM ra
-   WHERE (rn * 200) // n > ((rn - 1) * 200) // n
+   WHERE (rn * {k}) // n > ((rn - 1) * {k}) // n
   UNION ALL
   SELECT v, 0, 1 FROM rb
-   WHERE (rn * 200) // n > ((rn - 1) * 200) // n),
+   WHERE (rn * {k}) // n > ((rn - 1) * {k}) // n),
 kc AS (SELECT CAST(sum(ia) AS BIGINT) AS ka, CAST(sum(ib) AS BIGINT) AS kb
        FROM p),
 pc AS (SELECT
@@ -412,9 +416,10 @@ SELECT ex.na AS n_a, ex.nb AS nb_out,
        round(ex.ks_raw, 6) AS ks_stat,
        round(sk.sk_raw, 6) AS ks_sketch,
        (abs(round(ex.ks_raw, 6) - round(sk.sk_raw, 6))
-        <= 2.0 / 200 + 2e-6) AS within_bound
+        <= 2.0 / {k} + 2e-6) AS within_bound
 FROM ex, sk
 """.replace("nb_out", "n_b")
+KS_EVENTS_VALUE = _KS_EVENTS_VALUE_T.format(k=KS_SKETCH_K)
 
 CHISQ_EVENTS_HALVES = """
 WITH mid AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS m FROM events),

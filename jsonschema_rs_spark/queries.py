@@ -394,7 +394,7 @@ def ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     a = ev.where(F.col("event_type") == "click")
     b = ev.where(F.col("event_type") == "error")
-    k = 200
+    k = tc.KS_SKETCH_K  # shared with the oracle SQL template
     both = tc.ks_exact_and_sketch(a, b, "value", k=k)
     # compare the 6dp-rounded stats (the cross-engine-stable renderings
     # the oracle hashes) with a 2-ulp-of-rounding slack on the bound

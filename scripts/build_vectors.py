@@ -472,6 +472,9 @@ def _chain(depth, bad_at=None):
     return doc
 
 
+# NOTE: tests/test_round5_fixes.py carries its own copy of this chain
+# fixture (CHAIN_SCHEMA/_chain, json-string-valued) — deliberate
+# independence, but keep the node shape in sync when editing
 _CHAIN_SCHEMA = {"$ref": "#/$defs/node",
                  "$defs": {"node": {
                      "type": "object", "required": ["v"],

@@ -189,12 +189,18 @@ def main() -> None:
     lo = bench_stateful_drift(spark, rows_per_sec=1_000_000)
     section = render_section(a, hi, lo, cores)
     md_path = os.path.join(REPO, "BENCH_SCALING.md")
-    with open(md_path) as f:
-        md = f.read()
+    # the file may not exist yet (fresh clone, scaling bench not run) —
+    # don't lose a 10-minute measurement to a FileNotFoundError
+    md = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            md = f.read()
     if MARKER in md:
         md = md[:md.index(MARKER)].rstrip() + "\n\n" + section
-    else:
+    elif md:
         md = md.rstrip() + "\n\n" + section
+    else:
+        md = "# BENCH_SCALING\n\n" + section
     with open(md_path, "w") as f:
         f.write(md)
     print(json.dumps({"metric": "streaming_bench", "stateless": a,

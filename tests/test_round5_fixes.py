@@ -72,6 +72,9 @@ def test_required_kind_property_extraction(message, want):
 # -- recursive-$ref depth exhaustion is observable (VERDICT r4 #1) ----------
 
 
+# NOTE: scripts/build_vectors.py carries its own copy of this chain
+# fixture (_CHAIN_SCHEMA/_chain, dict-valued) for the vendored corpus —
+# deliberate independence, but keep the node shape in sync when editing
 CHAIN_SCHEMA = {"$ref": "#/$defs/node",
                 "$defs": {"node": {
                     "type": "object", "required": ["v"],
@@ -352,3 +355,37 @@ def test_histogram_explicit_lo_scanned_hi_allnull(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     assert tc.numeric_histogram(nulls, "v", lo=0.0).count() == 0
     assert tc.numeric_histogram(nulls, "v", hi=10.0).count() == 0
+
+
+def test_histogram_nan_excluded_from_bounds_and_counts(spark):
+    """NaN compares greater than every double in Spark, so one NaN row
+    used to make the scanned hi = NaN and width_bucket dumped EVERY row
+    into a single bucket. NaN rows are now excluded like nulls — from
+    the bounds scan AND from the bucket counts."""
+    import math
+
+    import jsonschema_rs_spark.operators.table_checks as tc
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (float("nan"),), (None,)],
+        "v double")
+    rows = {r["bucket"]: r["n"]
+            for r in tc.numeric_histogram(df, "v", n_buckets=3).collect()}
+    # bounds from the non-NaN values (1..4): three equal buckets of 1,
+    # the scan-derived max clamped into the top bucket; NaN/null dropped
+    assert rows == {1: 1, 2: 1, 3: 2}
+    assert sum(rows.values()) == 4
+    # all-NaN column behaves like all-null: empty histogram
+    nans = spark.createDataFrame([(float("nan"),)] * 2, "v double")
+    assert tc.numeric_histogram(nans, "v").count() == 0
+    assert not any(math.isnan(k or 0) for k in rows)
+
+
+def test_ks_oracle_k_matches_spark_constant():
+    """The KS oracle SQL is formatted from the SAME k constant the Spark
+    plan uses — tuning table_checks.KS_SKETCH_K can't silently diverge
+    the oracle's rank selection or its 2/k bound."""
+    from jsonschema_rs_spark import oracles
+    from jsonschema_rs_spark.operators.table_checks import KS_SKETCH_K
+    assert f"* {KS_SKETCH_K}) // n" in oracles.KS_EVENTS_VALUE
+    assert f"2.0 / {KS_SKETCH_K}" in oracles.KS_EVENTS_VALUE
+    assert "{k}" not in oracles.KS_EVENTS_VALUE
