@@ -110,40 +110,63 @@ class ValidationRunner:
 
     def _append_metrics(self, run_id: str, snapshot_id: int,
                         df: DataFrame, t0: float) -> None:
-        # one aggregation pass: per-partition counts + per-keyword
-        # violation counts + input-file lineage — the shuffle carries one
-        # row per partition, nothing row-scale
+        # counts/lineage and the keyword histogram need DIFFERENT
+        # groupings, so validate ONCE into a persisted slim projection —
+        # (part, valid, file, keyword array), a few short strings per
+        # row regardless of document size — and aggregate twice from it
+        # (same shape as streaming/validate.py's metrics). The previous
+        # single-agg collect_list+flatten gathered EVERY keyword
+        # occurrence of a partition into one aggregated array (unbounded
+        # per-partition state at 10^12-row scale) and re-scanned that
+        # array once per distinct keyword.
         v = self.plan.with_validation(df, mode="verbose")
-        per_part = (
-            v.select(F.col(PART_COL).cast("string").alias(PART_COL),
-                     "valid", F.input_file_name().alias("__file"),
-                     F.transform(F.col("errors"),
-                                 lambda e: e["keyword"]).alias("__kws"))
-            .groupBy(PART_COL)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("valid").cast("long")).alias("n_valid"),
-                F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
-                F.flatten(F.collect_list("__kws")).alias("__all_kws"),
-                F.collect_set("__file").alias("input_files"),
+        slim = v.select(
+            F.col(PART_COL).cast("string").alias(PART_COL),
+            "valid", F.input_file_name().alias("__file"),
+            F.when(~F.col("valid"),
+                   F.transform(F.col("errors"),
+                               lambda e: e["keyword"])).alias("__kws"))
+        slim = slim.persist()
+        try:
+            counts = (
+                slim.groupBy(PART_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                    F.sum((~F.col("valid")).cast("long")).alias("n_invalid"),
+                    F.collect_set("__file").alias("input_files"),
+                ))
+            # keyword histogram via explode + two-level agg: the shuffle
+            # carries (part, keyword, count) triples — map-side combined,
+            # bounded by the schema's keyword vocabulary, never row-scale
+            kws = (
+                slim.where(~F.col("valid"))
+                .select(PART_COL, F.explode("__kws").alias("__k"))
+                .groupBy(PART_COL, "__k")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+                .groupBy(PART_COL)
+                .agg(F.map_from_entries(
+                    F.collect_list(F.struct(F.col("__k").alias("key"),
+                                            F.col("__c").alias("value"))))
+                     .alias("violation_keywords")))
+            per_part = (
+                counts.join(kws, PART_COL, "left")
+                # all-valid partitions have no kws row: empty map, not
+                # null (the metrics contract's map column is consumed by
+                # map_keys/element_at-style readers)
+                .withColumn(
+                    "violation_keywords",
+                    F.coalesce("violation_keywords",
+                               F.create_map().cast("map<string,bigint>")))
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("snapshot_id",
+                            F.lit(snapshot_id).cast("bigint"))
+                .withColumn("started", F.lit(t0))
+                .withColumn("finished", F.lit(time.time()))
+                .select("run_id", "snapshot_id", PART_COL, "n_rows",
+                        "n_valid", "n_invalid", "violation_keywords",
+                        "input_files", "started", "finished")
             )
-            # keyword → count map derived from the aggregated array in a
-            # second projection (aggregates can't nest inside HOF lambdas)
-            .withColumn(
-                "violation_keywords",
-                F.map_from_entries(F.transform(
-                    F.array_distinct(F.col("__all_kws")),
-                    lambda k: F.struct(
-                        k.alias("key"),
-                        F.size(F.filter(F.col("__all_kws"),
-                                        lambda x: x == k)).cast("bigint")
-                        .alias("value")))))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("snapshot_id", F.lit(snapshot_id).cast("bigint"))
-            .withColumn("started", F.lit(t0))
-            .withColumn("finished", F.lit(time.time()))
-            .select("run_id", "snapshot_id", PART_COL, "n_rows", "n_valid",
-                    "n_invalid", "violation_keywords", "input_files",
-                    "started", "finished")
-        )
-        per_part.write.mode("append").parquet(self.runs_path)
+            per_part.write.mode("append").parquet(self.runs_path)
+        finally:
+            slim.unpersist()

@@ -64,10 +64,24 @@ def test_run_metrics_and_lineage(spark, table, tmp_path):
         assert r["finished"] >= r["started"]
         if r["n_invalid"]:
             assert sum(r["violation_keywords"].values()) > 0
+        else:
+            # all-valid partition: empty map, not null (metrics contract)
+            assert r["violation_keywords"] == {}
     # violations landed with run_id + partition ids
     viol = spark.read.parquet(str(tmp_path / "viol"))
     assert viol.where(F.col("run_id") == "r1").count() > 0
     assert set(viol.columns) >= {"part_id", "keyword", "run_id"}
+    # the metrics keyword histogram counts the same error unit the
+    # violations table materializes: totals must agree exactly
+    per_kw = {r["keyword"]: r["n"] for r in
+              viol.where(F.col("run_id") == "r1")
+              .groupBy("keyword").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    agg_kw: dict = {}
+    for r in m:
+        for k, n in r["violation_keywords"].items():
+            agg_kw[k] = agg_kw.get(k, 0) + n
+    assert agg_kw == per_kw
 
 
 def test_run_resume_skips_completed(spark, table, tmp_path):
