@@ -1583,6 +1583,10 @@ class CompiledJsonSchema:
                                               "ignore"):
             raise SchemaError("on_depth_exhausted must be 'annotate', "
                               "'fail' or 'ignore'")
+        if options.on_precision_loss not in ("annotate", "fail",
+                                             "ignore"):
+            raise SchemaError("on_precision_loss must be 'annotate', "
+                              "'fail' or 'ignore'")
         meta_validate(schema)
         self.schema = schema
         self.options = options
@@ -1806,9 +1810,27 @@ class CompiledJsonSchema:
 
     def valid_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
-        return F.when(json_col.isNull(), F.lit(True)) \
+        base = F.when(json_col.isNull(), F.lit(True)) \
             .when(v.isNull(), F.lit(False)) \
             .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+        if self.options.on_precision_loss == "fail":
+            # conservative: a row whose numbers the variant parser
+            # stored inexactly is never silently validated against the
+            # lossy doubles (functions/precision.py)
+            from jsonschema_rs_spark.functions.precision import (
+                precision_degraded_column)
+            base = base & ~precision_degraded_column(json_col)
+        return base
+
+    def precision_degraded_column(self, json_col: Column) -> Column:
+        """True when the document contains >=1 number token the variant
+        parser stores inexactly (so this row's verdict may diverge from
+        an exact-arithmetic validator like the reference's BigInt/
+        BigFraction path). Available in every on_precision_loss mode;
+        with_validation() appends it automatically under "annotate"."""
+        from jsonschema_rs_spark.functions.precision import (
+            precision_degraded_column)
+        return precision_degraded_column(json_col)
 
     def depth_exhausted_column(self, json_col: Column) -> Column:
         """True when the document has content the compiled plan did not
@@ -1831,14 +1853,31 @@ class CompiledJsonSchema:
             return ~probe
         return lenient_valid != probe
 
+    _PRECISION_MSG = ("number exceeds the variant parser's exact "
+                      "precision (stored as a lossy double)")
+
+    def _precision_error_tail(self, json_col: Column, v: Column) -> Column:
+        """Extra error array appended under on_precision_loss='fail':
+        one 'number' row for parseable-but-degraded documents."""
+        from jsonschema_rs_spark.functions.precision import (
+            precision_degraded_column)
+        return F.when(
+            json_col.isNotNull() & v.isNotNull()
+            & precision_degraded_column(json_col),
+            one_error(F.lit(""), "", "number", self._PRECISION_MSG)) \
+            .otherwise(empty_errors())
+
     def errors_column(self, json_col: Column) -> Column:
         v = F.try_parse_json(json_col)
         with self._msg_ctx():
-            return F.when(json_col.isNull(), empty_errors()) \
+            errs = F.when(json_col.isNull(), empty_errors()) \
                 .when(v.isNull(),
                       one_error(F.lit(""), "", "json",
                                 "invalid JSON document")) \
                 .otherwise(self.node.errors(v, F.lit("")))
+        if self.options.on_precision_loss == "fail":
+            errs = F.concat(errs, self._precision_error_tail(json_col, v))
+        return errs
 
     def with_validation(self, df: DataFrame, json_col: str,
                         mode: str = "flag") -> DataFrame:
@@ -1846,45 +1885,69 @@ class CompiledJsonSchema:
         # barriers): every rule references the staged columns instead of
         # re-running the parse / schema_of_variant — same staging
         # discipline as the dedup/text operators
+        if mode not in ("flag", "verbose"):
+            raise ValueError(f"unknown mode {mode!r}")
         staged = df.withColumn("__v", F.try_parse_json(F.col(json_col))) \
             .withColumn("__vt", F.schema_of_variant(F.col("__v")))
         jc, v = F.col(json_col), F.col("__v")
+        opl = self.options.on_precision_loss
+        temps = ["__v", "__vt", "__bvalid"]
+        if opl != "ignore":
+            # staged once: the pUDF prefilter/verdict feeds `valid`
+            # (fail), `errors` (fail) and/or the annotate column without
+            # re-crossing to Python per consumer
+            from jsonschema_rs_spark.functions.precision import (
+                precision_degraded_column)
+            staged = staged.withColumn(
+                "__pdeg", precision_degraded_column(jc))
+            temps.append("__pdeg")
         _vt_stage().append((v, F.col("__vt")))
 
         def _depth_col(valid_col):
             # annotate-mode observability over the staged variant; the
-            # already-computed `valid` column feeds the strict-twin
-            # fallback so only the probe tree is added to the plan
+            # already-computed schema-only `__bvalid` column feeds the
+            # strict-twin fallback so only the probe tree is added to
+            # the plan (and a precision-failed row can never masquerade
+            # as depth-exhausted)
             return F.when(jc.isNull() | v.isNull(), F.lit(False)) \
                 .otherwise(self._depth_signal(v, valid_col))
 
         try:
-            if mode == "flag":
-                valid = F.when(jc.isNull(), F.lit(True)) \
-                    .when(v.isNull(), F.lit(False)) \
-                    .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
-                out = staged.withColumn("valid", valid)
-                if self._node_strict is not None:
-                    out = out.withColumn(
-                        "depth_exhausted", _depth_col(F.col("valid")))
-                return out.drop("__v", "__vt")
-            # two context weights (validator.rs:106-109): the boolean plan
-            # decides validity; error construction only runs on failing rows
-            valid = F.when(jc.isNull(), F.lit(True)) \
+            # schema-only verdict; on_precision_loss='fail' tightens the
+            # public `valid` but depth observability keeps reading the
+            # schema-only column
+            bvalid = F.when(jc.isNull(), F.lit(True)) \
                 .when(v.isNull(), F.lit(False)) \
                 .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
-            out = staged.withColumn("valid", valid)
-            with self._msg_ctx():
-                errs = F.when(F.col("valid"), empty_errors()) \
-                    .when(v.isNull(),
-                          one_error(F.lit(""), "", "json",
-                                    "invalid JSON document")) \
-                    .otherwise(self.node.errors(v, F.lit("")))
-            out = out.withColumn("errors", errs)
+            final_valid = F.col("__bvalid") & ~F.col("__pdeg") \
+                if opl == "fail" else F.col("__bvalid")
+            out = staged.withColumn("__bvalid", bvalid) \
+                .withColumn("valid", final_valid)
+            if mode == "verbose":
+                # two context weights (validator.rs:106-109): the boolean
+                # plan decides validity; error construction only runs on
+                # failing rows
+                with self._msg_ctx():
+                    body = self.node.errors(v, F.lit(""))
+                    if opl == "fail":
+                        body = F.concat(body, F.when(
+                            F.col("__pdeg"),
+                            one_error(F.lit(""), "", "number",
+                                      self._PRECISION_MSG))
+                            .otherwise(empty_errors()))
+                    errs = F.when(F.col("valid"), empty_errors()) \
+                        .when(v.isNull(),
+                              one_error(F.lit(""), "", "json",
+                                        "invalid JSON document")) \
+                        .otherwise(body)
+                out = out.withColumn("errors", errs)
             if self._node_strict is not None:
                 out = out.withColumn(
-                    "depth_exhausted", _depth_col(F.col("valid")))
-            return out.drop("__v", "__vt")
+                    "depth_exhausted", _depth_col(F.col("__bvalid")))
+            if opl == "annotate":
+                out = out.withColumn(
+                    "precision_degraded", F.col("__pdeg"))
+            return out.drop(*temps)
         finally:
             _vt_stage().pop()
 

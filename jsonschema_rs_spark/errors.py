@@ -232,6 +232,23 @@ class ValidationOptions:
     #   sub-schema would).
     # - "ignore": the pre-round-5 behavior (silent vacuous-true).
     on_depth_exhausted: str = "annotate"
+    # what happens when a document contains a NUMBER token the variant
+    # parser stores inexactly (any exponent form or >38-digit/-scale
+    # literal becomes a DOUBLE; the reference crate validates such
+    # numbers with arbitrary precision — lib.rs:769-792,
+    # ext/numeric.rs:89-110 — so verdicts on those rows may diverge):
+    # - "ignore" (default): pre-existing behavior — the number is
+    #   validated as its nearest double, like serde_json without
+    #   arbitrary_precision.
+    # - "annotate": with_validation() appends a `precision_degraded`
+    #   boolean (True = this row contains >=1 inexactly-stored number,
+    #   i.e. its verdict may not match an exact-arithmetic validator).
+    # - "fail": degraded rows are flagged invalid with a 'number' error
+    #   row — conservative: never silently validates against a lossy
+    #   value. Variant (JSON-string) path only; typed columns carry
+    #   their own exact types. functions/precision.py has the storage
+    #   rule, pinned against try_parse_json in test_round5_fixes.
+    on_precision_loss: str = "ignore"
     draft4_integer: bool = False
     # UNUSED since round 3: multipleOf is decided by the exact rational
     # kernel (functions/numerics.py) on every path; kept so existing

@@ -389,3 +389,123 @@ def test_ks_oracle_k_matches_spark_constant():
     assert f"* {KS_SKETCH_K}) // n" in oracles.KS_EVENTS_VALUE
     assert f"2.0 / {KS_SKETCH_K}" in oracles.KS_EVENTS_VALUE
     assert "{k}" not in oracles.KS_EVENTS_VALUE
+
+
+# ---------------------------------------------------------------------------
+# on_precision_loss: observable numeric precision degradation (the r4
+# VERDICT's "What's missing" #2 — >38-digit/exponent number tokens are
+# stored as lossy doubles by the variant parser; the reference validates
+# them with arbitrary precision, lib.rs:769-792 / ext/numeric.rs:89-110)
+# ---------------------------------------------------------------------------
+
+from jsonschema_rs_spark.functions.precision import (  # noqa: E402
+    token_precision_degraded)
+
+
+@pytest.mark.parametrize("tok,want", [
+    ("1" * 38, False),            # 38-digit int -> DECIMAL(38,0), exact
+    ("1" * 39, True),             # 39 digits -> DOUBLE, inexact
+    ("-" + "1" * 39, True),
+    (str(2 ** 100), False),       # 31 digits -> DECIMAL(31,0), exact
+    ("1e2", False),               # DOUBLE but exactly 100.0
+    ("2.5e1", False),             # DOUBLE but exactly 25.0
+    ("1e39", True),               # DOUBLE, 10^39 not representable
+    ("1.5", False),
+    ("0." + "1" * 38, False),     # DECIMAL(38,38)
+    ("0." + "1" * 39, True),      # scale 39 -> DOUBLE, inexact
+    ("1." + "0" * 40, False),     # DOUBLE but exactly 1.0
+    ("0." + "0" * 40 + "1", True),  # scale 41 -> DOUBLE, 1e-41 inexact
+    ("1" + "0" * 309, True),      # overflows double to inf
+    ("18446744073709551615", False),  # u64 max -> DECIMAL(20,0)
+])
+def test_token_precision_degraded(tok, want):
+    assert token_precision_degraded(tok) is want
+
+
+def test_variant_numeric_storage_classes(spark):
+    """Pin the storage rule functions/precision.py encodes: DOUBLE iff
+    exponent marker, BigDecimal precision > 38, or scale > 38 —
+    otherwise exact DECIMAL. If a Spark upgrade changes this rule the
+    predicate must be recalibrated."""
+    from pyspark.sql import functions as F
+    toks = ["1" * 38, "1" * 39, "1e2", "0." + "1" * 38, "0." + "1" * 39,
+            "1." + "0" * 40, "0." + "0" * 40 + "1", str(2 ** 100)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r["tok"]: r["vt"] for r in df.select(
+        "tok",
+        F.schema_of_variant(F.try_parse_json(F.col("tok"))).alias("vt"))
+        .collect()}
+    assert got["1" * 38] == "DECIMAL(38,0)"
+    assert got["1" * 39] == "DOUBLE"
+    assert got["1e2"] == "DOUBLE"
+    assert got["0." + "1" * 38] == "DECIMAL(38,38)"
+    assert got["0." + "1" * 39] == "DOUBLE"
+    assert got["1." + "0" * 40] == "DOUBLE"
+    assert got["0." + "0" * 40 + "1"] == "DOUBLE"
+    assert got[str(2 ** 100)] == "DECIMAL(31,0)"
+
+
+def test_precision_annotate_mode(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    comp = CompiledJsonSchema(
+        {"type": "object"},
+        ValidationOptions(on_precision_loss="annotate"))
+    rows = [
+        ('{"a": ' + "1" * 39 + '}', True),    # 39-digit int
+        ('{"a": 1.5}', False),
+        ('{"a": 1e2}', False),                # double but exact
+        ('{"a": "' + "1" * 50 + '"}', False),  # digits inside a STRING
+        ('{"a": ' + "9" * 38 + '}', False),   # 38 digits exact
+        (None, False),
+        ("not json", False),                  # json keyword's problem
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "doc string")
+    out = comp.with_validation(df, "doc", mode="flag")
+    assert "precision_degraded" in out.columns
+    got = [bool(r["precision_degraded"]) for r in out.collect()]
+    assert got == [w for _, w in rows]
+    # default mode appends nothing — the r4 output schema is unchanged
+    comp_default = CompiledJsonSchema({"type": "object"})
+    assert "precision_degraded" not in \
+        comp_default.with_validation(df, "doc").columns
+
+
+def test_precision_fail_mode_flag_and_verbose(spark):
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    comp = CompiledJsonSchema(
+        {"type": "object"}, ValidationOptions(on_precision_loss="fail"))
+    deg = '{"a": ' + "1" * 39 + '}'
+    ok = '{"a": 1}'
+    df = spark.createDataFrame([(deg,), (ok,)], "doc string")
+    flags = {r["doc"]: bool(r["valid"])
+             for r in comp.with_validation(df, "doc").collect()}
+    assert flags == {deg: False, ok: True}
+    verbose = {r["doc"]: r for r in
+               comp.with_validation(df, "doc", mode="verbose").collect()}
+    errs = [e["keyword"] for e in verbose[deg]["errors"]]
+    assert errs == ["number"]
+    assert "exact precision" in verbose[deg]["errors"][0]["message"]
+    assert verbose[ok]["errors"] == []
+    # fail mode does NOT add the annotate column
+    assert "precision_degraded" not in \
+        comp.with_validation(df, "doc").columns
+
+
+def test_precision_fail_single_instance_api(spark):
+    big = 10 ** 38  # json.dumps renders 39 digits -> degraded
+    assert jrs.is_valid({"type": "integer"}, big)  # default: ignore
+    opts = ValidationOptions(on_precision_loss="fail")
+    assert not jrs.is_valid({"type": "integer"}, big, base=opts)
+    errs = list(jrs.iter_errors({"type": "integer"}, big, base=opts))
+    assert [e.keyword for e in errs] == ["number"]
+    # exact-decimal numbers are untouched by fail mode
+    assert jrs.is_valid({"type": "integer"}, 2 ** 100, base=opts)
+
+
+def test_precision_invalid_mode_rejected():
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    from jsonschema_rs_spark.errors import SchemaError
+    with pytest.raises(SchemaError):
+        CompiledJsonSchema(
+            {}, ValidationOptions(on_precision_loss="loudly"))
