@@ -509,3 +509,45 @@ def test_precision_invalid_mode_rejected():
     with pytest.raises(SchemaError):
         CompiledJsonSchema(
             {}, ValidationOptions(on_precision_loss="loudly"))
+
+
+def test_precision_annotation_catches_numeric_divergence(spark):
+    """Sufficiency of the precision_degraded signal: on every case where
+    this engine's double-based verdict DIVERGES from an exact-arithmetic
+    oracle (python-jsonschema over instances parsed with arbitrary-
+    precision ints), the annotation is True — and clean documents never
+    flag. This is the property the signal exists to provide: a consumer
+    filtering on ~precision_degraded reads only verdicts the reference's
+    BigInt path would agree with."""
+    import json as _json
+
+    import jsonschema as pyjs
+
+    big = 10 ** 38  # 39 digits -> stored as a lossy double
+    cases = [
+        # (schema, json text) — mixes divergent and agreeing rows
+        ({"const": float(big)}, str(big)),              # DIVERGES
+        ({"uniqueItems": True}, f"[{big},{big + 1}]"),  # DIVERGES
+        ({"uniqueItems": True}, "[1,2]"),
+        ({"const": 100.0}, "1e2"),
+        ({"type": "integer"}, str(2 ** 100)),           # exact decimal
+        ({"multipleOf": 3}, "21"),
+        ({"multipleOf": 3}, "22"),
+    ]
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    diverged = 0
+    for schema, text in cases:
+        comp = CompiledJsonSchema(
+            schema, ValidationOptions(on_precision_loss="annotate"))
+        df = spark.createDataFrame([(text,)], "doc string")
+        row = comp.with_validation(df, "doc").first()
+        exact = pyjs.Draft202012Validator(schema).is_valid(
+            _json.loads(text, parse_int=int))
+        if bool(row["valid"]) != exact:
+            diverged += 1
+            assert bool(row["precision_degraded"]), \
+                f"divergence not annotated: {schema} over {text}"
+        if not bool(row["precision_degraded"]):
+            assert bool(row["valid"]) == exact, \
+                f"clean row diverged silently: {schema} over {text}"
+    assert diverged >= 2  # the two engineered divergences really diverge
