@@ -232,3 +232,25 @@ def test_gather_verify_ships_ids_only(spark):
     assert pg.count("Join") == 1 and pj.count("Join") == 3
     # verify runs once on both paths
     assert pg.count("pair_cos") == 1 and pj.count("pair_cos") == 1
+
+
+def test_precision_modes_plan_shape(spark):
+    """on_precision_loss='ignore' (default) keeps the variant validation
+    plan Python-free; 'annotate'/'fail' stage the degradation pUDF ONCE
+    (one ArrowEvalPython) however many consumers read it — valid, errors
+    and the annotate column must share the staged __pdeg, not re-cross."""
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+    df = spark.createDataFrame([('{"a":1}',)], "j string")
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer", "minimum": 0}}}
+
+    default_plan = physical(
+        compile_json_schema(schema).with_validation(df, "j"))
+    assert "EvalPython" not in default_plan
+
+    for mode in ("annotate", "fail"):
+        plan = compile_json_schema(
+            schema, ValidationOptions(on_precision_loss=mode))
+        p = physical(plan.with_validation(df, "j", mode="verbose"))
+        assert p.count("ArrowEvalPython") == 1, (mode, p)
