@@ -18,9 +18,9 @@ crates/jsonschema-py/python/jsonschema_rs/__init__.pyi):
     summ = plan.summary(df)                # per-partition pass/fail
 """
 
-from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
-                                        ReferencingError, SchemaError,
-                                        ValidationOptions)
+from jsonschema_rs_spark.errors import (EmailOptions, HttpOptions,
+                                        PatternOptions, ReferencingError,
+                                        SchemaError, ValidationOptions)
 from jsonschema_rs_spark.compiler.compiler import compile_schema
 from jsonschema_rs_spark.compiler.variant import (CompiledJsonSchema,
                                                   compile_json_schema)
@@ -34,7 +34,13 @@ from jsonschema_rs_spark.api import (Evaluation, FancyRegexOptions,
                                      evaluate, meta,
                                      Draft4Validator, Draft6Validator,
                                      Draft7Validator, Draft201909Validator,
-                                     Draft202012Validator)
+                                     Draft202012Validator,
+                                     JSONType, JSONPrimitive,
+                                     KeywordValidator, RetrieverProtocol,
+                                     EvaluationAnnotation,
+                                     EvaluationErrorEntry,
+                                     FlagOutput, OutputUnit, ListOutput,
+                                     PatternOptionsType)
 
 __all__ = [
     "compile_schema",
@@ -65,6 +71,18 @@ __all__ = [
     "Draft7Validator",
     "Draft201909Validator",
     "Draft202012Validator",
+    # typing-surface parity (jsonschema-py __init__.pyi:1-118)
+    "HttpOptions",
+    "PatternOptionsType",
+    "JSONType",
+    "JSONPrimitive",
+    "KeywordValidator",
+    "RetrieverProtocol",
+    "EvaluationAnnotation",
+    "EvaluationErrorEntry",
+    "FlagOutput",
+    "OutputUnit",
+    "ListOutput",
 ]
 
 __version__ = "0.1.0"

@@ -26,12 +26,83 @@ import json
 import re
 from typing import Any, Iterator
 
-from jsonschema_rs_spark.errors import (EmailOptions, PatternOptions,
-                                        ReferencingError, SchemaError,
-                                        ValidationOptions)
+from jsonschema_rs_spark.errors import (EmailOptions, HttpOptions,
+                                        PatternOptions, ReferencingError,
+                                        SchemaError, ValidationOptions)
 
 _DRAFT_INTS = {4: "4", 6: "6", 7: "7",
                201909: "2019-09", 202012: "2020-12"}
+
+
+# -- typing-surface parity (jsonschema-py __init__.pyi:1-75) -----------------
+# These exist so reference users' imports and annotations keep working;
+# they carry no runtime behavior of their own.
+
+from decimal import Decimal as _Decimal  # noqa: E402
+from typing import (Callable, List, Protocol,  # noqa: E402
+                    TypeAlias, TypedDict, Union)
+
+JSONType: TypeAlias = \
+    "dict[str, Any] | list | str | int | float | _Decimal | bool | None"
+JSONPrimitive: TypeAlias = "str | int | float | _Decimal | bool | None"
+
+
+class KeywordValidator(Protocol):
+    """Protocol for custom keyword validators (jsonschema-py
+    __init__.pyi:10-33): instantiated with (parent_schema, value,
+    schema_path); validate(instance) raises on failure. The engine's
+    keywords= kwarg accepts the same classes (options.custom_keywords)."""
+
+    def __init__(self, parent_schema: dict, value: Any,
+                 schema_path: list) -> None: ...
+
+    def validate(self, instance: Any) -> None: ...
+
+
+class RetrieverProtocol(Protocol):
+    """Protocol for the retriever= callable (URI -> schema document)."""
+
+    def __call__(self, uri: str) -> Any: ...
+
+
+class EvaluationAnnotation(TypedDict):
+    schemaLocation: str
+    absoluteKeywordLocation: "str | None"
+    instanceLocation: str
+    annotations: Any
+
+
+class EvaluationErrorEntry(TypedDict):
+    schemaLocation: str
+    absoluteKeywordLocation: "str | None"
+    instanceLocation: str
+    error: str
+
+
+class FlagOutput(TypedDict):
+    """JSON Schema Output v1 — Flag format."""
+
+    valid: bool
+
+
+class OutputUnit(TypedDict, total=False):
+    """A single output unit in list/hierarchical formats."""
+
+    valid: bool
+    evaluationPath: str
+    schemaLocation: str
+    instanceLocation: str
+    errors: "dict[str, str]"
+    annotations: Any
+    droppedAnnotations: Any
+    details: List["OutputUnit"]
+
+
+class ListOutput(TypedDict):
+    """JSON Schema Output v1 — List format."""
+
+    valid: bool
+    details: List[OutputUnit]
 
 
 class _KindBase:
@@ -236,8 +307,16 @@ class Registry:
 def _options(draft=None, validate_formats=None, mask=None, registry=None,
              formats=None, keywords=None, ignore_unknown_formats=True,
              retriever=None, base_uri=None, email_options=None,
-             pattern_options=None,
+             pattern_options=None, http_options=None,
              base: ValidationOptions | None = None) -> ValidationOptions:
+    if http_options is not None:
+        # accepted for signature parity (jsonschema-py validator_for's
+        # http_options=, lib.rs:991), rejected with the supported
+        # alternatives: this engine performs no network I/O
+        raise SchemaError(
+            "http_options is not supported: this engine performs no "
+            "network I/O (documented non-goal). Supply external schema "
+            "documents via registry=/resources= or a retriever= callable.")
     if base is not None:
         return base
     dialect = None
@@ -274,6 +353,12 @@ def RegexOptions(size_limit=None, dfa_size_limit=None) -> PatternOptions:
     linear-time engine — lookaround/backref patterns fail compilation."""
     return PatternOptions(engine="linear", size_limit=size_limit,
                           dfa_size_limit=dfa_size_limit)
+
+
+# both factories return PatternOptions, so the reference's
+# `PatternOptionsType = Union[FancyRegexOptions, RegexOptions]` alias
+# (__init__.pyi:118) collapses to the one concrete type here
+PatternOptionsType: TypeAlias = PatternOptions
 
 
 def validator_for(schema: Any, **kwargs):
@@ -443,10 +528,16 @@ class meta:
 
 __all__ = [
     "EmailOptions",
+    "HttpOptions",
     "ReferencingError",
     "PatternOptions",
+    "PatternOptionsType",
     "FancyRegexOptions",
     "RegexOptions",
+    "JSONType", "JSONPrimitive",
+    "KeywordValidator", "RetrieverProtocol",
+    "EvaluationAnnotation", "EvaluationErrorEntry",
+    "FlagOutput", "OutputUnit", "ListOutput",
     "Registry", "Evaluation", "ValidationError", "ValidationErrorKind",
     "validator_for",
     "is_valid", "validate", "iter_errors", "evaluate", "meta",

@@ -46,6 +46,23 @@ class ReferencingError(SchemaError):
 
 
 @dataclass(frozen=True)
+class HttpOptions:
+    """Import/signature parity with the reference's HttpOptions
+    (jsonschema-py __init__.pyi:101-116; http.rs) — configuration for
+    the HTTP client the reference uses to fetch remote $refs. This
+    engine performs NO network I/O (a documented non-goal: external
+    documents are supplied via `resources=` or a `retriever=`
+    callable), so passing an HttpOptions to validator_for raises a
+    SchemaError naming those alternatives instead of silently ignoring
+    the requested behavior."""
+
+    timeout: "float | None" = None
+    connect_timeout: "float | None" = None
+    tls_verify: bool = True
+    ca_cert: "str | None" = None
+
+
+@dataclass(frozen=True)
 class EmailOptions:
     """`format: email` / `format: idn-email` knobs — the analog of the
     reference's EmailOptions over the email_address crate

@@ -551,3 +551,22 @@ def test_precision_annotation_catches_numeric_divergence(spark):
             assert bool(row["valid"]) == exact, \
                 f"clean row diverged silently: {schema} over {text}"
     assert diverged >= 2  # the two engineered divergences really diverge
+
+
+def test_typing_surface_parity_importable():
+    """Every typing/option name the reference's __init__.pyi exposes is
+    importable top-level here (pyi:1-118): the migration surface is
+    import-compatible, and http_options= fails loudly with the
+    supported alternatives instead of being silently ignored."""
+    from jsonschema_rs_spark import (  # noqa: F401
+        EvaluationAnnotation, EvaluationErrorEntry, FlagOutput,
+        HttpOptions, JSONPrimitive, JSONType, KeywordValidator,
+        ListOutput, OutputUnit, PatternOptionsType, RetrieverProtocol)
+    from jsonschema_rs_spark.errors import SchemaError
+    assert HttpOptions().tls_verify is True
+    with pytest.raises(SchemaError, match="retriever"):
+        jrs.validator_for({}, http_options=HttpOptions())
+    # None stays accepted (the reference's default)
+    jrs.validator_for({}, http_options=None)
+    missing = [n for n in jrs.__all__ if not hasattr(jrs, n)]
+    assert missing == []
