@@ -62,6 +62,29 @@ def static_json_types(dt: T.DataType) -> set[str]:
     return set()
 
 
+def _is_bignum(value: Any) -> bool:
+    """Integer literal beyond int64 — py4j renders it as a digit string
+    Long.parseLong rejects, so F.lit/isin NumberFormatException at
+    compile. Every such literal routes through an exact-domain check
+    (_value_matches_dtype) + a dtype-native re-expression
+    (_plain_scalar) instead."""
+    return (isinstance(value, int) and not isinstance(value, bool)
+            and not (-2 ** 63 <= value < 2 ** 63))
+
+
+def _plain_scalar(value: Any, dt: T.DataType) -> Any:
+    """Re-express a scalar so py4j can ship it exactly for this dtype.
+    Only called after _value_matches_dtype verified the dtype's exact
+    domain contains the value (so float(value)/Decimal(value) are
+    value-preserving here, never rounding)."""
+    if _is_bignum(value):
+        if isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+            return Decimal(value)
+        return float(value)
+    return value
+
+
 def lit_for(value: Any, dt: T.DataType) -> Column:
     """Build a deep literal Column of the given dtype from a JSON value."""
     if value is None:
@@ -86,7 +109,7 @@ def lit_for(value: Any, dt: T.DataType) -> Column:
             kv.append(F.lit(k))
             kv.append(lit_for(v, dt.valueType))
         return F.create_map(*kv) if kv else F.expr("map()").cast(dt)
-    return F.lit(value)
+    return F.lit(_plain_scalar(value, dt))
 
 
 def _value_matches_dtype(value: Any, dt: T.DataType) -> bool:
@@ -96,7 +119,29 @@ def _value_matches_dtype(value: Any, dt: T.DataType) -> bool:
     if isinstance(value, bool):
         return isinstance(dt, T.BooleanType)
     if isinstance(value, (int, float)):
-        return is_numeric(dt)
+        if not is_numeric(dt):
+            return False
+        if _is_bignum(value):
+            # typed columns carry EXACT values, so a beyond-int64
+            # integer literal can only ever equal a value of a dtype
+            # whose exact domain contains it (reference ext/numeric.rs
+            # exact cross-type compare; serde's BigInt domain)
+            if isinstance(dt, INTEGRAL):
+                return False
+            if isinstance(dt, T.DecimalType):
+                return len(str(abs(value))) <= dt.precision - dt.scale
+            try:
+                f = float(value)
+            except OverflowError:
+                return False
+            if isinstance(dt, T.FloatType):
+                import struct
+                try:
+                    f = struct.unpack("f", struct.pack("f", f))[0]
+                except OverflowError:  # beyond float32 range
+                    return False
+            return f == value  # Python cross-type compare is exact
+        return True
     if isinstance(value, str):
         return isinstance(dt, (T.StringType, T.DateType, T.TimestampType,
                                T.TimestampNTZType))
@@ -183,8 +228,9 @@ def build_enum(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         return [Rule("enum", sp + "/enum", msg, lambda c: F.lit(False), priority=2)]
     scalars = all(isinstance(v, (str, int, float, bool)) for v in compatible)
     if scalars and not isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        shippable = [_plain_scalar(v, dt) for v in compatible]
         return [Rule("enum", sp + "/enum", msg,
-                     lambda c, compatible=compatible: c.isin(compatible), priority=2)]
+                     lambda c, vals=shippable: c.isin(vals), priority=2)]
     lits = [lit_for(v, dt) for v in compatible]
 
     def pred(c: Column) -> Column:
@@ -200,33 +246,80 @@ def _num_rule(keyword: str, sp: str, msg: str, fn) -> Rule:
     return Rule(keyword, f"{sp}/{keyword}", msg, fn, priority=3)
 
 
+def _big_bound_pred(dt: T.DataType, m: int, kind: str):
+    """Exact ordering predicate `c <kind> m` (kind in ge/gt/le/lt) for a
+    beyond-int64 integer bound over a numeric typed column — F.lit(m)
+    used to NumberFormatException at compile. Integral and decimal
+    columns have bounded exact domains, so an out-of-domain bound
+    collapses statically and an in-domain decimal bound ships as a
+    decimal literal; float/double columns use a rounding-direction-
+    adjusted double compare: by round-to-nearest no double lies strictly
+    between float(m) and m, so e.g. `d >= m` ⇔ `d > float(m)` whenever
+    float(m) < m (saturating to ±inf past double range: `minimum:
+    10**400` admits only +inf)."""
+    admits_large = kind in ("ge", "gt")
+    if isinstance(dt, INTEGRAL) or isinstance(dt, T.DecimalType):
+        if isinstance(dt, T.DecimalType):
+            digits = len(str(abs(m)))
+            if digits <= dt.precision - dt.scale:
+                from decimal import Decimal
+                lit = F.lit(Decimal(m))
+                return {"ge": lambda c: c >= lit, "gt": lambda c: c > lit,
+                        "le": lambda c: c <= lit,
+                        "lt": lambda c: c < lit}[kind]
+        verdict = (m < 0) == admits_large
+        return lambda c, v=verdict: F.lit(v)
+    from jsonschema_rs_spark.compiler.variant import _schema_double
+    fm = _schema_double(m)
+    if fm == m:  # exactly double-representable: plain compare
+        lit = F.lit(fm)
+        return {"ge": lambda c: c >= lit, "gt": lambda c: c > lit,
+                "le": lambda c: c <= lit, "lt": lambda c: c < lit}[kind]
+    lit = F.lit(fm)
+    if fm < m:
+        return {"ge": lambda c: c > lit, "gt": lambda c: c > lit,
+                "le": lambda c: c <= lit, "lt": lambda c: c <= lit}[kind]
+    return {"ge": lambda c: c >= lit, "gt": lambda c: c >= lit,
+            "le": lambda c: c < lit, "lt": lambda c: c < lit}[kind]
+
+
 def build_bounds(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     if not is_numeric(dt):
         return []
+
+    def _pred(kind: str, m):
+        if _is_bignum(m):
+            return _big_bound_pred(dt, m, kind)
+        return {"ge": lambda c: c >= F.lit(m), "gt": lambda c: c > F.lit(m),
+                "le": lambda c: c <= F.lit(m),
+                "lt": lambda c: c < F.lit(m)}[kind]
+
     rules = []
     if "minimum" in schema:
         m = schema["minimum"]
-        rules.append(_num_rule("minimum", sp, f"value < {m}", lambda c, m=m: c >= F.lit(m)))
+        rules.append(_num_rule("minimum", sp, f"value < {m}", _pred("ge", m)))
     if "maximum" in schema:
         m = schema["maximum"]
-        rules.append(_num_rule("maximum", sp, f"value > {m}", lambda c, m=m: c <= F.lit(m)))
+        rules.append(_num_rule("maximum", sp, f"value > {m}", _pred("le", m)))
     em = schema.get("exclusiveMinimum")
     if isinstance(em, (int, float)) and not isinstance(em, bool):
         rules.append(_num_rule("exclusiveMinimum", sp, f"value <= {em}",
-                               lambda c, em=em: c > F.lit(em)))
+                               _pred("gt", em)))
     ex = schema.get("exclusiveMaximum")
     if isinstance(ex, (int, float)) and not isinstance(ex, bool):
         rules.append(_num_rule("exclusiveMaximum", sp, f"value >= {ex}",
-                               lambda c, ex=ex: c < F.lit(ex)))
+                               _pred("lt", ex)))
     # draft-4 boolean form: exclusiveMinimum: true modifies minimum
     if schema.get("exclusiveMinimum") is True and "minimum" in schema:
         m = schema["minimum"]
         rules = [r for r in rules if r.keyword != "minimum"]
-        rules.append(_num_rule("minimum", sp, f"value <= {m}", lambda c, m=m: c > F.lit(m)))
+        rules.append(_num_rule("minimum", sp, f"value <= {m}",
+                               _pred("gt", m)))
     if schema.get("exclusiveMaximum") is True and "maximum" in schema:
         m = schema["maximum"]
         rules = [r for r in rules if r.keyword != "maximum"]
-        rules.append(_num_rule("maximum", sp, f"value >= {m}", lambda c, m=m: c < F.lit(m)))
+        rules.append(_num_rule("maximum", sp, f"value >= {m}",
+                               _pred("lt", m)))
     return rules
 
 

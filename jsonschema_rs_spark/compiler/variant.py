@@ -29,6 +29,7 @@ never silently drops the stage to the interpreter.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -101,6 +102,19 @@ def _is_number(v: Column) -> Column:
 
 def _as_double(v: Column) -> Column:
     return F.try_variant_get(v, "$", "double")
+
+
+def _schema_double(value) -> float:
+    """Schema-side numeric literal as the nearest double, saturating to
+    ±inf instead of raising when an int exceeds double range (10**400
+    in a schema used to OverflowError at compile). Saturation is the
+    right double-space meaning: `minimum: 10**400` admits nothing
+    finite, `const: 10**400` matches only rows the parser stored as
+    +inf — serde_json's own non-arbitrary_precision reading."""
+    try:
+        return float(value)
+    except OverflowError:
+        return math.inf if value > 0 else -math.inf
 
 
 def _as_decimal(v: Column) -> Column:
@@ -215,6 +229,17 @@ def _const_pred(value: Any, v: Column) -> Column:
             # exact decimal casts back to the same rounded double), so
             # the exact compare is preserved where it matters
             from decimal import Decimal
+            if len(str(abs(value))) > 38:
+                # literal exceeds decimal(38,0): any instance equal to
+                # it is itself stored as a lossy double (the storage
+                # rule functions/precision.py pins), so the compare
+                # lives in double space — serde_json's
+                # non-arbitrary_precision reading; on_precision_loss
+                # 'annotate'/'fail'/'exact' observe or overrule the
+                # degraded rows. Used to ArithmeticException at compile
+                # (DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION).
+                return _is_number(v) & (_as_double(v)
+                                        == F.lit(_schema_double(value)))
             d = _as_decimal(v)
             dd = _as_double(v)
             return _is_number(v) & F.when(
@@ -465,10 +490,14 @@ def _compile_variant_body(orig: Any, schema: dict,
                    ("exclusiveMaximum", lambda d, lim: d < lim)]:
         if kw in schema:
             lim_raw = schema[kw]
-            if isinstance(lim_raw, int) and abs(lim_raw) >= 2 ** 53:
+            if isinstance(lim_raw, int) and abs(lim_raw) >= 2 ** 53 \
+                    and len(str(abs(lim_raw))) <= 38:
                 # big-int limit: decimal compare where the instance fits,
                 # double compare (monotone, safe far from the boundary)
-                # where it doesn't
+                # where it doesn't. >38-digit limits skip to the double
+                # branch — every instance near such a boundary is itself
+                # double-stored, and F.lit(Decimal(10**39)) used to
+                # ArithmeticException at compile
                 from decimal import Decimal
                 ld = Decimal(lim_raw)
 
@@ -479,7 +508,7 @@ def _compile_variant_body(orig: Any, schema: dict,
                         dv.isNotNull(), op(dv, F.lit(ld))) \
                         .otherwise(op(_as_double(v), F.lit(lim)))
             else:
-                lim = float(lim_raw)
+                lim = _schema_double(lim_raw)
 
                 def num_pred(v: Column, op=op, lim=lim) -> Column:
                     return ~_is_number(v) | op(_as_double(v), F.lit(lim))
@@ -1584,9 +1613,29 @@ class CompiledJsonSchema:
             raise SchemaError("on_depth_exhausted must be 'annotate', "
                               "'fail' or 'ignore'")
         if options.on_precision_loss not in ("annotate", "fail",
-                                             "ignore"):
+                                             "ignore", "exact"):
             raise SchemaError("on_precision_loss must be 'annotate', "
-                              "'fail' or 'ignore'")
+                              "'fail', 'exact' or 'ignore'")
+        if options.on_precision_loss == "exact":
+            # the exact kernel decides degraded rows by spec semantics;
+            # refuse option combos whose engine-side custom Python
+            # assertions it cannot honor (silently dropping one for
+            # exactly the rows this mode exists to get right would be
+            # worse than the double view)
+            unsupported = [n for n, v in (
+                ("custom_keywords", options.custom_keywords),
+                ("custom_formats", options.custom_formats),
+                ("custom_content_encodings",
+                 options.custom_content_encodings),
+                ("custom_content_media_types",
+                 options.custom_content_media_types)) if v]
+            if options.multiple_of_semantics == "reference":
+                unsupported.append("multiple_of_semantics='reference'")
+            if unsupported:
+                raise SchemaError(
+                    "on_precision_loss='exact' does not support "
+                    + ", ".join(unsupported)
+                    + "; use 'annotate' or 'fail' with these options")
         meta_validate(schema)
         self.schema = schema
         self.options = options
@@ -1820,7 +1869,29 @@ class CompiledJsonSchema:
             from jsonschema_rs_spark.functions.precision import (
                 precision_degraded_column)
             base = base & ~precision_degraded_column(json_col)
+        elif self.options.on_precision_loss == "exact":
+            # degraded rows take the exact-arithmetic verdict (NULL for
+            # every clean row — one gated Arrow crossing)
+            base = F.coalesce(self._exact_verdict_col(json_col), base)
         return base
+
+    def _exact_verdict_col(self, json_col: Column) -> Column:
+        """on_precision_loss='exact': nullable-bool exact verdict for
+        degraded rows (functions/precision.py exact_verdict_column);
+        NULL for clean rows so callers coalesce with the plan verdict."""
+        from jsonschema_rs_spark.compiler.dialects import detect_dialect
+        from jsonschema_rs_spark.functions.precision import (
+            exact_verdict_column)
+        o = self.options
+        d = detect_dialect(self.schema, o.dialect, o.resources)
+        vf = o.validate_formats
+        return exact_verdict_column(
+            json_col, self.schema, d.name,
+            assert_formats=d.formats_assert_by_default if vf is None
+            else bool(vf),
+            draft4_numbers=d.draft4_numbers or o.draft4_integer,
+            resources=o.resources, retriever=o.retriever,
+            base_uri=o.base_uri)
 
     def precision_degraded_column(self, json_col: Column) -> Column:
         """True when the document contains >=1 number token the variant
@@ -1855,6 +1926,9 @@ class CompiledJsonSchema:
 
     _PRECISION_MSG = ("number exceeds the variant parser's exact "
                       "precision (stored as a lossy double)")
+    _EXACT_MSG = ("exact-arithmetic validation failed (document contains "
+                  "numbers beyond the variant parser's exact precision; "
+                  "verdict from the exact kernel)")
 
     def _precision_error_tail(self, json_col: Column, v: Column) -> Column:
         """Extra error array appended under on_precision_loss='fail':
@@ -1877,6 +1951,17 @@ class CompiledJsonSchema:
                 .otherwise(self.node.errors(v, F.lit("")))
         if self.options.on_precision_loss == "fail":
             errs = F.concat(errs, self._precision_error_tail(json_col, v))
+        elif self.options.on_precision_loss == "exact":
+            # exact-valid rows report NO errors (the double-view rows
+            # are overruled); exact-invalid rows get the double-view
+            # detail plus one distinguished 'number' row
+            exact = self._exact_verdict_col(json_col)
+            errs = F.when(
+                exact.isNotNull(),
+                F.when(exact, empty_errors()).otherwise(F.concat(
+                    errs, one_error(F.lit(""), "", "number",
+                                    self._EXACT_MSG)))) \
+                .otherwise(errs)
         return errs
 
     def with_validation(self, df: DataFrame, json_col: str,
@@ -1892,7 +1977,13 @@ class CompiledJsonSchema:
         jc, v = F.col(json_col), F.col("__v")
         opl = self.options.on_precision_loss
         temps = ["__v", "__vt", "__bvalid"]
-        if opl != "ignore":
+        if opl == "exact":
+            # staged once: nullable exact verdict (NULL = clean row);
+            # feeds `valid` and the verbose error tail in one crossing
+            staged = staged.withColumn(
+                "__pexact", self._exact_verdict_col(jc))
+            temps.append("__pexact")
+        elif opl != "ignore":
             # staged once: the pUDF prefilter/verdict feeds `valid`
             # (fail), `errors` (fail) and/or the annotate column without
             # re-crossing to Python per consumer
@@ -1919,8 +2010,13 @@ class CompiledJsonSchema:
             bvalid = F.when(jc.isNull(), F.lit(True)) \
                 .when(v.isNull(), F.lit(False)) \
                 .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
-            final_valid = F.col("__bvalid") & ~F.col("__pdeg") \
-                if opl == "fail" else F.col("__bvalid")
+            if opl == "fail":
+                final_valid = F.col("__bvalid") & ~F.col("__pdeg")
+            elif opl == "exact":
+                final_valid = F.coalesce(F.col("__pexact"),
+                                         F.col("__bvalid"))
+            else:
+                final_valid = F.col("__bvalid")
             out = staged.withColumn("__bvalid", bvalid) \
                 .withColumn("valid", final_valid)
             if mode == "verbose":
@@ -1935,6 +2031,16 @@ class CompiledJsonSchema:
                             one_error(F.lit(""), "", "number",
                                       self._PRECISION_MSG))
                             .otherwise(empty_errors()))
+                    elif opl == "exact":
+                        # only exact-INVALID rows reach `body` (valid
+                        # rows short-circuit to empty above); append
+                        # the distinguished exact-kernel row for them
+                        body = F.concat(body, F.when(
+                            F.col("__pexact").isNotNull()
+                            & ~F.col("__pexact"),
+                            one_error(F.lit(""), "", "number",
+                                      self._EXACT_MSG))
+                            .otherwise(empty_errors()))
                     errs = F.when(F.col("valid"), empty_errors()) \
                         .when(v.isNull(),
                               one_error(F.lit(""), "", "json",
@@ -1947,6 +2053,11 @@ class CompiledJsonSchema:
             if opl == "annotate":
                 out = out.withColumn(
                     "precision_degraded", F.col("__pdeg"))
+            elif opl == "exact":
+                # same observability column: True = this row's verdict
+                # came from the exact kernel rather than the plan
+                out = out.withColumn(
+                    "precision_degraded", F.col("__pexact").isNotNull())
             return out.drop(*temps)
         finally:
             _vt_stage().pop()

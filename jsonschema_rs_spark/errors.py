@@ -265,6 +265,17 @@ class ValidationOptions:
     #   value. Variant (JSON-string) path only; typed columns carry
     #   their own exact types. functions/precision.py has the storage
     #   rule, pinned against try_parse_json in test_round5_fixes.
+    # - "exact": degraded rows are RE-VALIDATED with exact arithmetic
+    #   (raw-token parse: arbitrary-precision ints, Decimal fractions;
+    #   python-jsonschema kernel — the suite's standing oracle) and the
+    #   exact verdict replaces the plan's double-view verdict: the
+    #   engine analog of the reference's BigInt/BigFraction feature
+    #   domain (lib.rs:769-792, ext/numeric.rs:89-110). One extra
+    #   JVM-prefiltered Arrow crossing; clean rows stay on the pure
+    #   Column plan. Refused (SchemaError) with custom_keywords/
+    #   custom_formats/custom content handlers/the multipleOf reference
+    #   quirk — the kernel decides by spec semantics and must not drop
+    #   a custom assertion on exactly the rows the mode exists to fix.
     on_precision_loss: str = "ignore"
     draft4_integer: bool = False
     # UNUSED since round 3: multipleOf is decided by the exact rational

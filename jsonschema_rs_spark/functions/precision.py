@@ -46,7 +46,8 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["precision_degraded_column", "token_precision_degraded"]
+__all__ = ["precision_degraded_column", "token_precision_degraded",
+           "exact_verdict_column"]
 
 # Superset prefilter (JVM rlike, codegen'd): an exponent-marked number
 # form, or 39+ consecutive digit/dot chars. Every degradable token
@@ -114,3 +115,138 @@ def precision_degraded_column(json_col: Column) -> Column:
     boundary."""
     gated = F.when(json_col.rlike(_CANDIDATE_RE), json_col)
     return F.coalesce(_degraded_udf()(gated), F.lit(False))
+
+
+# -- on_precision_loss="exact": exact-arithmetic re-validation ---------------
+#
+# The third treatment of the parse-level precision limit: instead of
+# annotating (observability) or rejecting (conservative), DEGRADED rows
+# are re-validated with exact arithmetic and their verdict REPLACES the
+# double-view plan verdict — the engine analog of the reference's
+# arbitrary-precision feature domain (lib.rs:769-792 BigInt/BigFraction;
+# ext/numeric.rs:89-110), which validates beyond-double-precision
+# numbers exactly where serde_json's default would round them.
+#
+# Kernel: the locally installed python-jsonschema (the same library the
+# suite's 1,353 vendored cases are revalidated against — the repo's
+# standing ground-truth oracle), fed an instance parsed from the RAW
+# text with exact numerics:
+#   - integer-form tokens -> Python int (arbitrary precision, exact)
+#   - fraction/exponent-form tokens -> Decimal (exact); under drafts
+#     >= 6 an integral Decimal becomes int so `type: integer` keeps its
+#     zero-fractional-part semantics, while draft 4 keeps the Decimal
+#     (fraction form is NOT an integer — 1.0 ∉ integer, matching
+#     keywords/legacy/type_draft_4.rs and the engine's variant path)
+#   - schema floats are rewritten to their EXACT binary Decimal
+#     expansion (Decimal(0.1) = 0.1000…0625), value-preserving, so
+#     Decimal-vs-float mixed arithmetic (a TypeError in multipleOf's
+#     `instance % dB`) can never occur.
+#
+# Cost discipline is unchanged: one pUDF whose input is NULLed by the
+# same JVM regex prefilter, returning BOOL (exact verdict) for degraded
+# rows and NULL for everything else, so the plan-side verdict is just
+# coalesce(exact, plan_valid) with a single Arrow crossing.
+#
+# Scope (enforced with SchemaError at compile): options carrying
+# engine-side custom Python semantics (custom_keywords, custom_formats,
+# custom content encodings/media types) or the multipleOf reference
+# quirk are refused in exact mode — the kernel decides by spec
+# semantics and must not silently drop a custom assertion for exactly
+# the rows the mode exists to get right.
+
+_DRAFT_VALIDATOR_ATTR = {
+    "4": "Draft4Validator", "6": "Draft6Validator", "7": "Draft7Validator",
+    "2019-09": "Draft201909Validator", "2020-12": "Draft202012Validator",
+    # the engine's PERMISSIVE superset dialect validates unknown
+    # metaschemas with 2020-12 semantics (its reference analog buckets
+    # Unknown ≈ 2020-12, compiler.rs); same here
+    "permissive": "Draft202012Validator",
+}
+
+
+def _exactify_schema(node):
+    """Recursively replace every float in the schema document with its
+    exact binary Decimal expansion (value-preserving — the same real
+    number) so instance Decimals never meet a float operand."""
+    if isinstance(node, float):
+        return Decimal(node)
+    if isinstance(node, dict):
+        return {k: _exactify_schema(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_exactify_schema(v) for v in node]
+    return node
+
+
+def _build_exact_validator(schema, dialect_name: str, assert_formats: bool,
+                           resources: dict, retriever, base_uri):
+    import jsonschema
+
+    cls = getattr(jsonschema, _DRAFT_VALIDATOR_ATTR[dialect_name])
+    kwargs = {}
+    if assert_formats:
+        kwargs["format_checker"] = cls.FORMAT_CHECKER
+    if resources or retriever is not None:
+        import referencing
+        import referencing.jsonschema  # noqa: F401 — registers dialects
+
+        spec = referencing.jsonschema.specification_with(
+            cls.META_SCHEMA.get("$schema",
+                                "https://json-schema.org/draft/2020-12/"
+                                "schema"))
+
+        def _as_resource(doc):
+            return referencing.Resource.from_contents(
+                doc, default_specification=spec)
+
+        reg = referencing.Registry(
+            retrieve=(lambda uri: _as_resource(retriever(uri)))
+            if retriever is not None else None)
+        for uri, doc in (resources or {}).items():
+            reg = reg.with_resource(uri, _as_resource(doc))
+        kwargs["registry"] = reg
+    root = _exactify_schema(schema)
+    if base_uri and isinstance(root, dict) and "$id" not in root:
+        root = {**root, "$id": base_uri}
+    return cls(root, **kwargs)
+
+
+def _parse_exact(text: str, draft4_numbers: bool):
+    def pf(tok: str):
+        d = Decimal(tok)
+        if not draft4_numbers and d == d.to_integral_value():
+            return int(d)
+        return d
+
+    return json.loads(text, parse_float=pf)
+
+
+def exact_verdict_column(json_col: Column, schema, dialect_name: str,
+                         assert_formats: bool, draft4_numbers: bool,
+                         resources: dict | None = None, retriever=None,
+                         base_uri=None) -> Column:
+    """Nullable-boolean Column: the EXACT-arithmetic verdict for rows
+    whose numbers the variant parser stores inexactly; NULL for every
+    clean row (coalesce with the plan verdict downstream). Prefilter
+    keeps non-candidate rows off the Arrow path entirely."""
+    resources = dict(resources or {})
+    cell: list = []  # per-executor lazy validator (pickled closure)
+
+    @F.pandas_udf("boolean")
+    def exact(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None or not _doc_degraded(t):
+                return None
+            if not cell:
+                cell.append(_build_exact_validator(
+                    schema, dialect_name, assert_formats, resources,
+                    retriever, base_uri))
+            try:
+                inst = _parse_exact(t, draft4_numbers)
+            except Exception:  # noqa: BLE001 — unparseable text is the
+                return None    # 'json' keyword's verdict, not ours
+            return bool(cell[0].is_valid(inst))
+
+        return pd.Series([one(t) for t in texts], dtype="object")
+
+    gated = F.when(json_col.rlike(_CANDIDATE_RE), json_col)
+    return exact(gated)
