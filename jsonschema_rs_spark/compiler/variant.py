@@ -1609,14 +1609,18 @@ class CompiledJsonSchema:
                  options: ValidationOptions | None = None):
         options = options or ValidationOptions()
         if options.on_depth_exhausted not in ("annotate", "fail",
-                                              "ignore"):
+                                              "ignore", "exact"):
             raise SchemaError("on_depth_exhausted must be 'annotate', "
-                              "'fail' or 'ignore'")
+                              "'fail', 'exact' or 'ignore'")
         if options.on_precision_loss not in ("annotate", "fail",
                                              "ignore", "exact"):
             raise SchemaError("on_precision_loss must be 'annotate', "
                               "'fail', 'exact' or 'ignore'")
-        if options.on_precision_loss == "exact":
+        exact_modes = [n for n, v in (
+            ("on_precision_loss", options.on_precision_loss),
+            ("on_depth_exhausted", options.on_depth_exhausted))
+            if v == "exact"]
+        if exact_modes:
             # the exact kernel decides degraded rows by spec semantics;
             # refuse option combos whose engine-side custom Python
             # assertions it cannot honor (silently dropping one for
@@ -1633,8 +1637,8 @@ class CompiledJsonSchema:
                 unsupported.append("multiple_of_semantics='reference'")
             if unsupported:
                 raise SchemaError(
-                    "on_precision_loss='exact' does not support "
-                    + ", ".join(unsupported)
+                    "/".join(f"{m}='exact'" for m in exact_modes)
+                    + " does not support " + ", ".join(unsupported)
                     + "; use 'annotate' or 'fail' with these options")
         meta_validate(schema)
         self.schema = schema
@@ -1648,7 +1652,10 @@ class CompiledJsonSchema:
         # ground-truth-probes the COMBINED plan (see _measured_size).
         self._node_strict: Node | None = None
         self._probe_is_reach = True
-        self._dual = options.on_depth_exhausted == "annotate"
+        # "exact" needs the same probe twin as "annotate": it is the
+        # JVM-side gate deciding which rows cross to the runtime-
+        # recursive kernel
+        self._dual = options.on_depth_exhausted in ("annotate", "exact")
         from jsonschema_rs_spark.errors import resolved_ref_depth
         start = resolved_ref_depth(options)
         if options.max_ref_depth is not None:
@@ -1862,6 +1869,14 @@ class CompiledJsonSchema:
         base = F.when(json_col.isNull(), F.lit(True)) \
             .when(v.isNull(), F.lit(False)) \
             .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+        if self.options.on_depth_exhausted == "exact" \
+                and self._node_strict is not None:
+            # rows with content beyond the unroll take the runtime-
+            # recursive kernel's verdict (NULL for every in-unroll row
+            # — one gated Arrow crossing); precision policy composes
+            # AFTER so its conservative contract still holds
+            base = F.coalesce(
+                self._deep_verdict_col(json_col, v, base), base)
         if self.options.on_precision_loss == "fail":
             # conservative: a row whose numbers the variant parser
             # stored inexactly is never silently validated against the
@@ -1874,6 +1889,35 @@ class CompiledJsonSchema:
             # every clean row — one gated Arrow crossing)
             base = F.coalesce(self._exact_verdict_col(json_col), base)
         return base
+
+    def _deep_verdict_col(self, json_col: Column, v: Column,
+                          lenient_valid: Column) -> Column:
+        """on_depth_exhausted='exact': nullable-bool verdict from the
+        runtime-recursive exact kernel for rows whose content goes
+        beyond the compiled unroll; NULL for every in-unroll row
+        (coalesce with the plan verdict downstream). The gate is the
+        same JVM-side depth-exhaustion signal "annotate" exposes, so
+        in-unroll rows never leave the Column plan; gated rows are
+        re-validated by python-jsonschema, which recurses at runtime
+        with no depth limit — the engine analog of the reference's
+        validator recursion (validator.rs:34-52). The kernel also
+        parses numerics exactly, so a deep row can never regress to
+        the lossy double view."""
+        from jsonschema_rs_spark.compiler.dialects import detect_dialect
+        from jsonschema_rs_spark.functions.precision import (
+            exact_kernel_verdict_column)
+        o = self.options
+        d = detect_dialect(self.schema, o.dialect, o.resources)
+        vf = o.validate_formats
+        gate = json_col.isNotNull() & v.isNotNull() \
+            & self._depth_signal(v, lenient_valid)
+        return exact_kernel_verdict_column(
+            json_col, gate, self.schema, d.name,
+            assert_formats=d.formats_assert_by_default if vf is None
+            else bool(vf),
+            draft4_numbers=d.draft4_numbers or o.draft4_integer,
+            resources=o.resources, retriever=o.retriever,
+            base_uri=o.base_uri)
 
     def _exact_verdict_col(self, json_col: Column) -> Column:
         """on_precision_loss='exact': nullable-bool exact verdict for
@@ -1929,6 +1973,9 @@ class CompiledJsonSchema:
     _EXACT_MSG = ("exact-arithmetic validation failed (document contains "
                   "numbers beyond the variant parser's exact precision; "
                   "verdict from the exact kernel)")
+    _DEPTH_EXACT_MSG = ("content beyond the compiled unroll depth failed "
+                        "validation (verdict from the runtime-recursive "
+                        "exact kernel)")
 
     def _precision_error_tail(self, json_col: Column, v: Column) -> Column:
         """Extra error array appended under on_precision_loss='fail':
@@ -1949,6 +1996,22 @@ class CompiledJsonSchema:
                       one_error(F.lit(""), "", "json",
                                 "invalid JSON document")) \
                 .otherwise(self.node.errors(v, F.lit("")))
+        if self.options.on_depth_exhausted == "exact" \
+                and self._node_strict is not None:
+            # deep rows take the kernel's verdict: kernel-valid → no
+            # errors; kernel-invalid → the plan's (possibly empty)
+            # detail plus one distinguished '$ref' row. Precision
+            # policy composes AFTER so its tail survives on deep rows.
+            plan_valid = F.when(json_col.isNull(), F.lit(True)) \
+                .when(v.isNull(), F.lit(False)) \
+                .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+            deep = self._deep_verdict_col(json_col, v, plan_valid)
+            errs = F.when(
+                deep.isNotNull(),
+                F.when(deep, empty_errors()).otherwise(F.concat(
+                    errs, one_error(F.lit(""), "", "$ref",
+                                    self._DEPTH_EXACT_MSG)))) \
+                .otherwise(errs)
         if self.options.on_precision_loss == "fail":
             errs = F.concat(errs, self._precision_error_tail(json_col, v))
         elif self.options.on_precision_loss == "exact":
@@ -2010,15 +2073,27 @@ class CompiledJsonSchema:
             bvalid = F.when(jc.isNull(), F.lit(True)) \
                 .when(v.isNull(), F.lit(False)) \
                 .otherwise(F.coalesce(self.node.valid(v), F.lit(False)))
+            has_deep = self.options.on_depth_exhausted == "exact" \
+                and self._node_strict is not None
+            core = F.col("__bvalid")
+            if has_deep:
+                # staged once: nullable kernel verdict for beyond-unroll
+                # rows (NULL = in-unroll); feeds `valid` and the verbose
+                # error tail in one crossing
+                core = F.coalesce(F.col("__dexact"), core)
+                temps.append("__dexact")
             if opl == "fail":
-                final_valid = F.col("__bvalid") & ~F.col("__pdeg")
+                final_valid = core & ~F.col("__pdeg")
             elif opl == "exact":
-                final_valid = F.coalesce(F.col("__pexact"),
-                                         F.col("__bvalid"))
+                final_valid = F.coalesce(F.col("__pexact"), core)
             else:
-                final_valid = F.col("__bvalid")
-            out = staged.withColumn("__bvalid", bvalid) \
-                .withColumn("valid", final_valid)
+                final_valid = core
+            out = staged.withColumn("__bvalid", bvalid)
+            if has_deep:
+                out = out.withColumn(
+                    "__dexact",
+                    self._deep_verdict_col(jc, v, F.col("__bvalid")))
+            out = out.withColumn("valid", final_valid)
             if mode == "verbose":
                 # two context weights (validator.rs:106-109): the boolean
                 # plan decides validity; error construction only runs on
@@ -2040,6 +2115,16 @@ class CompiledJsonSchema:
                             & ~F.col("__pexact"),
                             one_error(F.lit(""), "", "number",
                                       self._EXACT_MSG))
+                            .otherwise(empty_errors()))
+                    if has_deep:
+                        # only kernel-INVALID deep rows reach `body`
+                        # (kernel-valid rows short-circuit to empty);
+                        # append the distinguished '$ref' kernel row
+                        body = F.concat(body, F.when(
+                            F.col("__dexact").isNotNull()
+                            & ~F.col("__dexact"),
+                            one_error(F.lit(""), "", "$ref",
+                                      self._DEPTH_EXACT_MSG))
                             .otherwise(empty_errors()))
                     errs = F.when(F.col("valid"), empty_errors()) \
                         .when(v.isNull(),

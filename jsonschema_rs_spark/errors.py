@@ -248,6 +248,18 @@ class ValidationOptions:
     #   that under `not`/`oneOf` the polarity inverts like any failing
     #   sub-schema would).
     # - "ignore": the pre-round-5 behavior (silent vacuous-true).
+    # - "exact": beyond-unroll rows are RE-VALIDATED by the runtime-
+    #   recursive exact kernel (python-jsonschema — the suite's
+    #   standing oracle; it recurses at runtime with no depth limit,
+    #   the analog of the reference's validator recursion,
+    #   validator.rs:34-52) and the kernel verdict replaces the plan's
+    #   vacuous-true. The gate is the same JVM-side exhaustion signal
+    #   "annotate" exposes, so in-unroll rows never leave the Column
+    #   plan; one extra gated Arrow crossing, only on schemas that can
+    #   exhaust. Kernel-invalid rows carry a distinguished '$ref'
+    #   error row. Refused (SchemaError) with custom_keywords/
+    #   custom_formats/custom content handlers/the multipleOf
+    #   reference quirk — same scope rule as on_precision_loss='exact'.
     on_depth_exhausted: str = "annotate"
     # what happens when a document contains a NUMBER token the variant
     # parser stores inexactly (any exponent form or >38-digit/-scale

@@ -47,7 +47,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["precision_degraded_column", "token_precision_degraded",
-           "exact_verdict_column"]
+           "exact_verdict_column", "exact_kernel_verdict_column"]
 
 # Superset prefilter (JVM rlike, codegen'd): an exponent-marked number
 # form, or 39+ consecutive digit/dot chars. Every degradable token
@@ -250,3 +250,41 @@ def exact_verdict_column(json_col: Column, schema, dialect_name: str,
 
     gated = F.when(json_col.rlike(_CANDIDATE_RE), json_col)
     return exact(gated)
+
+
+def exact_kernel_verdict_column(json_col: Column, gate: Column, schema,
+                                dialect_name: str, assert_formats: bool,
+                                draft4_numbers: bool,
+                                resources: dict | None = None,
+                                retriever=None, base_uri=None) -> Column:
+    """Nullable-boolean Column: the exact-kernel verdict for rows where
+    `gate` is true; NULL for every other row (coalesce with the plan
+    verdict downstream). The same kernel as ``exact_verdict_column``
+    but with a caller-supplied JVM-side gate and no in-UDF degradation
+    recheck — used by ``on_depth_exhausted='exact'``, whose gate is the
+    compiled depth-exhaustion signal: the kernel recurses at RUNTIME
+    with no unroll limit (the analog of the reference's validator
+    recursion, validator.rs:34-52), so its verdict is depth-faithful;
+    it also parses numerics exactly, so a gated row can never regress
+    to a lossy double view."""
+    resources = dict(resources or {})
+    cell: list = []
+
+    @F.pandas_udf("boolean")
+    def kernel(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if not cell:
+                cell.append(_build_exact_validator(
+                    schema, dialect_name, assert_formats, resources,
+                    retriever, base_uri))
+            try:
+                inst = _parse_exact(t, draft4_numbers)
+            except Exception:  # noqa: BLE001 — unparseable text is the
+                return None    # 'json' keyword's verdict, not ours
+            return bool(cell[0].is_valid(inst))
+
+        return pd.Series([one(t) for t in texts], dtype="object")
+
+    return kernel(F.when(gate, json_col))

@@ -11,6 +11,8 @@
   pattern_options (different options must not share a cached depth)
 """
 
+import json
+
 import pytest
 
 import jsonschema_rs_spark as jrs
@@ -256,6 +258,165 @@ def test_depth_invalid_mode_rejected():
     with pytest.raises(SchemaError):
         compile_json_schema({"type": "object"},
                             ValidationOptions(on_depth_exhausted="bogus"))
+
+
+# -- on_depth_exhausted="exact": runtime-recursive kernel verdicts ----------
+
+
+def test_depth_exact_recovers_true_verdicts(spark):
+    """'exact' mode closes the depth gap entirely: a violation BEYOND
+    the compiled unroll is caught (annotate only flags it; ignore
+    accepts it silently), while deep-valid rows stay valid (fail mode
+    would reject them). In-unroll rows keep plan verdicts."""
+    plan = _depth_plan("exact")
+    df = spark.createDataFrame(
+        [("within", _chain(3)), ("beyond_ok", _chain(8)),
+         ("beyond_bad", _chain(8, bad_at=7)),
+         ("checked_bad", _chain(2, bad_at=1))],
+        "name string, doc string")
+    out = plan.with_validation(df, "doc")
+    got = {r["name"]: (r["valid"], r["depth_exhausted"])
+           for r in out.collect()}
+    assert got == {"within": (True, False),
+                   "beyond_ok": (True, True),
+                   "beyond_bad": (False, True),
+                   "checked_bad": (False, False)}
+
+
+def test_depth_exact_verbose_distinguished_error(spark):
+    plan = _depth_plan("exact")
+    df = spark.createDataFrame(
+        [("beyond_ok", _chain(8)), ("beyond_bad", _chain(8, bad_at=7))],
+        "name string, doc string")
+    got = {r["name"]: r
+           for r in plan.with_validation(df, "doc",
+                                         mode="verbose").collect()}
+    assert got["beyond_ok"]["valid"] is True
+    assert list(got["beyond_ok"]["errors"]) == []
+    assert got["beyond_bad"]["valid"] is False
+    assert any(e["keyword"] == "$ref"
+               and "runtime-recursive" in e["message"]
+               for e in got["beyond_bad"]["errors"])
+
+
+def test_depth_exact_errors_column_single_instance(spark):
+    """valid_column/errors_column (the single-instance API path) honor
+    the kernel verdict too."""
+    import jsonschema_rs_spark as jrs
+    opts = ValidationOptions(max_ref_depth=3, on_depth_exhausted="exact")
+    deep_bad = json.loads(_chain(8, bad_at=7))
+    deep_ok = json.loads(_chain(8))
+    assert jrs.is_valid(CHAIN_SCHEMA, deep_ok, base=opts) is True
+    assert jrs.is_valid(CHAIN_SCHEMA, deep_bad, base=opts) is False
+    errs = jrs.iter_errors(CHAIN_SCHEMA, deep_bad, base=opts)
+    assert any(e.keyword == "$ref" for e in errs)
+
+
+def test_depth_exact_twin_fallback_path(spark):
+    """The strict-twin fallback gate (positional $ref forces
+    _probe_is_reach=False) feeds the kernel the same way."""
+    schema = {
+        "$defs": {"node": {
+            "type": "object", "required": ["v"],
+            "properties": {"v": {"type": "integer"},
+                           "next": {"$ref": "#/$defs/node"}}}},
+        "items": {"$ref": "#/$defs/node"},
+        "allOf": [{"properties": {"tag": {"$ref": "#/$defs/node"}}}],
+        "properties": {"alt": {"$ref": "#/allOf/0"}},
+    }
+    from jsonschema_rs_spark import compile_json_schema
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=3, on_depth_exhausted="exact"))
+    assert plan._probe_is_reach is False
+
+    def nest(d, bad=False):
+        doc = {"v": "x" if bad else 0}
+        for i in range(d):
+            doc = {"v": i, "next": doc}
+        return doc
+
+    df = spark.createDataFrame(
+        [("deep_ok", json.dumps({"alt": {"tag": nest(10)}})),
+         ("deep_bad", json.dumps({"alt": {"tag": nest(10, bad=True)}}))],
+        "name string, doc string")
+    got = {r["name"]: r["valid"]
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"deep_ok": True, "deep_bad": False}
+
+
+def test_depth_exact_refuses_custom_python_semantics():
+    from jsonschema_rs_spark import SchemaError, compile_json_schema
+    with pytest.raises(SchemaError, match="on_depth_exhausted='exact'"):
+        compile_json_schema(CHAIN_SCHEMA, ValidationOptions(
+            on_depth_exhausted="exact",
+            custom_keywords={"x-k": lambda col: col.isNotNull()}))
+    with pytest.raises(SchemaError, match="does not support"):
+        compile_json_schema(CHAIN_SCHEMA, ValidationOptions(
+            on_depth_exhausted="exact",
+            multiple_of_semantics="reference"))
+
+
+def test_depth_exact_nonrecursive_schema_zero_cost(spark):
+    """No exhausted sites -> no twin, no kernel, no extra column."""
+    from jsonschema_rs_spark import compile_json_schema
+    plan = compile_json_schema({"properties": {"n": {"type": "integer"}}},
+                               ValidationOptions(
+                                   on_depth_exhausted="exact"))
+    assert plan._node_strict is None
+    df = spark.createDataFrame([('{"n": 1}',)], "doc string")
+    out = plan.with_validation(df, "doc")
+    assert "depth_exhausted" not in out.columns
+    assert out.collect()[0]["valid"] is True
+
+
+def test_depth_exact_composes_with_precision_fail(spark):
+    """Precision 'fail' keeps its conservative contract on deep rows:
+    a deep row containing an inexactly-stored number is rejected even
+    when the kernel would validate it, and its verbose errors carry
+    the 'number' tail."""
+    from jsonschema_rs_spark import compile_json_schema
+    schema = {"$ref": "#/$defs/node",
+              "$defs": {"node": {
+                  "type": "object", "required": ["v"],
+                  "properties": {"v": {"type": "number"},
+                                 "next": {"$ref": "#/$defs/node"}}}}}
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=3, on_depth_exhausted="exact",
+        on_precision_loss="fail"))
+    big = "1" * 45  # 45-digit integer -> stored as a lossy double
+    deep_clean = _chain(8)
+    deep_degraded = deep_clean.replace('"v": 0', f'"v": {big}', 1)
+    assert '"v": ' + big in deep_degraded
+    df = spark.createDataFrame(
+        [("deep_clean", deep_clean), ("deep_degraded", deep_degraded)],
+        "name string, doc string")
+    got = {r["name"]: r
+           for r in plan.with_validation(df, "doc",
+                                         mode="verbose").collect()}
+    assert got["deep_clean"]["valid"] is True
+    assert got["deep_degraded"]["valid"] is False
+    assert any(e["keyword"] == "number"
+               for e in got["deep_degraded"]["errors"])
+
+
+def test_depth_exact_auto_depth_not_reduced(spark):
+    """Like annotate, the exact twin must not shrink the auto-tuned
+    unroll vs ignore mode."""
+    from jsonschema_rs_spark import compile_json_schema
+    d_ign = compile_json_schema(
+        CHAIN_SCHEMA, ValidationOptions(on_depth_exhausted="ignore"))
+    d_ex = compile_json_schema(
+        CHAIN_SCHEMA, ValidationOptions(on_depth_exhausted="exact"))
+    assert d_ex.ref_depth == d_ign.ref_depth
+    # and past the AUTO-tuned unroll the kernel still catches the
+    # violation end-to-end
+    deep = d_ign.ref_depth + 4
+    df = spark.createDataFrame(
+        [("bad", _chain(deep, bad_at=deep - 1)), ("ok", _chain(deep))],
+        "name string, doc string")
+    got = {r["name"]: r["valid"]
+           for r in d_ex.with_validation(df, "doc").collect()}
+    assert got == {"bad": False, "ok": True}
 
 
 def test_depth_memo_key_covers_email_and_pattern_options():
