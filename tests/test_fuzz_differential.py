@@ -434,6 +434,103 @@ def test_fuzz_random_schema(spark, seed):
         f"mismatches: {mismatches[:5]}"
 
 
+def gen_recursive_schema(rng: random.Random):
+    """Random SELF-RECURSIVE schema: a node with random leaf assertions
+    on 'v' plus a recursion edge back to #/$defs/node through a random
+    applicator shape (direct property / items / anyOf branch / if-then
+    / additionalProperties). Exercises the depth-unroll, the
+    navigation-only exhaustion probe, and — in 'exact' mode — the
+    gate completeness that decides which rows reach the runtime-
+    recursive kernel."""
+    leaf = gen_schema(rng, 2)
+    ref = {"$ref": "#/$defs/node"}
+    edge = rng.choice(["next", "kids", "anyof", "ite", "addprops"])
+    node: dict = {"type": "object", "required": ["v"],
+                  "properties": {"v": leaf}}
+    if edge == "next":
+        node["properties"]["next"] = ref
+    elif edge == "kids":
+        node["properties"]["kids"] = {"type": "array", "items": ref}
+    elif edge == "anyof":
+        node["properties"]["next"] = {"anyOf": [{"type": "integer"},
+                                                ref]}
+    elif edge == "ite":
+        node["properties"]["next"] = {"if": {"type": "object"},
+                                      "then": ref}
+    else:
+        node["additionalProperties"] = ref
+    return edge, {"$defs": {"node": node}, "$ref": "#/$defs/node"}
+
+
+def build_recursive_doc(rng: random.Random, edge: str, depth: int):
+    vpool = [0, 1, 5, -3, "x", "abcd", 2.5, True, None, [], {}, [1, 2]]
+
+    def one_node():
+        d = {"v": rng.choice(vpool)}
+        if rng.random() < 0.12:
+            del d["v"]  # deep 'required' violations
+        return d
+
+    doc = one_node()
+    for _ in range(depth):
+        child = doc
+        doc = one_node()
+        if edge in ("next", "ite"):
+            doc["next"] = child
+        elif edge == "anyof":
+            doc["next"] = child if rng.random() < 0.85 \
+                else rng.choice([3, "s"])
+        elif edge == "kids":
+            kids = [child]
+            if rng.random() < 0.3:
+                kids.append(one_node())
+            doc["kids"] = kids
+        else:
+            doc["n"] = child  # any non-'v' key routes through addprops
+    return doc
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_recursive_depth_modes(spark, seed):
+    """Differential over random recursive schemas with instances far
+    beyond a deliberately small unroll:
+    - on_depth_exhausted='exact' must equal python-jsonschema on EVERY
+      document (if the exhaustion gate ever misses a deep row, the
+      plan's vacuous-true leaks through and this catches it);
+    - 'annotate' may only diverge from the oracle on rows it flags
+      (soundness of the depth_exhausted signal)."""
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    rng = random.Random(31000 + seed)
+    edge, schema = gen_recursive_schema(rng)
+    docs_py = [build_recursive_doc(rng, edge, rng.randint(0, 8))
+               for _ in range(60)]
+    docs = [json.dumps(d) for d in docs_py]
+    oracle = oracle_validator(schema)
+    want = [oracle.is_valid(d) for d in docs_py]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    unroll = rng.randint(1, 3)
+
+    plan_exact = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=unroll, on_depth_exhausted="exact"))
+    got = [r["valid"] for r in
+           plan_exact.with_validation(df, "j").collect()]
+    mm = [(docs[i], got[i], want[i]) for i in range(len(docs))
+          if got[i] != want[i]]
+    assert not mm, f"exact mode, schema={json.dumps(schema)} " \
+                   f"unroll={unroll}: {mm[:5]}"
+
+    plan_ann = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=unroll, on_depth_exhausted="annotate"))
+    rows = plan_ann.with_validation(df, "j").collect()
+    unsound = [(docs[i], rows[i]["valid"], want[i])
+               for i in range(len(docs))
+               if rows[i]["valid"] != want[i]
+               and not rows[i]["depth_exhausted"]]
+    assert not unsound, f"annotate mode unflagged divergence, " \
+                        f"schema={json.dumps(schema)}: {unsound[:5]}"
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_output_vs_flag_consistency(spark, seed):
     """Self-consistency of the Output v1 compiler against the boolean
