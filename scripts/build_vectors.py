@@ -499,6 +499,17 @@ g("ref", "depth exhaustion: fail mode conservatively rejects deep-valid",
   [(_chain(8), False), (_chain(4), False), (_chain(3), True)],
   options={"max_ref_depth": 3, "on_depth_exhausted": "fail"},
   oracle=False)
+g("ref", "depth exhaustion: exact mode matches runtime recursion",
+  _CHAIN_SCHEMA,
+  # exact mode re-validates beyond-unroll rows with the runtime-
+  # recursive kernel, so deep violations are CAUGHT and deep-valid
+  # chains stay VALID — full agreement with python-jsonschema (which
+  # recurses to the real depth), unlike fail's conservative rejection
+  [(_chain(2), True), (_chain(3), True), (_chain(3, bad_at=2), False),
+   (_chain(8), True), (_chain(8, bad_at=7), False),
+   (_chain(8, bad_at=3), False), (_chain(12), True),
+   (_chain(12, bad_at=11), False)],
+  options={"max_ref_depth": 3, "on_depth_exhausted": "exact"})
 
 g("ref", "$dynamicRef recursive tree",
   {"$id": "https://example.com/tree", "$dynamicAnchor": "node",

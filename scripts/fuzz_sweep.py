@@ -103,6 +103,62 @@ def sweep_typed(start: int, end: int) -> int:
 
 
 
+def sweep_recursive(start: int, end: int) -> int:
+    """Extended range of tests/test_fuzz_differential.py::
+    test_fuzz_recursive_depth_modes — random self-recursive schemas,
+    instances beyond a small unroll; 'exact' mode must equal
+    python-jsonschema everywhere, 'annotate' may only diverge on rows
+    it flags."""
+    from test_fuzz_differential import (build_recursive_doc,
+                                        gen_recursive_schema,
+                                        oracle_validator)
+
+    from jsonschema_rs_spark.compiler.variant import compile_json_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+    from jsonschema_rs_spark.session import get_spark
+
+    spark = get_spark()
+    bad = 0
+    for seed in range(start, end):
+        rng = random.Random(31000 + seed)
+        edge, schema = gen_recursive_schema(rng)
+        docs_py = [build_recursive_doc(rng, edge, rng.randint(0, 8))
+                   for _ in range(60)]
+        docs = [json.dumps(d) for d in docs_py]
+        try:
+            oracle = oracle_validator(schema)
+            want = [oracle.is_valid(d) for d in docs_py]
+            df = spark.createDataFrame([(d,) for d in docs], "j string")
+            unroll = rng.randint(1, 3)
+            plan_x = compile_json_schema(schema, ValidationOptions(
+                max_ref_depth=unroll, on_depth_exhausted="exact"))
+            got = [r["valid"] for r in
+                   plan_x.with_validation(df, "j").collect()]
+            plan_a = compile_json_schema(schema, ValidationOptions(
+                max_ref_depth=unroll, on_depth_exhausted="annotate"))
+            rows = plan_a.with_validation(df, "j").collect()
+        except Exception as exc:  # noqa: BLE001
+            print(f"SEED {seed} ERROR {type(exc).__name__}: {exc}\n"
+                  f"  schema={json.dumps(schema)}", flush=True)
+            bad += 1
+            continue
+        mism = [(docs[i], got[i], want[i]) for i in range(len(docs))
+                if got[i] != want[i]]
+        unsound = [(docs[i], rows[i]["valid"], want[i])
+                   for i in range(len(docs))
+                   if rows[i]["valid"] != want[i]
+                   and not rows[i]["depth_exhausted"]]
+        if mism or unsound:
+            bad += 1
+            print(f"SEED {seed} exact={len(mism)} "
+                  f"annotate-unsound={len(unsound)}\n"
+                  f"  schema={json.dumps(schema)}\n"
+                  f"  first: {(mism or unsound)[:3]}", flush=True)
+        if seed % 25 == 0:
+            print(f"... seed {seed} done ({bad} bad so far)", flush=True)
+    return bad
+
+
 def sweep_dialect(start: int, end: int) -> int:
     """Random 2020-12-grammar schemas compiled under EVERY dialect vs
     the matching python Draft validators (multipleOf patched to the
@@ -187,7 +243,7 @@ def main():
     path = sys.argv[1]
     start, end = int(sys.argv[2]), int(sys.argv[3])
     fn = {"variant": sweep_variant, "typed": sweep_typed,
-          "dialect": sweep_dialect}[path]
+          "dialect": sweep_dialect, "recursive": sweep_recursive}[path]
     bad = fn(start, end)
     print(f"{path} sweep [{start},{end}): {bad} bad seeds")
     sys.exit(1 if bad else 0)
