@@ -399,6 +399,41 @@ def test_depth_exact_composes_with_precision_fail(spark):
                for e in got["deep_degraded"]["errors"])
 
 
+def test_depth_exact_kernel_format_is_python_semantics(spark):
+    """Pinned exact-kernel format corner (ROUND_NOTES Known
+    deviations): gated rows are re-validated by python-jsonschema,
+    whose FormatChecker has NO hostname checker registered in this
+    environment (format skipped => lax), while the in-unroll plan
+    applies the engine's reference-exact R-LDH hostname grammar. The
+    divergence applies only to rows the gate routes to the kernel."""
+    from jsonschema_rs_spark import compile_json_schema
+    schema = {"$ref": "#/$defs/node", "$defs": {"node": {
+        "type": "object", "required": ["v"],
+        "properties": {"v": {"type": "string", "format": "hostname"},
+                       "next": {"$ref": "#/$defs/node"}}}}}
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=2, on_depth_exhausted="exact",
+        validate_formats=True))
+
+    def chain(depth, deepest_host):
+        doc = {"v": deepest_host}
+        for _ in range(depth):
+            doc = {"v": "ok", "next": doc}
+        return json.dumps(doc)
+
+    df = spark.createDataFrame(
+        [("shallow_bad", chain(0, "-bad-")),
+         ("deep_bad", chain(6, "-bad-")),
+         ("deep_ok", chain(6, "ok"))],
+        "name string, doc string")
+    got = {r["name"]: r["valid"]
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got["shallow_bad"] is False   # engine grammar, in-unroll
+    assert got["deep_ok"] is True
+    # kernel semantics on the gated row: hostname unchecked -> valid
+    assert got["deep_bad"] is True
+
+
 def test_depth_exact_auto_depth_not_reduced(spark):
     """Like annotate, the exact twin must not shrink the auto-tuned
     unroll vs ignore mode."""
