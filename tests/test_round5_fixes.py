@@ -399,6 +399,37 @@ def test_depth_exact_composes_with_precision_fail(spark):
                for e in got["deep_degraded"]["errors"])
 
 
+def test_depth_exact_dynamic_ref_recursion(spark):
+    """$dynamicRef recursion under 'exact': the probe gate fires on
+    beyond-unroll content and the kernel (python-jsonschema resolves
+    $dynamicAnchor natively) decides the true verdict."""
+    from jsonschema_rs_spark import compile_json_schema
+    schema = {"$id": "https://example.com/tree",
+              "$dynamicAnchor": "node",
+              "type": "object", "required": ["data"],
+              "properties": {"data": {"type": "integer"},
+                             "children": {"type": "array",
+                                          "items": {"$dynamicRef":
+                                                    "#node"}}}}
+
+    def tree(depth, bad=False):
+        doc = {"data": "x" if bad else 0}
+        for i in range(depth):
+            doc = {"data": i, "children": [doc]}
+        return json.dumps(doc)
+
+    plan = compile_json_schema(schema, ValidationOptions(
+        max_ref_depth=2, on_depth_exhausted="exact"))
+    df = spark.createDataFrame(
+        [("ok8", tree(8)), ("bad8", tree(8, bad=True)),
+         ("bad1", tree(1, bad=True))],
+        "name string, doc string")
+    got = {r["name"]: (r["valid"], r["depth_exhausted"])
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"ok8": (True, True), "bad8": (False, True),
+                   "bad1": (False, False)}
+
+
 def test_depth_exact_kernel_format_is_python_semantics(spark):
     """Pinned exact-kernel format corner (ROUND_NOTES Known
     deviations): gated rows are re-validated by python-jsonschema,
