@@ -52,6 +52,30 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def exact_duplicate_rows(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         normalized: bool = True) -> DataFrame:
+    """The 100 TB form of exact_duplicate_groups: one row per MEMBER of
+    a duplicate group — (fp, id, n_docs, is_keeper) — so a pathological
+    fingerprint with millions of members never assembles into one
+    array/row. Keeper = min id via a two-phase agg; the shuffle carries
+    only (fp, id) and the per-fp aggregate (n_docs, min_id)."""
+    t = F.col(text_col)
+    fp = F.md5(normalize_text(t) if normalized else t)
+    base = df.select(fp.alias("fp"), F.col(id_col))
+    stats = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("__keep"))
+        .where(F.col("n_docs") > 1)
+    )
+    return (
+        base.join(stats, "fp", "inner")
+        .select("fp", F.col(id_col), "n_docs",
+                (F.col(id_col) == F.col("__keep")).alias("is_keeper"))
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative per fingerprint (min id): scalable form —

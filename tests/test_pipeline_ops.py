@@ -90,6 +90,21 @@ def test_exact_duplicate_groups(docs):
     assert groups[0]["doc_ids"] == ["d1", "d2", "d6"]
 
 
+def test_exact_duplicate_rows_flat_form(docs):
+    """The scale form agrees with the grouped form member-for-member
+    and marks exactly the min-id member as keeper."""
+    rows = dd.exact_duplicate_rows(docs).collect()
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fp"], []).append(r)
+    assert len(by_fp) == 1
+    members = sorted(r["doc_id"] for r in rows)
+    assert members == ["d1", "d2", "d6"]
+    assert all(r["n_docs"] == 3 for r in rows)
+    keepers = [r["doc_id"] for r in rows if r["is_keeper"]]
+    assert keepers == ["d1"]
+
+
 def test_dedup_exact_keeps_one(docs):
     kept = sorted(r["doc_id"] for r in dd.dedup_exact(docs).collect())
     assert kept == ["d1", "d3", "d4", "d5"]
