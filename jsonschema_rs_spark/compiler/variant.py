@@ -1770,6 +1770,23 @@ class CompiledJsonSchema:
             # a beyond-unroll position"
             self._probe_is_reach = True
         except Exception:
+            if self.options.on_depth_exhausted == "exact":
+                # the twin-fallback signal (lenient != strict) is
+                # DISAGREEMENT-based, not presence-based: under
+                # polarity-inverting compositions (oneOf/not over
+                # recursive branches) both trees can agree on a wrong
+                # verdict and the kernel would never be consulted —
+                # silently breaking exact mode's full-oracle contract.
+                # Refuse instead of under-gating; annotate keeps the
+                # fallback (its twin semantics are documented as
+                # disagreement-based).
+                raise SchemaError(
+                    "on_depth_exhausted='exact' needs the reachability "
+                    "probe, which this schema defeats (positional $ref "
+                    "pointer like '#/allOf/0', or a ref under a keyword "
+                    "the probe transform doesn't walk). Rewrite such "
+                    "refs through $defs/$anchor, or use "
+                    "on_depth_exhausted='annotate'/'fail'.")
             sctx = VariantCompileContext(self.schema, self.options,
                                          ref_depth_limit=self.ref_depth,
                                          depth_strict=True)
@@ -1902,7 +1919,10 @@ class CompiledJsonSchema:
         with no depth limit — the engine analog of the reference's
         validator recursion (validator.rs:34-52). The kernel also
         parses numerics exactly, so a deep row can never regress to
-        the lossy double view."""
+        the lossy double view. NOTE: each call builds its own gated
+        UDF — composing valid_column + errors_column by hand pays two
+        crossings on deep rows; with_validation() stages the verdict
+        once (__dexact) and both consumers read the staged column."""
         from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.functions.precision import (
             exact_kernel_verdict_column)

@@ -165,11 +165,22 @@ _DRAFT_VALIDATOR_ATTR = {
 
 
 def _exactify_schema(node):
-    """Recursively replace every float in the schema document with its
-    exact binary Decimal expansion (value-preserving — the same real
-    number) so instance Decimals never meet a float operand."""
+    """Recursively replace every float in the schema document with the
+    Decimal of its SHORTEST-DECIMAL rendering (``Decimal(repr(x))`` —
+    round-trips to the same float, so value-preserving in the literal
+    sense): the schema author who wrote ``0.1`` meant one-tenth, which
+    is also the reference's multipleOf semantics (BigFraction over
+    shortest-decimal forms, ext/numeric.rs:62-86) and what makes
+    ``const: 0.1`` match an instance token ``0.1`` parsed exactly.
+    The earlier binary-expansion rewrite (``Decimal(0.1)`` =
+    0.1000…0625) failed both: a degraded row with an unrelated
+    ``const: 0.1`` field flipped invalid, and ``0.0075 multipleOf
+    0.0001`` — valid per the official suite and this engine's rational
+    kernel — failed in the exact kernel. Replacing floats with Decimal
+    also keeps instance-Decimal vs schema-operand arithmetic
+    TypeError-free (multipleOf's ``instance % dB``)."""
     if isinstance(node, float):
-        return Decimal(node)
+        return Decimal(repr(node))
     if isinstance(node, dict):
         return {k: _exactify_schema(v) for k, v in node.items()}
     if isinstance(node, list):
@@ -220,6 +231,61 @@ def _parse_exact(text: str, draft4_numbers: bool):
     return json.loads(text, parse_float=pf)
 
 
+# raised lazily inside the kernel UDF: python-jsonschema burns ~10
+# frames per nesting level, so the interpreter default (1000) caps the
+# kernel near ~100 levels — far below what the depth-exact mode exists
+# to handle. (Reference parity note: serde_json itself refuses to parse
+# >128 nesting levels without disable_recursion_limit, so documents in
+# this regime are beyond the reference's own default domain.)
+_KERNEL_RECURSION_LIMIT = 20_000
+
+
+def _kernel_udf(schema, dialect_name: str, assert_formats: bool,
+                draft4_numbers: bool, resources: dict, retriever,
+                base_uri, require_degraded: bool):
+    """The ONE exact-kernel pandas UDF (shared by both exact modes so
+    fixes can't drift apart): NULL input → NULL; with require_degraded,
+    rows whose numbers are all exactly stored → NULL (precision mode's
+    in-UDF recheck under its superset prefilter); otherwise the
+    python-jsonschema verdict on the exactly-parsed instance.
+    RecursionError — from parse or validation, past the raised limit —
+    is a kernel CAPACITY edge, not invalid JSON: conservatively False
+    (never silently vacuous-true). Other parse failures stay NULL: the
+    gate implies the variant parser accepted the text, but the two
+    parsers' accepted grammars aren't bit-identical, and such rows
+    belong to the plan's own 'json'-keyword verdict."""
+    cell: list = []
+
+    @F.pandas_udf("boolean")
+    def kernel(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if require_degraded and not _doc_degraded(t):
+                return None
+            if not cell:
+                import sys
+                sys.setrecursionlimit(max(sys.getrecursionlimit(),
+                                          _KERNEL_RECURSION_LIMIT))
+                cell.append(_build_exact_validator(
+                    schema, dialect_name, assert_formats, resources,
+                    retriever, base_uri))
+            try:
+                inst = _parse_exact(t, draft4_numbers)
+            except RecursionError:
+                return False
+            except Exception:  # noqa: BLE001 — grammar mismatch vs the
+                return None    # variant parser: the 'json' keyword's row
+            try:
+                return bool(cell[0].is_valid(inst))
+            except RecursionError:
+                return False
+
+        return pd.Series([one(t) for t in texts], dtype="object")
+
+    return kernel
+
+
 def exact_verdict_column(json_col: Column, schema, dialect_name: str,
                          assert_formats: bool, draft4_numbers: bool,
                          resources: dict | None = None, retriever=None,
@@ -228,28 +294,11 @@ def exact_verdict_column(json_col: Column, schema, dialect_name: str,
     whose numbers the variant parser stores inexactly; NULL for every
     clean row (coalesce with the plan verdict downstream). Prefilter
     keeps non-candidate rows off the Arrow path entirely."""
-    resources = dict(resources or {})
-    cell: list = []  # per-executor lazy validator (pickled closure)
-
-    @F.pandas_udf("boolean")
-    def exact(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None or not _doc_degraded(t):
-                return None
-            if not cell:
-                cell.append(_build_exact_validator(
-                    schema, dialect_name, assert_formats, resources,
-                    retriever, base_uri))
-            try:
-                inst = _parse_exact(t, draft4_numbers)
-            except Exception:  # noqa: BLE001 — unparseable text is the
-                return None    # 'json' keyword's verdict, not ours
-            return bool(cell[0].is_valid(inst))
-
-        return pd.Series([one(t) for t in texts], dtype="object")
-
+    kernel = _kernel_udf(schema, dialect_name, assert_formats,
+                         draft4_numbers, dict(resources or {}),
+                         retriever, base_uri, require_degraded=True)
     gated = F.when(json_col.rlike(_CANDIDATE_RE), json_col)
-    return exact(gated)
+    return kernel(gated)
 
 
 def exact_kernel_verdict_column(json_col: Column, gate: Column, schema,
@@ -266,25 +315,10 @@ def exact_kernel_verdict_column(json_col: Column, gate: Column, schema,
     with no unroll limit (the analog of the reference's validator
     recursion, validator.rs:34-52), so its verdict is depth-faithful;
     it also parses numerics exactly, so a gated row can never regress
-    to a lossy double view."""
-    resources = dict(resources or {})
-    cell: list = []
-
-    @F.pandas_udf("boolean")
-    def kernel(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return None
-            if not cell:
-                cell.append(_build_exact_validator(
-                    schema, dialect_name, assert_formats, resources,
-                    retriever, base_uri))
-            try:
-                inst = _parse_exact(t, draft4_numbers)
-            except Exception:  # noqa: BLE001 — unparseable text is the
-                return None    # 'json' keyword's verdict, not ours
-            return bool(cell[0].is_valid(inst))
-
-        return pd.Series([one(t) for t in texts], dtype="object")
-
+    to a lossy double view. Documents so deep they exhaust even the
+    raised kernel recursion limit are conservatively rejected (see
+    _kernel_udf)."""
+    kernel = _kernel_udf(schema, dialect_name, assert_formats,
+                         draft4_numbers, dict(resources or {}),
+                         retriever, base_uri, require_degraded=False)
     return kernel(F.when(gate, json_col))

@@ -60,17 +60,18 @@ def exact_duplicate_rows(df: DataFrame, text_col: str = "text",
     fingerprint with millions of members never assembles into one
     array/row. Keeper = min id via a two-phase agg; the shuffle carries
     only (fp, id) and the per-fp aggregate (n_docs, min_id)."""
+    from pyspark.sql import Window
+
     t = F.col(text_col)
     fp = F.md5(normalize_text(t) if normalized else t)
-    base = df.select(fp.alias("fp"), F.col(id_col))
-    stats = (
-        base.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.min(id_col).alias("__keep"))
-        .where(F.col("n_docs") > 1)
-    )
+    # keyed window (partitionBy fp), not agg+self-join: ONE scan of the
+    # source and ONE exchange; the window agg streams per fp group
+    w = Window.partitionBy("fp")
     return (
-        base.join(stats, "fp", "inner")
+        df.select(fp.alias("fp"), F.col(id_col))
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("__keep", F.min(id_col).over(w))
+        .where(F.col("n_docs") > 1)
         .select("fp", F.col(id_col), "n_docs",
                 (F.col(id_col) == F.col("__keep")).alias("is_keeper"))
     )

@@ -312,9 +312,14 @@ def test_depth_exact_errors_column_single_instance(spark):
     assert any(e.keyword == "$ref" for e in errs)
 
 
-def test_depth_exact_twin_fallback_path(spark):
-    """The strict-twin fallback gate (positional $ref forces
-    _probe_is_reach=False) feeds the kernel the same way."""
+def test_depth_exact_refuses_twin_fallback_schemas(spark):
+    """Positional $ref pointers defeat the reachability probe; the
+    annotate fallback's (lenient != strict) gate is disagreement-based
+    and can under-fire under polarity-inverting compositions, so
+    'exact' REFUSES such schemas at compile instead of silently
+    breaking its full-oracle contract (annotate still compiles them
+    with the documented twin semantics)."""
+    from jsonschema_rs_spark import SchemaError, compile_json_schema
     schema = {
         "$defs": {"node": {
             "type": "object", "required": ["v"],
@@ -324,24 +329,13 @@ def test_depth_exact_twin_fallback_path(spark):
         "allOf": [{"properties": {"tag": {"$ref": "#/$defs/node"}}}],
         "properties": {"alt": {"$ref": "#/allOf/0"}},
     }
-    from jsonschema_rs_spark import compile_json_schema
+    with pytest.raises(SchemaError, match="reachability probe"):
+        compile_json_schema(schema, ValidationOptions(
+            max_ref_depth=3, on_depth_exhausted="exact"))
+    # the same schema still compiles under annotate (twin fallback)
     plan = compile_json_schema(schema, ValidationOptions(
-        max_ref_depth=3, on_depth_exhausted="exact"))
+        max_ref_depth=3, on_depth_exhausted="annotate"))
     assert plan._probe_is_reach is False
-
-    def nest(d, bad=False):
-        doc = {"v": "x" if bad else 0}
-        for i in range(d):
-            doc = {"v": i, "next": doc}
-        return doc
-
-    df = spark.createDataFrame(
-        [("deep_ok", json.dumps({"alt": {"tag": nest(10)}})),
-         ("deep_bad", json.dumps({"alt": {"tag": nest(10, bad=True)}}))],
-        "name string, doc string")
-    got = {r["name"]: r["valid"]
-           for r in plan.with_validation(df, "doc").collect()}
-    assert got == {"deep_ok": True, "deep_bad": False}
 
 
 def test_depth_exact_refuses_custom_python_semantics():
@@ -461,8 +455,67 @@ def test_depth_exact_kernel_format_is_python_semantics(spark):
            for r in plan.with_validation(df, "doc").collect()}
     assert got["shallow_bad"] is False   # engine grammar, in-unroll
     assert got["deep_ok"] is True
-    # kernel semantics on the gated row: hostname unchecked -> valid
-    assert got["deep_bad"] is True
+    # kernel semantics on the gated row = whatever python-jsonschema's
+    # FormatChecker says in THIS environment (no fqdn package -> no
+    # hostname checker -> format skipped -> valid; with fqdn installed
+    # the kernel checks it) — the pinned point is that gated rows get
+    # python-jsonschema format semantics, not the engine grammar
+    import jsonschema
+    fc = jsonschema.Draft202012Validator.FORMAT_CHECKER
+    assert got["deep_bad"] is bool(fc.conforms("-bad-", "hostname"))
+
+
+def test_precision_exact_schema_float_shortest_decimal(spark):
+    """r5 review fix: schema floats in the exact kernel mean their
+    SHORTEST-DECIMAL literal (Decimal('0.1')), not the binary
+    expansion Decimal(0.1)=0.1000…0625 — a degraded row with an
+    unrelated `const: 0.1` field must keep matching, and
+    `0.0075 multipleOf 0.0001` (valid per the official suite and the
+    engine's rational kernel) must stay valid inside the kernel."""
+    from jsonschema_rs_spark import compile_json_schema
+    schema = {"type": "object",
+              "properties": {"a": {"const": 0.1},
+                             "m": {"multipleOf": 0.0001},
+                             "big": {"type": "integer"}}}
+    plan = compile_json_schema(schema, ValidationOptions(
+        on_precision_loss="exact"))
+    big = "9" * 45  # forces the row through the kernel
+    df = spark.createDataFrame(
+        [("deg_ok", f'{{"a": 0.1, "m": 0.0075, "big": {big}}}'),
+         ("deg_bad_const", f'{{"a": 0.2, "big": {big}}}'),
+         ("deg_bad_mult", f'{{"m": 0.00015, "big": {big}}}')],
+        "name string, doc string")
+    got = {r["name"]: (r["valid"], r["precision_degraded"])
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"deg_ok": (True, True),
+                   "deg_bad_const": (False, True),
+                   "deg_bad_mult": (False, True)}
+
+
+def test_depth_exact_never_vacuous_true_at_any_depth(spark):
+    """Capacity behavior near and past the variant parser's own
+    nesting ceiling (~1000 levels): at depth 800 the kernel decides
+    the true verdict; at depth 2000 the variant parser itself returns
+    NULL, the row fails the 'json' keyword, and the kernel is never
+    consulted — in no regime can a deep violation come back
+    vacuously valid."""
+    def chain_str(depth, bad_at=None):
+        # iterative rendering: json.dumps itself recurses one frame
+        # per level and would die at the driver's default limit
+        parts = ['{"v": ' + ('"oops"' if bad_at == i else str(i))
+                 for i in range(depth)]
+        return ', "next": '.join(parts) + "}" * depth
+
+    assert chain_str(2) == '{"v": 0, "next": {"v": 1}}'
+    plan = _depth_plan("exact", depth=2)
+    df = spark.createDataFrame(
+        [("d800_ok", chain_str(800)),
+         ("d800_bad", chain_str(800, bad_at=799)),
+         ("d2000", chain_str(2000))],
+        "name string, doc string")
+    got = {r["name"]: r["valid"]
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"d800_ok": True, "d800_bad": False, "d2000": False}
 
 
 def test_depth_exact_auto_depth_not_reduced(spark):
