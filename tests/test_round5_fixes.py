@@ -465,6 +465,33 @@ def test_depth_exact_kernel_format_is_python_semantics(spark):
     assert got["deep_bad"] is bool(fc.conforms("-bad-", "hostname"))
 
 
+def test_depth_exact_external_resources(spark):
+    """Recursion through a registry resource under 'exact': the probe
+    transforms the resource documents too, and the kernel resolves the
+    same URIs through a referencing.Registry."""
+    from jsonschema_rs_spark import compile_json_schema
+    node = {"type": "object", "required": ["v"],
+            "properties": {"v": {"type": "integer"},
+                           "next": {"$ref": "https://ex.com/node"}}}
+    plan = compile_json_schema(
+        {"$ref": "https://ex.com/node"},
+        ValidationOptions(max_ref_depth=2, on_depth_exhausted="exact",
+                          resources={"https://ex.com/node": node}))
+
+    def chain(d, bad=False):
+        doc = {"v": "x" if bad else 0}
+        for i in range(d):
+            doc = {"v": i, "next": doc}
+        return json.dumps(doc)
+
+    df = spark.createDataFrame(
+        [("ok", chain(7)), ("bad", chain(7, bad=True))],
+        "n string, doc string")
+    got = {r["n"]: (r["valid"], r["depth_exhausted"])
+           for r in plan.with_validation(df, "doc").collect()}
+    assert got == {"ok": (True, True), "bad": (False, True)}
+
+
 def test_precision_exact_schema_float_shortest_decimal(spark):
     """r5 review fix: schema floats in the exact kernel mean their
     SHORTEST-DECIMAL literal (Decimal('0.1')), not the binary
