@@ -137,10 +137,11 @@ def precision_degraded_column(json_col: Column) -> Column:
 #     zero-fractional-part semantics, while draft 4 keeps the Decimal
 #     (fraction form is NOT an integer — 1.0 ∉ integer, matching
 #     keywords/legacy/type_draft_4.rs and the engine's variant path)
-#   - schema floats are rewritten to their EXACT binary Decimal
-#     expansion (Decimal(0.1) = 0.1000…0625), value-preserving, so
-#     Decimal-vs-float mixed arithmetic (a TypeError in multipleOf's
-#     `instance % dB`) can never occur.
+#   - schema floats are rewritten to the Decimal of their SHORTEST-
+#     DECIMAL rendering (Decimal(repr(x)) — see _exactify_schema), so
+#     `const: 0.1` means one-tenth and Decimal-vs-float mixed
+#     arithmetic (a TypeError in multipleOf's `instance % dB`) can
+#     never occur.
 #
 # Cost discipline is unchanged: one pUDF whose input is NULLed by the
 # same JVM regex prefilter, returning BOOL (exact verdict) for degraded

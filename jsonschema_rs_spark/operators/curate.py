@@ -48,15 +48,26 @@ def curate(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     persisted stage boundary is how production pipelines run this, and
     the stage output doubles as a resume point. Identical results
     either way (pinned by test)."""
-    feats = ta.with_text_features(docs, text_col)
-    gated = feats.where(F.col("quality") >= quality_threshold)
+    from pyspark.sql import Window
 
-    # exact dedup: keep the smallest id per normalized fingerprint
-    keep = (gated.groupBy("fp")
-            .agg(F.min(id_col).alias("__keep")))
-    exact = (gated.join(keep, "fp")
+    feats = ta.with_text_features(docs, text_col)
+    # project the gate's working columns away BEFORE the dedup
+    # exchange: only the original columns (plus fp) survive the gate,
+    # so the fp shuffle — and the optional stage write — never carry
+    # the feature columns the rest of the pipeline doesn't read
+    gated = feats.where(F.col("quality") >= quality_threshold) \
+        .select(*docs.columns, "fp")
+
+    # exact dedup: keep the smallest id per normalized fingerprint.
+    # Keyed window (partitionBy fp), not agg+self-join: both plans
+    # exchange the full gated rows by fp once (SMJ sorts by fp exactly
+    # like the window does), but the agg+join form pays a SECOND
+    # (fp, min_id) exchange on top — the window form drops it (same
+    # argument as dedup.exact_duplicate_rows)
+    w = Window.partitionBy("fp")
+    exact = (gated.withColumn("__keep", F.min(id_col).over(w))
              .where(F.col(id_col) == F.col("__keep"))
-             .drop("__keep"))
+             .drop("__keep", "fp"))
     if stage_dir is not None:
         path = stage_dir.rstrip("/") + "/exact"
         exact.write.mode("overwrite").parquet(path)
