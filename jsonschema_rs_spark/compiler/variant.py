@@ -1904,7 +1904,7 @@ class CompiledJsonSchema:
         elif self.options.on_precision_loss == "exact":
             # degraded rows take the exact-arithmetic verdict (NULL for
             # every clean row — one gated Arrow crossing)
-            base = F.coalesce(self._exact_verdict_col(json_col), base)
+            base = F.coalesce(self._exact_verdict_col(json_col, v), base)
         return base
 
     def _deep_verdict_col(self, json_col: Column, v: Column,
@@ -1939,10 +1939,15 @@ class CompiledJsonSchema:
             resources=o.resources, retriever=o.retriever,
             base_uri=o.base_uri)
 
-    def _exact_verdict_col(self, json_col: Column) -> Column:
+    def _exact_verdict_col(self, json_col: Column,
+                           parsed: Column | None = None) -> Column:
         """on_precision_loss='exact': nullable-bool exact verdict for
         degraded rows (functions/precision.py exact_verdict_column);
-        NULL for clean rows so callers coalesce with the plan verdict."""
+        NULL for clean rows so callers coalesce with the plan verdict.
+        `parsed` = the staged try_parse_json column when available —
+        the gate requires the VARIANT parser accepted the text, so the
+        kernel never overrides an invalid-JSON verdict (Python's json
+        accepts Infinity/NaN, the variant parser does not)."""
         from jsonschema_rs_spark.compiler.dialects import detect_dialect
         from jsonschema_rs_spark.functions.precision import (
             exact_verdict_column)
@@ -1955,7 +1960,7 @@ class CompiledJsonSchema:
             else bool(vf),
             draft4_numbers=d.draft4_numbers or o.draft4_integer,
             resources=o.resources, retriever=o.retriever,
-            base_uri=o.base_uri)
+            base_uri=o.base_uri, parsed=parsed)
 
     def precision_degraded_column(self, json_col: Column) -> Column:
         """True when the document contains >=1 number token the variant
@@ -2038,7 +2043,7 @@ class CompiledJsonSchema:
             # exact-valid rows report NO errors (the double-view rows
             # are overruled); exact-invalid rows get the double-view
             # detail plus one distinguished 'number' row
-            exact = self._exact_verdict_col(json_col)
+            exact = self._exact_verdict_col(json_col, v)
             errs = F.when(
                 exact.isNotNull(),
                 F.when(exact, empty_errors()).otherwise(F.concat(
@@ -2064,7 +2069,7 @@ class CompiledJsonSchema:
             # staged once: nullable exact verdict (NULL = clean row);
             # feeds `valid` and the verbose error tail in one crossing
             staged = staged.withColumn(
-                "__pexact", self._exact_verdict_col(jc))
+                "__pexact", self._exact_verdict_col(jc, v))
             temps.append("__pexact")
         elif opl != "ignore":
             # staged once: the pUDF prefilter/verdict feeds `valid`

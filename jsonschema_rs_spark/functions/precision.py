@@ -88,9 +88,29 @@ def _doc_degraded(text: str) -> bool:
         # the information the variant binary no longer carries
         json.loads(text, parse_int=_keep, parse_float=_keep,
                    parse_constant=lambda _t: 0)
+    except RecursionError:
+        # nested beyond even the raised limit (_raise_recursion_limit
+        # runs before any call): degradation can't be DISPROVEN, and the
+        # JVM prefilter already guaranteed a candidate token is present
+        # — conservative True, never a silent not-degraded (the 'fail'
+        # mode's contract). Deterministic: the limit is raised at batch
+        # start, not as a side effect of building the first validator.
+        return True
     except Exception:  # noqa: BLE001 — malformed JSON is the 'json'
         return False   # keyword's problem, not a precision signal
     return any(token_precision_degraded(t) for t in toks)
+
+
+def _raise_recursion_limit() -> None:
+    """Python burns ~10 frames per nesting level in json parse and
+    python-jsonschema validation; raise the interpreter default (1000)
+    once per worker so deep documents get real answers instead of
+    RecursionError at ~100 levels. Called at the START of every pUDF
+    batch in this module so detection never depends on whether some
+    other row built a validator first."""
+    import sys
+    if sys.getrecursionlimit() < _KERNEL_RECURSION_LIMIT:
+        sys.setrecursionlimit(_KERNEL_RECURSION_LIMIT)
 
 
 _UDF_CACHE: list = []
@@ -102,6 +122,7 @@ def _degraded_udf():
     if not _UDF_CACHE:
         @F.pandas_udf("boolean")
         def degraded(texts: pd.Series) -> pd.Series:
+            _raise_recursion_limit()
             return texts.map(
                 lambda t: False if t is None else _doc_degraded(t))
         _UDF_CACHE.append(degraded)
@@ -210,11 +231,16 @@ def _build_exact_validator(schema, dialect_name: str, assert_formats: bool,
             return referencing.Resource.from_contents(
                 doc, default_specification=spec)
 
+        # resource documents and retriever results are schema documents
+        # too: exactify them exactly like the root, or floats reached
+        # via $ref would keep binary-float semantics (wrong `const`
+        # verdicts) and multipleOf would TypeError on Decimal % float
         reg = referencing.Registry(
-            retrieve=(lambda uri: _as_resource(retriever(uri)))
+            retrieve=(lambda uri: _as_resource(
+                _exactify_schema(retriever(uri))))
             if retriever is not None else None)
         for uri, doc in (resources or {}).items():
-            reg = reg.with_resource(uri, _as_resource(doc))
+            reg = reg.with_resource(uri, _as_resource(_exactify_schema(doc)))
         kwargs["registry"] = reg
     root = _exactify_schema(schema)
     if base_uri and isinstance(root, dict) and "$id" not in root:
@@ -259,15 +285,17 @@ def _kernel_udf(schema, dialect_name: str, assert_formats: bool,
 
     @F.pandas_udf("boolean")
     def kernel(texts: pd.Series) -> pd.Series:
+        # raised BEFORE any _doc_degraded call so the degradation
+        # recheck gives the same answer regardless of row order /
+        # worker reuse (it used to ride on the first validator build)
+        _raise_recursion_limit()
+
         def one(t):
             if t is None:
                 return None
             if require_degraded and not _doc_degraded(t):
                 return None
             if not cell:
-                import sys
-                sys.setrecursionlimit(max(sys.getrecursionlimit(),
-                                          _KERNEL_RECURSION_LIMIT))
                 cell.append(_build_exact_validator(
                     schema, dialect_name, assert_formats, resources,
                     retriever, base_uri))
@@ -290,15 +318,27 @@ def _kernel_udf(schema, dialect_name: str, assert_formats: bool,
 def exact_verdict_column(json_col: Column, schema, dialect_name: str,
                          assert_formats: bool, draft4_numbers: bool,
                          resources: dict | None = None, retriever=None,
-                         base_uri=None) -> Column:
+                         base_uri=None,
+                         parsed: Column | None = None) -> Column:
     """Nullable-boolean Column: the EXACT-arithmetic verdict for rows
     whose numbers the variant parser stores inexactly; NULL for every
     clean row (coalesce with the plan verdict downstream). Prefilter
-    keeps non-candidate rows off the Arrow path entirely."""
+    keeps non-candidate rows off the Arrow path entirely.
+
+    `parsed` is the already-staged try_parse_json(json_col) when the
+    caller has one. The gate requires it NOT NULL: the two parsers'
+    accepted grammars differ (Python's json accepts Infinity/NaN,
+    e.g. the output of json.dumps(float('inf'))), and a document the
+    VARIANT parser rejects must keep the plan's invalid-JSON verdict —
+    the exact kernel only ever overrides verdicts about numbers the
+    engine parsed but stored lossily."""
     kernel = _kernel_udf(schema, dialect_name, assert_formats,
                          draft4_numbers, dict(resources or {}),
                          retriever, base_uri, require_degraded=True)
-    gated = F.when(json_col.rlike(_CANDIDATE_RE), json_col)
+    if parsed is None:
+        parsed = F.try_parse_json(json_col)
+    gated = F.when(json_col.rlike(_CANDIDATE_RE) & parsed.isNotNull(),
+                   json_col)
     return kernel(gated)
 
 

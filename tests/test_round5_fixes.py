@@ -1019,3 +1019,67 @@ def test_typed_boundary_double_adjusted_compare(spark):
             df.schema, ValidationOptions())
         got = bool(comp.with_validation(df).first()["valid"])
         assert got is want, (kw, got, want)
+
+
+def test_precision_exact_exactifies_resources_and_retriever(spark):
+    """Schema floats reached via $ref (resources= or retriever=) get the
+    same shortest-decimal exactification as the root: `const: 0.1` in a
+    referenced resource matches an exactly-parsed 0.1, and multipleOf
+    there is Decimal-vs-Decimal (not a Decimal % float TypeError that
+    crashed the task)."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    res = {"https://x.test/s": {
+        "properties": {"a": {"const": 0.1}, "b": {"multipleOf": 0.1}}}}
+    # degraded row (1e999 -> double inf) routed to the kernel; a/b obey
+    # the referenced sub-schemas exactly
+    good = '{"a": 0.1, "b": 0.3, "big": 1e999}'
+    bad = '{"a": 0.2, "b": 0.3, "big": 1e999}'
+    df = spark.createDataFrame([(good,), (bad,)], "doc string")
+    for opts in (ValidationOptions(on_precision_loss="exact",
+                                   resources=res),
+                 ValidationOptions(on_precision_loss="exact",
+                                   retriever=lambda uri: res[uri])):
+        comp = CompiledJsonSchema({"$ref": "https://x.test/s"}, opts)
+        got = [bool(r["valid"])
+               for r in comp.with_validation(df, "doc").collect()]
+        assert got == [True, False], opts
+
+
+def test_precision_exact_keeps_invalid_json_verdict(spark):
+    """The exact kernel never overrides the plan's invalid-JSON verdict:
+    Python's json accepts Infinity/NaN (e.g. json.dumps(float('inf'))
+    output) but the variant parser rejects them — the gate requires
+    try_parse_json to have ACCEPTED the text."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    df = spark.createDataFrame(
+        [('{"a": Infinity, "b": 1e999}',), ('{"b": 1e999}',)],
+        "doc string")
+    comp = CompiledJsonSchema({"type": "object"},
+                              ValidationOptions(on_precision_loss="exact"))
+    out = comp.with_validation(df, "doc", mode="verbose").collect()
+    assert [bool(r["valid"]) for r in out] == [False, True]
+    assert [e["keyword"] for e in out[0]["errors"]] == ["json"]
+    # single-Column surfaces agree
+    from pyspark.sql import functions as F
+    assert [bool(r["v"]) for r in df.select(
+        comp.valid_column(F.col("doc")).alias("v")).collect()] \
+        == [False, True]
+
+
+def test_doc_degraded_deep_nesting_conservative():
+    """Degradation detection on deeply nested documents: the raised
+    recursion limit (applied at pUDF batch start, not as a validator-
+    build side effect) gives real answers to ~2000 levels, and beyond
+    even the raised limit the answer is conservative True (never a
+    silent not-degraded that 'fail' mode would wave through)."""
+    from jsonschema_rs_spark.functions.precision import (
+        _KERNEL_RECURSION_LIMIT, _doc_degraded, _raise_recursion_limit)
+    _raise_recursion_limit()
+    import sys
+    assert sys.getrecursionlimit() >= _KERNEL_RECURSION_LIMIT
+    # parseable under the raised limit: accurate per-token answers
+    assert _doc_degraded("[" * 1500 + "1e999" + "]" * 1500) is True
+    assert _doc_degraded("[" * 1500 + "1e2" + "]" * 1500) is False
+    # beyond even the raised limit: conservative True
+    deep = "[" * 40000 + "1" + "]" * 40000
+    assert _doc_degraded(deep) is True
