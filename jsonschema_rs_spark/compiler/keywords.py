@@ -17,6 +17,7 @@ string keyword passes on a non-string instance.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 from pyspark.sql import Column
@@ -82,6 +83,16 @@ def _plain_scalar(value: Any, dt: T.DataType) -> Any:
             from decimal import Decimal
             return Decimal(value)
         return float(value)
+    if isinstance(value, float) and math.isfinite(value) \
+            and abs(value) >= 2 ** 53 \
+            and isinstance(dt, (INTEGRAL, T.DecimalType)):
+        # ship the float's exact integer so the compare stays in the
+        # column's exact domain (see _value_matches_dtype)
+        mi = int(value)
+        if isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+            return Decimal(mi)
+        return mi
     return value
 
 
@@ -121,6 +132,17 @@ def _value_matches_dtype(value: Any, dt: T.DataType) -> bool:
     if isinstance(value, (int, float)):
         if not is_numeric(dt):
             return False
+        if isinstance(value, float) and math.isfinite(value) \
+                and abs(value) >= 2 ** 53 \
+                and isinstance(dt, (INTEGRAL, T.DecimalType)):
+            # a FLOAT literal at/beyond 2^53 is an integer; an exact-
+            # domain column equals it iff the domain contains that exact
+            # integer (promoting the column to double wrongly matched
+            # const 1e16 against the long 9999999999999999)
+            mi = int(value)
+            if isinstance(dt, INTEGRAL):
+                return -2 ** 63 <= mi < 2 ** 63
+            return len(str(abs(mi))) <= dt.precision - dt.scale
         if _is_bignum(value):
             # typed columns carry EXACT values, so a beyond-int64
             # integer literal can only ever equal a value of a dtype
@@ -290,6 +312,24 @@ def build_bounds(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     def _pred(kind: str, m):
         if _is_bignum(m):
             return _big_bound_pred(dt, m, kind)
+        if isinstance(m, float) and m.is_integer() \
+                and abs(m) >= 2 ** 53 \
+                and isinstance(dt, (INTEGRAL, T.DecimalType)):
+            # FLOAT literal at/beyond 2^53 on an exact-domain column:
+            # every finite double there is an integer, and promoting the
+            # column to double loses exactness (`minimum: 1e16` wrongly
+            # admitted the long 9999999999999999 — the reference
+            # compares the f64 against the exact value,
+            # ext/numeric.rs). Compare against the literal's exact
+            # integer instead; beyond int64 the big-bound ladder
+            # handles domain collapse / decimal literals.
+            mi = int(m)
+            if _is_bignum(mi):
+                return _big_bound_pred(dt, mi, kind)
+            lit = F.lit(mi)
+            return {"ge": lambda c: c >= lit, "gt": lambda c: c > lit,
+                    "le": lambda c: c <= lit,
+                    "lt": lambda c: c < lit}[kind]
         return {"ge": lambda c: c >= F.lit(m), "gt": lambda c: c > F.lit(m),
                 "le": lambda c: c <= F.lit(m),
                 "lt": lambda c: c < F.lit(m)}[kind]

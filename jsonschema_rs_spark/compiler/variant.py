@@ -198,8 +198,20 @@ def _canonical(v: Column) -> Column:
     exact decimal casts back to the same rounded double), preserving
     2^53 != 2^53+1."""
     dec, dd = _as_decimal(v), _as_double(v)
+    dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
+    # integer-lexical values with 24-38 digits (where decimal(38,15) is
+    # NULL) take the exact decimal(38,0) string: without this arm 10**30
+    # and 10**30+1 canonicalized to the same rounded-double key and
+    # uniqueItems wrongly rejected them as duplicates. Same documented
+    # tradeoff as the >2^53 decimal-string rule above it: exact
+    # distinctness within the decimal storage class; a value-equal
+    # EXPONENT-form twin (stored DOUBLE) keys separately (COVERAGE
+    # corner — the reference's f64 view would collapse them)
     num = F.when(dec.isNotNull() & (dec.cast("double") == dd),
-                 dec.cast("string")).otherwise(dd.cast("string"))
+                 dec.cast("string")) \
+        .when(_is_integer_strict(v) & dec0.isNotNull(),
+              dec0.cast("string")) \
+        .otherwise(dd.cast("string"))
     return F.when(_is_number(v), F.concat(F.lit("n:"), num)) \
         .otherwise(F.concat(F.substring(_vtype(v), 1, 3), F.lit(":"),
                             F.coalesce(_as_string(v), F.lit("\x00"))))
@@ -215,6 +227,14 @@ def _const_pred(value: Any, v: Column) -> Column:
         return _is_boolean(v) & (F.try_variant_get(v, "$", "boolean")
                                  == F.lit(value))
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and math.isfinite(value) \
+                and abs(value) >= 2 ** 53:
+            # every finite double at/beyond 2^53 is an integer; route
+            # through the exact-int ladder so big exactly-stored integer
+            # instances are compared exactly (a plain double compare
+            # wrongly matched 9999999999999999 against const 1e16 —
+            # reference ext/numeric.rs exact cross-type compare)
+            value = int(value)
         if isinstance(value, int):
             # decimal-first: exact for every int64 INSTANCE too (a 2^53+1
             # instance must not collapse onto a 2^53 literal via the
@@ -242,9 +262,16 @@ def _const_pred(value: Any, v: Column) -> Column:
                                         == F.lit(_schema_double(value)))
             d = _as_decimal(v)
             dd = _as_double(v)
+            dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
+            # integer-lexical instances beyond decimal(38,15)'s 23
+            # integer digits compare via decimal(38,0) — without this
+            # arm a 24-38-digit instance double-collapsed onto nearby
+            # consts (10**30 wrongly matched const 10**30+1)
             return _is_number(v) & F.when(
                 d.isNotNull() & (d.cast("double") == dd),
                 d == F.lit(Decimal(value))) \
+                .when(_is_integer_strict(v) & dec0.isNotNull(),
+                      dec0 == F.lit(Decimal(value))) \
                 .otherwise(dd == F.lit(float(value)))
         return _is_number(v) & (_as_double(v) == F.lit(float(value)))
     if isinstance(value, str):
@@ -424,7 +451,13 @@ def _compile_variant_body(orig: Any, schema: dict,
                 # vacuous-true (the reference keeps checking at runtime,
                 # validator.rs:34-52 — this is the compiled-plan analog)
                 ctx.saw_depth_exhaustion = True
-                ctx.exhausted_sites.append(sp + "/" + kw)
+                if not sp.startswith("/__cov"):
+                    # coverage-walk recompiles would otherwise report
+                    # the same site again under the synthetic '/__cov'
+                    # path (the flag above still records that the PLAN
+                    # exhausts — only the user-facing site list is
+                    # deduped)
+                    ctx.exhausted_sites.append(sp + "/" + kw)
                 if ctx.depth_strict:
                     add(Rule(kw, sp + "/" + kw,
                              "maximum evaluation depth exceeded",
@@ -490,22 +523,40 @@ def _compile_variant_body(orig: Any, schema: dict,
                    ("exclusiveMaximum", lambda d, lim: d < lim)]:
         if kw in schema:
             lim_raw = schema[kw]
-            if isinstance(lim_raw, int) and abs(lim_raw) >= 2 ** 53 \
-                    and len(str(abs(lim_raw))) <= 38:
-                # big-int limit: decimal compare where the instance fits,
-                # double compare (monotone, safe far from the boundary)
-                # where it doesn't. >38-digit limits skip to the double
-                # branch — every instance near such a boundary is itself
-                # double-stored, and F.lit(Decimal(10**39)) used to
-                # ArithmeticException at compile
+            # exact-compare eligibility: an int literal, or a FLOAT
+            # literal at/beyond 2^53 (every finite double there is an
+            # integer, and the reference compares the f64 exactly
+            # against the instance's integer value — a plain double
+            # compare wrongly equated 9999999999999999 with 1e16)
+            lim_int = None
+            if isinstance(lim_raw, int) and not isinstance(lim_raw, bool):
+                lim_int = lim_raw
+            elif isinstance(lim_raw, float) and math.isfinite(lim_raw) \
+                    and abs(lim_raw) >= 2 ** 53:
+                lim_int = int(lim_raw)
+            if lim_int is not None and abs(lim_int) >= 2 ** 53 \
+                    and len(str(abs(lim_int))) <= 38:
+                # big-int limit ladder: integer-lexical instances compare
+                # via decimal(38,0) (exact to 38 digits — decimal(38,15)
+                # caps at 23 integer digits, which silently double-
+                # compared 24-38 digit instances), fraction-form
+                # instances via decimal(38,15), double compare (monotone,
+                # safe far from the boundary) for the rest. >38-digit
+                # limits skip to the double branch — every instance near
+                # such a boundary is itself double-stored, and
+                # F.lit(Decimal(10**39)) used to ArithmeticException at
+                # compile
                 from decimal import Decimal
-                ld = Decimal(lim_raw)
+                ld = Decimal(lim_int)
 
                 def num_pred(v: Column, op=op, ld=ld,
-                             lim=float(lim_raw)) -> Column:
+                             lim=float(lim_int)) -> Column:
                     dv = _as_decimal(v)
+                    dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
                     return ~_is_number(v) | F.when(
-                        dv.isNotNull(), op(dv, F.lit(ld))) \
+                        _is_integer_strict(v) & dec0.isNotNull(),
+                        op(dec0, F.lit(ld))) \
+                        .when(dv.isNotNull(), op(dv, F.lit(ld))) \
                         .otherwise(op(_as_double(v), F.lit(lim)))
             else:
                 lim = _schema_double(lim_raw)
@@ -568,6 +619,7 @@ def _compile_variant_body(orig: Any, schema: dict,
                 dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
                 int_lex = _vtype(v).rlike("^DECIMAL\\(\\d+,\\s*0\\)$")
                 ok = None
+                long_decided = None
                 if mi < 2 ** 63:
                     # integral-and-fits-int64 gate: the long must cast
                     # back to the value's own double. NOT a decimal
@@ -575,9 +627,9 @@ def _compile_variant_body(orig: Any, schema: dict,
                     # to 0, which routed 5e-324 through pmod(0, m)==0
                     # and called it a multiple (random-schema fuzz find)
                     vl = F.try_variant_get(v, "$", "long")
-                    ok = F.when(
-                        vl.isNotNull() & (vl.cast("double") == d),
-                        F.pmod(vl, F.lit(mi)) == 0)
+                    long_decided = vl.isNotNull() & (vl.cast("double") == d)
+                    ok = F.when(long_decided,
+                                F.pmod(vl, F.lit(mi)) == 0)
                 if mi < 10 ** 38:  # literal fits decimal(38,0)
                     dec_ok = F.pmod(dec0, F.lit(Decimal(mi))) == F.lit(0)
                     cond = int_lex & dec0.isNotNull()
@@ -607,8 +659,15 @@ def _compile_variant_body(orig: Any, schema: dict,
                         fraction_multiple_of_udf,
                     )
 
+                    undecided = ~int_lex | dec0.isNull()
+                    if long_decided is not None:
+                        # rows the long tier already decided (fraction-
+                        # form integrals like "4.0") must not cross to
+                        # Python either — the `when` chain would discard
+                        # the kernel's answer but the UDF still runs
+                        undecided = undecided & ~long_decided
                     mask = d if ok is None else \
-                        F.when(~int_lex | dec0.isNull(), d).otherwise(
+                        F.when(undecided, d).otherwise(
                             F.lit(None).cast("double"))
                     fmod_ok = F.coalesce(
                         fraction_multiple_of_udf(mi)(mask), F.lit(False))
@@ -939,7 +998,14 @@ def _array_rules(schema: dict, ctx, sp: str) -> list[Rule]:
         with ctx.in_hof():
             node = compile_variant(schema["contains"], ctx,
                                    sp + "/contains")
-        ctx.contains_sites.append((sp + "/contains", node))
+        if not sp.startswith("/__cov"):
+            # coverage-walk compiles (_key_coverage/_index_coverage pass
+            # sp="/__cov") re-compile contains sub-schemas purely to
+            # read their annotations; registering those phantom sites
+            # duplicated map keys in with_contains_annotations (runtime
+            # 'duplicate map key' under the default dedup policy) and
+            # emitted bogus '/__cov/...' annotation entries
+            ctx.contains_sites.append((sp + "/contains", node))
         lo = int(schema.get("minContains", 1))
         hi = schema.get("maxContains")
 
@@ -1690,11 +1756,19 @@ class CompiledJsonSchema:
                 self.node = compile_variant(schema, ctx, "")
                 self.ref_depth = start if not ctx.saw_ref_cycle \
                     else self._PROBE_DEPTH
-                if ctx.saw_ref_cycle:
+                cyc = ctx.saw_ref_cycle
+                self._depth_measured = False
+                if cyc:
                     self._refresh_strict_twin(ctx)
                     ctx = self._autotune_depth(schema, options, start) \
                         or ctx
-                if memo_key is not None:
+                if memo_key is not None and (not cyc
+                                             or self._depth_measured):
+                    # a cyclic schema whose depth could NOT be measured
+                    # (no JVM — e.g. Connect) keeps the conservative
+                    # probe depth for THIS plan but must not poison the
+                    # process-wide memo: a later compile with a live
+                    # session should auto-tune normally
                     _DEPTH_MEMO[memo_key] = self.ref_depth
         self._contains_sites = list(ctx.contains_sites)
         # depth-exhaustion observability (options.on_depth_exhausted):
@@ -1825,6 +1899,7 @@ class CompiledJsonSchema:
             size = self._measured_size()
             if size is None:
                 return tuned
+            self._depth_measured = True
             if size <= self._CODEGEN_SAFE_CHARS:
                 ok = True
             elif size >= self._CODEGEN_HARD_CHARS:

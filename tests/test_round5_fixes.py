@@ -1083,3 +1083,112 @@ def test_doc_degraded_deep_nesting_conservative():
     # beyond even the raised limit: conservative True
     deep = "[" * 40000 + "1" + "]" * 40000
     assert _doc_degraded(deep) is True
+
+
+def test_variant_big_int_exact_compare_24_to_38_digits(spark):
+    """decimal(38,15) covers only 23 integer digits; 24-38-digit
+    integer instances must still compare EXACTLY (via the decimal(38,0)
+    view) against big int literals — they used to fall to the rounded
+    double, equating 10**30 with 10**30+1 (review find)."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    def run(schema, docs):
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        comp = CompiledJsonSchema(schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(df, "doc").collect()]
+
+    for k in (24, 30, 37):
+        B = 10 ** k
+        docs = [str(B - 1), str(B), str(B + 1)]
+        assert run({"minimum": B + 1}, docs) == [False, False, True], k
+        assert run({"maximum": B - 1}, docs) == [True, False, False], k
+        assert run({"const": B}, docs) == [False, True, False], k
+        assert run({"enum": [B, 5]}, docs) == [False, True, False], k
+        # uniqueItems: distinct 24-38-digit ints are NOT duplicates
+        assert run({"uniqueItems": True},
+                   [f"[{B}, {B + 1}]", f"[{B}, {B}]"]) == [True, False], k
+
+
+def test_float_literal_beyond_2_53_exact_compare(spark):
+    """A FLOAT schema literal at/beyond 2^53 is an integer; both
+    compilers must compare it exactly instead of promoting the instance
+    to double (minimum/const 1e16 wrongly admitted/matched
+    9999999999999999 — review find; reference ext/numeric.rs exact
+    cross-type compare)."""
+    import jsonschema
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    lo, hi = 9999999999999999, 10000000000000000  # float(lo) == 1e16
+    assert float(lo) == 1e16
+
+    # variant path
+    dfv = spark.createDataFrame([(str(lo),), (str(hi),)], "doc string")
+    for schema, want in [({"minimum": 1e16}, [False, True]),
+                         ({"exclusiveMaximum": 1e16}, [True, False]),
+                         ({"const": 1e16}, [False, True]),
+                         ({"enum": [1e16]}, [False, True])]:
+        comp = CompiledJsonSchema(schema, ValidationOptions())
+        got = [bool(r["valid"])
+               for r in comp.with_validation(dfv, "doc").collect()]
+        py = [jsonschema.Draft202012Validator(schema).is_valid(x)
+              for x in (lo, hi)]
+        assert got == want == py, schema
+
+    # typed path (long column)
+    dft = spark.createDataFrame([(lo,), (hi,)], "a long")
+    for kw, want in [("minimum", [False, True]),
+                     ("exclusiveMaximum", [True, False]),
+                     ("const", [False, True])]:
+        comp = compile_schema(
+            {"type": "object", "properties": {"a": {kw: 1e16}}},
+            dft.schema, ValidationOptions())
+        got = [bool(r["valid"]) for r in comp.with_validation(dft).collect()]
+        assert got == want, kw
+
+
+def test_coverage_walk_no_phantom_contains_sites(spark):
+    """Coverage-walk recompiles (unevaluated* reading through allOf/if)
+    must not register phantom '/__cov/contains' annotation sites: they
+    duplicated map keys in with_contains_annotations (runtime
+    'duplicate map key') and polluted exhausted-site lists (review
+    find)."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    comp = CompiledJsonSchema(
+        {"allOf": [{"contains": {"type": "integer"}}],
+         "unevaluatedItems": False, "unevaluatedProperties": False},
+        ValidationOptions())
+    assert [sp for sp, _ in comp._contains_sites] == ["/allOf/0/contains"]
+    df = spark.createDataFrame([('[1, "x"]',), ("{}",)], "doc string")
+    out = comp.with_contains_annotations(df, "doc").collect()
+    assert dict(out[0]["annotations"]) == {"/allOf/0/contains": [0]}
+
+
+def test_depth_memo_not_poisoned_without_measurement(spark):
+    """A cyclic schema compiled where the plan size cannot be measured
+    (no JVM, e.g. Connect) must not write its conservative probe depth
+    into the process-wide memo — a later measurable compile would
+    silently inherit unroll depth 2 (review find)."""
+    from jsonschema_rs_spark.compiler import variant as V
+    schema = {"$defs": {"n": {"properties": {
+        "v": {"type": "integer"},
+        "next": {"$ref": "#/$defs/n"}}}},
+        "$ref": "#/$defs/n"}
+    # unique memo key for this test via a distinct option combo
+    opts = ValidationOptions(ignore_unknown_formats=False)
+    key = V._depth_memo_key(schema, opts)
+    assert key is not None
+    V._DEPTH_MEMO.pop(key, None)
+    orig = V.CompiledJsonSchema._measured_size
+    try:
+        V.CompiledJsonSchema._measured_size = lambda self: None
+        comp = V.CompiledJsonSchema(schema, opts)
+        assert comp.ref_depth == V.CompiledJsonSchema._PROBE_DEPTH
+        assert key not in V._DEPTH_MEMO  # no poisoned entry
+    finally:
+        V.CompiledJsonSchema._measured_size = orig
+    comp2 = V.CompiledJsonSchema(schema, opts)
+    assert comp2.ref_depth > V.CompiledJsonSchema._PROBE_DEPTH
+    assert V._DEPTH_MEMO.get(key) == comp2.ref_depth
