@@ -263,8 +263,16 @@ def _const_pred(value: Any, v: Column) -> Column:
             d = _as_decimal(v)
             dd = _as_double(v)
             dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
+            # residual arm = DOUBLE-stored instances (exponent forms,
+            # >38-digit renderings): their exact value IS the double,
+            # and a double can equal this int literal only when the
+            # literal is double-representable — otherwise statically
+            # False (fuzz find: instance 1e30 wrongly matched
+            # enum/const 10**30)
+            dbl_eq = dd == F.lit(float(value)) \
+                if float(value) == value else F.lit(False)
             # integer-lexical instances beyond decimal(38,15)'s 23
-            # integer digits compare via decimal(38,0) — without this
+            # integer digits compare via decimal(38,0) — without that
             # arm a 24-38-digit instance double-collapsed onto nearby
             # consts (10**30 wrongly matched const 10**30+1)
             return _is_number(v) & F.when(
@@ -272,7 +280,7 @@ def _const_pred(value: Any, v: Column) -> Column:
                 d == F.lit(Decimal(value))) \
                 .when(_is_integer_strict(v) & dec0.isNotNull(),
                       dec0 == F.lit(Decimal(value))) \
-                .otherwise(dd == F.lit(float(value)))
+                .otherwise(dbl_eq)
         return _is_number(v) & (_as_double(v) == F.lit(float(value)))
     if isinstance(value, str):
         return _is_string(v) & (_as_string(v) == F.lit(value))
@@ -548,16 +556,36 @@ def _compile_variant_body(orig: Any, schema: dict,
                 # compile
                 from decimal import Decimal
                 ld = Decimal(lim_int)
+                # double-fallback op with the rounding-direction
+                # adjustment (same rule as keywords._big_bound_pred):
+                # by round-to-nearest no double lies strictly between
+                # float(L) and L, so when float(L) != L the exact
+                # compare of a double-stored instance against L is a
+                # strictness flip on float(L) — without it, a double
+                # equal to float(L) on the wrong side of L passed
+                fl = float(lim_int)
+                if fl == lim_int:
+                    dop = op
+                elif fl < lim_int:
+                    dop = {"minimum": lambda d, l: d > l,
+                           "exclusiveMinimum": lambda d, l: d > l,
+                           "maximum": lambda d, l: d <= l,
+                           "exclusiveMaximum": lambda d, l: d <= l}[kw]
+                else:
+                    dop = {"minimum": lambda d, l: d >= l,
+                           "exclusiveMinimum": lambda d, l: d >= l,
+                           "maximum": lambda d, l: d < l,
+                           "exclusiveMaximum": lambda d, l: d < l}[kw]
 
-                def num_pred(v: Column, op=op, ld=ld,
-                             lim=float(lim_int)) -> Column:
+                def num_pred(v: Column, op=op, dop=dop, ld=ld,
+                             lim=fl) -> Column:
                     dv = _as_decimal(v)
                     dec0 = F.try_variant_get(v, "$", "decimal(38,0)")
                     return ~_is_number(v) | F.when(
                         _is_integer_strict(v) & dec0.isNotNull(),
                         op(dec0, F.lit(ld))) \
                         .when(dv.isNotNull(), op(dv, F.lit(ld))) \
-                        .otherwise(op(_as_double(v), F.lit(lim)))
+                        .otherwise(dop(_as_double(v), F.lit(lim)))
             else:
                 lim = _schema_double(lim_raw)
 

@@ -21,11 +21,17 @@ def gen_value(rng: random.Random, depth: int = 0):
     k = rng.choice(kinds)
     if k == "int":
         return rng.choice([0, 1, -1, 5, 7, 10, 42, 100, -100,
-                           2 ** 53, 2 ** 53 + 1, -(2 ** 53) - 1])
+                           2 ** 53, 2 ** 53 + 1, -(2 ** 53) - 1,
+                           # 24-38 digit class: exact only via the
+                           # decimal(38,0) view (r5 review find)
+                           10 ** 30, 10 ** 30 + 1, -(10 ** 30)])
     if k == "float":
         return rng.choice([0.0, 1.0, 2.5, -1.5, 10.0, 3.14, 1e3,
                            1e100, -1e100, 0.1, 0.3, 1e-3, 2.5e300,
-                           -0.0, 4.9e-324])
+                           -0.0, 4.9e-324,
+                           # integral floats at/beyond 2^53: exact-int
+                           # ladder on both compilers (r5 review find)
+                           1e16, 9007199254740994.0, 1e30])
     if k == "str":
         n = rng.randint(0, 12)
         return "".join(rng.choice("abcXYZ019 _-") for _ in range(n))
@@ -277,7 +283,8 @@ def gen_schema(rng: random.Random, depth: int = 0) -> dict:
         elif g == "types":
             out["type"] = rng.sample(_GS_TYPES, rng.randint(2, 3))
         elif g == "bounds":
-            lo = rng.choice([-10, 0, 1, 5, 2 ** 53])
+            lo = rng.choice([-10, 0, 1, 5, 2 ** 53,
+                             1e16, 10 ** 30])
             key = rng.choice(["minimum", "exclusiveMinimum"])
             out[key] = lo
             if rng.random() < 0.5:
@@ -419,7 +426,11 @@ def test_fuzz_random_schema(spark, seed):
                # corners that found real bugs in the extended sweeps:
                # subnormals through the decimal view / pmod, BigInt
                # beyond the (38,15) range
-               5e-324, -5e-324, [5e-324, 0], 10 ** 25, -1.0, 1e-16]
+               5e-324, -5e-324, [5e-324, 0], 10 ** 25, -1.0, 1e-16,
+               # r5 exact-compare corners: 24-38-digit ints and the
+               # double that equals 1e16
+               10 ** 30, 10 ** 30 + 1, 9999999999999999, 1e16,
+               [10 ** 30, 10 ** 30 + 1]]
     docs = [json.dumps(v) for v in values]
     oracle = oracle_validator(schema)
     want = [oracle.is_valid(v) for v in values]

@@ -1192,3 +1192,40 @@ def test_depth_memo_not_poisoned_without_measurement(spark):
     comp2 = V.CompiledJsonSchema(schema, opts)
     assert comp2.ref_depth > V.CompiledJsonSchema._PROBE_DEPTH
     assert V._DEPTH_MEMO.get(key) == comp2.ref_depth
+
+
+def test_double_instance_vs_nonrepresentable_int_literal(spark):
+    """A DOUBLE-stored instance's exact value IS the double, so it can
+    equal an int literal only when the literal is double-representable
+    (fuzz find at the grown numeric grammar: '1e+30' wrongly matched
+    enum/const 10**30), and ordering against float(L) needs the
+    rounding-direction flip when float(L) != L (keywords._big_bound_pred
+    already had it; the variant double-fallback did not)."""
+    import jsonschema
+
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    def run(schema, docs):
+        df = spark.createDataFrame([(d,) for d in docs], "doc string")
+        comp = CompiledJsonSchema(schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(df, "doc").collect()]
+
+    B = 10 ** 30  # NOT double-representable
+    assert float(B) != B
+    assert run({"enum": [B]}, ["1e+30"]) == [False]
+    assert run({"const": B}, ["1e+30"]) == [False]
+    R = 2 ** 80  # double-representable 25-digit int
+    assert float(R) == R
+    assert run({"const": R}, ["1.2089258196146292e+24"]) == [True]
+
+    # direction flip: L = 2^53 + 5, float(L) = 2^53 + 4 < L; the
+    # double-stored instance equal to float(L) is exactly 2^53+4 < L
+    L = 2 ** 53 + 5
+    assert float(L) < L
+    doc = "9.007199254740996e15"  # == float(L) == 2^53 + 4
+    got = run({"minimum": L}, [doc])
+    py = jsonschema.Draft202012Validator({"minimum": L}).is_valid(
+        json.loads(doc))
+    assert got == [py] == [False]
+    assert run({"exclusiveMaximum": L}, [doc]) == [True]
