@@ -29,7 +29,6 @@ from jsonschema_rs_spark.compiler.nodes import (
     Rule,
     concat_errors,
     empty_errors,
-    one_error,
 )
 from jsonschema_rs_spark.errors import SchemaError
 from jsonschema_rs_spark.regex.ecma import ecma_to_java, literal_prefix
@@ -94,6 +93,39 @@ def _plain_scalar(value: Any, dt: T.DataType) -> Any:
             return Decimal(mi)
         return mi
     return value
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    return False
+
+
+def _orderable(c: Column, dt: T.DataType) -> Column:
+    """Recursively rewrite a value into an ORDERABLE/comparable shape:
+    maps become key-sorted entry arrays (keys are unique, so the sort is
+    total without comparing values). Spark refuses `=`/array_distinct
+    on MAP types outright, so const/enum/uniqueItems on dtypes
+    containing maps go through this rewrite; order-insensitive map
+    equality matches JSON object semantics. Identity for map-free
+    dtypes (callers skip it via _contains_map)."""
+    if isinstance(dt, T.MapType):
+        return F.array_sort(F.transform(
+            F.map_entries(c),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                _orderable(e["value"], dt.valueType).alias("value"))))
+    if isinstance(dt, T.StructType):
+        return F.when(c.isNull(), F.lit(None)).otherwise(F.struct(
+            *[_orderable(c[f.name], f.dataType).alias(f.name)
+              for f in dt.fields]))
+    if isinstance(dt, T.ArrayType):
+        return F.transform(c, lambda e: _orderable(e, dt.elementType))
+    return c
 
 
 def lit_for(value: Any, dt: T.DataType) -> Column:
@@ -205,16 +237,8 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     # is typed-path-only; see errors.py.)
     d4 = getattr(ctx.options, "draft4_integer", False)
     if static <= allowed:
-        # integer is only conditionally in static for fractional dtypes
-        if isinstance(dt, FRACTIONAL) and "integer" in allowed and "number" not in allowed:
-            if d4:
-                return [Rule("type", sp + "/type", msg,
-                             lambda c: F.lit(False), priority=1)]
-            # pmod-1, not floor: floor(double) is LONG and overflows to
-            # NULL at |x| >= 2^63 (1e100 IS a zero-fraction integer)
-            # % not pmod: pmod's +divisor step rounds tiny negatives to 0
-            pred = (lambda c: (c.cast("double") % F.lit(1.0)) == 0)
-            return [Rule("type", sp + "/type", msg, pred, priority=1)]
+        # (for FRACTIONAL, static ⊆ allowed implies "number" ∈ allowed,
+        # so no runtime integer check can be needed here)
         return []
     if static & allowed:
         if isinstance(dt, FRACTIONAL) and "integer" in allowed \
@@ -222,6 +246,14 @@ def build_type(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
             if d4:
                 return [Rule("type", sp + "/type", msg,
                              lambda c: F.lit(False), priority=1)]
+            if isinstance(dt, T.DecimalType):
+                # native decimal mod is exact; the double detour rounded
+                # fractional parts away at |x| >= 2^53 (review find:
+                # decimal(38,2) 10000000000000000.25 passed `integer`)
+                pred = (lambda c: (c % F.lit(1)) == F.lit(0))
+                return [Rule("type", sp + "/type", msg, pred, priority=1)]
+            # pmod-1, not floor: floor(double) is LONG and overflows to
+            # NULL at |x| >= 2^63 (1e100 IS a zero-fraction integer)
             # % not pmod: pmod's +divisor step rounds tiny negatives to 0
             pred = (lambda c: (c.cast("double") % F.lit(1.0)) == 0)
             return [Rule("type", sp + "/type", msg, pred, priority=1)]
@@ -236,6 +268,13 @@ def build_const(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     if not _value_matches_dtype(value, dt):
         return [Rule("const", sp + "/const", msg, lambda c: F.lit(False), priority=2)]
     lit = lit_for(value, dt)
+    if _contains_map(dt):
+        # Spark rejects `=` on MAP types (INVALID_ORDERING_TYPE) —
+        # compare the key-sorted orderable rewrite instead
+        return [Rule("const", sp + "/const", msg,
+                     lambda c, lit=lit, dt=dt:
+                     _orderable(c, dt) == _orderable(lit, dt),
+                     priority=2)]
     return [Rule("const", sp + "/const", msg, lambda c, lit=lit: c == lit, priority=2)]
 
 
@@ -254,6 +293,15 @@ def build_enum(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
         return [Rule("enum", sp + "/enum", msg,
                      lambda c, vals=shippable: c.isin(vals), priority=2)]
     lits = [lit_for(v, dt) for v in compatible]
+    if _contains_map(dt):
+        def pred(c: Column) -> Column:
+            co = _orderable(c, dt)
+            out = co == _orderable(lits[0], dt)
+            for l in lits[1:]:
+                out = out | (co == _orderable(l, dt))
+            return out
+
+        return [Rule("enum", sp + "/enum", msg, pred, priority=2)]
 
     def pred(c: Column) -> Column:
         out = c == lits[0]
@@ -312,6 +360,47 @@ def build_bounds(schema: dict, dt: T.DataType, ctx, sp: str) -> list[Rule]:
     def _pred(kind: str, m):
         if _is_bignum(m):
             return _big_bound_pred(dt, m, kind)
+        if isinstance(m, float) and math.isfinite(m) \
+                and not m.is_integer() \
+                and isinstance(dt, (INTEGRAL, T.DecimalType)):
+            # non-integer FLOAT bound on an exact-domain column: the
+            # plain double compare promoted the column to double and
+            # rounded high-precision values before comparing (review
+            # find: decimal(38,19) 0.3000000000000000004 passed
+            # maximum 0.3). The column's grid has step 10^-scale, and
+            # no grid value lies strictly between floor/ceil of the
+            # bound's EXACT binary value at that scale — so quantize
+            # the bound with the right direction and compare exactly.
+            from decimal import (ROUND_CEILING, ROUND_FLOOR, Decimal,
+                                 localcontext)
+            scale = dt.scale if isinstance(dt, T.DecimalType) else 0
+            with localcontext() as lc:
+                lc.prec = 1200  # binary expansions reach ~767 digits
+                E = Decimal(m)
+                q = Decimal(1).scaleb(-scale)
+                ceil_e = E.quantize(q, rounding=ROUND_CEILING)
+                floor_e = E.quantize(q, rounding=ROUND_FLOOR)
+            digits = max(len(ceil_e.as_tuple().digits),
+                         len(floor_e.as_tuple().digits))
+            if digits <= 38:
+                on_grid = ceil_e == floor_e
+
+                def L(d):
+                    return F.lit(int(d)) if isinstance(dt, INTEGRAL) \
+                        else F.lit(d)
+
+                if kind == "ge":
+                    return lambda c, l=L(ceil_e): c >= l
+                if kind == "gt":
+                    return (lambda c, l=L(ceil_e): c > l) if on_grid \
+                        else (lambda c, l=L(ceil_e): c >= l)
+                if kind == "le":
+                    return lambda c, l=L(floor_e): c <= l
+                if kind == "lt":
+                    return (lambda c, l=L(floor_e): c < l) if on_grid \
+                        else (lambda c, l=L(floor_e): c <= l)
+            # bound too wide for a decimal literal at this scale: the
+            # double compare is only wrong within its rounding shell
         if isinstance(m, float) and m.is_integer() \
                 and abs(m) >= 2 ** 53 \
                 and isinstance(dt, (INTEGRAL, T.DecimalType)):
@@ -417,6 +506,23 @@ def _build_multiple_of_rules(schema: dict, dt: T.DataType, ctx,
             return [_num_rule("multipleOf", sp, msg,
                               lambda c, mi=mi: c % F.lit(mi) == 0)]
         return [_num_rule("multipleOf", sp, msg, lambda c: c == 0)]
+    if isinstance(m, float) and not m.is_integer() and math.isfinite(m) \
+            and isinstance(dt, INTEGRAL):
+        # exact, no double detour (c.cast('double') rounded |c| >= 2^53
+        # before the kernel ran — review find): with the divisor's
+        # shortest-decimal form t·10^-f, an integer c is a multiple iff
+        # t | c·10^f iff t2 | c where t2 = t / gcd(t, 10^f) (the 2s and
+        # 5s cancel into 10^f; what remains is coprime to it) — one
+        # plain long mod
+        from decimal import Decimal
+        md = Decimal(repr(m))
+        f = max(0, -md.as_tuple().exponent)
+        t = int(md.scaleb(f))
+        t2 = t // math.gcd(t, 10 ** f)
+        if t2 >= 2 ** 63:  # unreachable for shortest-decimal doubles
+            return [_num_rule("multipleOf", sp, msg, lambda c: c == 0)]
+        return [_num_rule("multipleOf", sp, msg,
+                          lambda c, t2=t2: c % F.lit(t2) == 0)]
     if (not isinstance(m, int) or abs(m) < 2 ** 53) \
             and float(m).is_integer() and not isinstance(dt, T.DecimalType):
         # integer divisor over a float/double column: IEEE fmod of
@@ -561,10 +667,21 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
     if schema.get("uniqueItems") is True:
         # deep struct equality is native in Spark; array_distinct hashes —
         # the reference's adaptive pairwise/hash strategy (unique_items.rs:67)
-        # is subsumed by the JVM kernel
-        rules.append(Rule("uniqueItems", sp + "/uniqueItems", "duplicate items",
-                          lambda c: F.size(c) == F.size(F.array_distinct(c)),
-                          priority=20))
+        # is subsumed by the JVM kernel. Map-bearing element types go
+        # through the key-sorted orderable rewrite (array_distinct
+        # refuses MAP ordering; JSON object equality is key-order-
+        # insensitive anyway)
+        if _contains_map(et):
+            rules.append(Rule(
+                "uniqueItems", sp + "/uniqueItems", "duplicate items",
+                lambda c, et=et: F.size(c) == F.size(F.array_distinct(
+                    F.transform(c, lambda e: _orderable(e, et)))),
+                priority=20))
+        else:
+            rules.append(Rule(
+                "uniqueItems", sp + "/uniqueItems", "duplicate items",
+                lambda c: F.size(c) == F.size(F.array_distinct(c)),
+                priority=20))
 
     items = schema.get("items")
     prefix_schemas = None
@@ -572,9 +689,11 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
     if isinstance(items, list):  # draft 4-7 positional form
         prefix_schemas = items
         rest_schema = schema.get("additionalItems")
+        prefix_kw = "items"  # report paths under the REAL keyword
     else:
         prefix_schemas = schema.get("prefixItems")
         rest_schema = items
+        prefix_kw = "prefixItems"
         if rest_schema is None and "additionalItems" in schema and prefix_schemas:
             rest_schema = schema["additionalItems"]
 
@@ -582,7 +701,7 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
 
     if prefix_schemas:
         subnodes = [
-            compile_node(s, et, ctx, f"{sp}/prefixItems/{i}")
+            compile_node(s, et, ctx, f"{sp}/{prefix_kw}/{i}")
             for i, s in enumerate(prefix_schemas)
         ]
 
@@ -605,8 +724,10 @@ def build_array_rules(schema: dict, dt: T.DataType, ctx, sp: str,
                 )
             return concat_errors(parts)
 
-        rules.append(Rule("prefixItems", sp + "/prefixItems", "prefix item invalid",
-                          prefix_pred, errors_fn=prefix_errors, priority=30))
+        rules.append(Rule(prefix_kw, f"{sp}/{prefix_kw}",
+                          "prefix item invalid",
+                          prefix_pred, errors_fn=prefix_errors,
+                          priority=30))
 
     if rest_schema is not None and rest_schema is not True:
         if rest_schema is False:
@@ -821,93 +942,86 @@ def _struct_object_rules(schema: dict, dt: T.StructType, ctx, sp: str,
     # only data; patternProperties on struct: apply to matching field names
     pp = schema.get("patternProperties")
     if isinstance(pp, dict):
-        import re as _re
-
+        # ctx.regex = the same ECMA→Java translation the map path and
+        # string `pattern` use: raw re.compile crashed on valid ECMA
+        # syntax (named groups) and matched with Python semantics
+        # (review find). Name-vs-pattern decisions ride a constant
+        # rlike over the literal field name — Catalyst folds it, so
+        # the runtime plan is unchanged where the match is decidable.
+        pp_java = {pat: ctx.regex(pat) for pat in pp}
         for pat, sub in pp.items():
-            jre = _re.compile(pat)
+            jp = pp_java[pat]
             for name in fields:
-                if jre.search(name):
-                    subnode = compile_node(sub, fields[name], ctx,
-                                           f"{sp}/patternProperties/{pat}")
-                    if subnode.rules:
-                        rules.append(Rule(
-                            "patternProperties", f"{sp}/patternProperties/{pat}",
-                            f"property {name!r} invalid",
-                            (lambda c, n=name, s=subnode: s.valid(c.getField(n))),
-                            errors_fn=(lambda c, p, n=name, s=subnode:
-                                       s.errors(c.getField(n),
-                                                F.concat(p, F.lit("/" + n)))),
-                            priority=41,
-                        ))
+                subnode = compile_node(sub, fields[name], ctx,
+                                       f"{sp}/patternProperties/{pat}")
+                if not subnode.rules:
+                    continue
+                m = F.lit(name).rlike(jp)
+                rules.append(Rule(
+                    "patternProperties", f"{sp}/patternProperties/{pat}",
+                    f"property {name!r} invalid",
+                    (lambda c, n=name, s=subnode, m=m:
+                     F.when(m, s.valid(c.getField(n))).otherwise(True)),
+                    errors_fn=(lambda c, p, n=name, s=subnode, m=m:
+                               F.when(m, s.errors(
+                                   c.getField(n),
+                                   F.concat(p, F.lit("/" + n))))
+                               .otherwise(empty_errors())),
+                    priority=41,
+                ))
 
     ap = schema.get("additionalProperties")
     if ap is not None and ap is not True and ap is not False:
-        # schema form: applies to struct fields not named in properties and
-        # not matched by patternProperties
-        import re as _re
-
+        # schema form: applies to struct fields not named in properties
+        # and not matched by patternProperties (matches decided by the
+        # same translated Java patterns as above, constant-folded)
         known = set(props)
-        pats = [_re.compile(p) for p in (pp or {})]
+        ap_java = [ctx.regex(p) for p in (pp or {})]
         for name in fields:
-            if name in known or any(r.search(name) for r in pats):
+            if name in known:
                 continue
             subnode = compile_node(ap, fields[name], ctx,
                                    sp + "/additionalProperties")
-            if subnode.rules:
-                rules.append(Rule(
-                    "additionalProperties", sp + "/additionalProperties",
-                    f"additional property {name!r} invalid",
-                    (lambda c, n=name, s=subnode: s.valid(c.getField(n))),
-                    errors_fn=(lambda c, p, n=name, s=subnode:
-                               s.errors(c.getField(n),
-                                        F.concat(p, F.lit("/" + n)))),
-                    priority=42,
-                ))
+            if not subnode.rules:
+                continue
+            extra = F.lit(True)
+            for jp in ap_java:
+                extra = extra & ~F.lit(name).rlike(jp)
+            rules.append(Rule(
+                "additionalProperties", sp + "/additionalProperties",
+                f"additional property {name!r} invalid",
+                (lambda c, n=name, s=subnode, extra=extra:
+                 F.when(extra, s.valid(c.getField(n))).otherwise(True)),
+                errors_fn=(lambda c, p, n=name, s=subnode, extra=extra:
+                           F.when(extra, s.errors(
+                               c.getField(n),
+                               F.concat(p, F.lit("/" + n))))
+                           .otherwise(empty_errors())),
+                priority=42,
+            ))
 
     pn = schema.get("propertyNames")
     if pn is not None and pn is not True:
-        # struct field names are compile-time constants: evaluate now
-        name_node_fails = []
-        if pn is False:
-            name_node_fails = list(fields)
-        else:
-            namenode_schema = pn
-            import re as _re
-            for name in fields:
-                if not _check_name_static(namenode_schema, name):
-                    name_node_fails.append(name)
-        for name in name_node_fails:
+        # struct field names are compile-time constants — but evaluate
+        # them with the REAL compiled subschema over a literal Column
+        # (Catalyst constant-folds it), not a hand-rolled static
+        # evaluator: the old _check_name_static mis-handled type LISTS
+        # (every name failed) and silently PASSED any keyword it did
+        # not model (not/anyOf/minProperties/...) — review find
+        namenode = compile_node(pn if pn is not False else {"not": {}},
+                                T.StringType(), ctx,
+                                sp + "/propertyNames")
+        for name in fields:
+            cond = F.coalesce(namenode.valid(F.lit(name)), F.lit(False))
             rules.append(Rule(
                 "propertyNames", sp + "/propertyNames",
                 f"property name {name!r} invalid",
                 # only fails when the property is actually present
-                (lambda c, n=name: c.getField(n).isNull()),
+                (lambda c, n=name, cond=cond:
+                 c.getField(n).isNull() | cond),
                 priority=9,
             ))
     return rules
-
-
-def _check_name_static(schema: Any, name: str) -> bool:
-    """Evaluate a propertyNames subschema against a literal field name."""
-    if schema is True or schema == {}:
-        return True
-    if schema is False:
-        return False
-    import re as _re
-
-    if "minLength" in schema and len(name) < schema["minLength"]:
-        return False
-    if "maxLength" in schema and len(name) > schema["maxLength"]:
-        return False
-    if "pattern" in schema and not _re.search(schema["pattern"], name):
-        return False
-    if "enum" in schema and name not in schema["enum"]:
-        return False
-    if "const" in schema and name != schema["const"]:
-        return False
-    if schema.get("type") not in (None, "string"):
-        return False
-    return True
 
 
 def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
@@ -1023,6 +1137,40 @@ def _map_object_rules(schema: dict, dt: T.MapType, ctx, sp: str,
             rules.append(Rule("dependentRequired", f"{sp}/dependentRequired/{key}",
                               f"dependency of {key!r} not satisfied",
                               dep_pred, priority=45))
+
+    # draft-4-7 `dependencies` (both forms) and `dependentSchemas` —
+    # the struct path handles these; maps silently ignored them
+    # (review find: false negatives on map columns)
+    for dep_kw in ("dependencies", "dependentSchemas"):
+        deps = schema.get(dep_kw)
+        if not isinstance(deps, dict):
+            continue
+        for key, need in deps.items():
+            if dep_kw == "dependencies" and isinstance(need, list):
+                def adep_pred(c: Column, key=key, need=tuple(need)):
+                    ok = F.lit(True)
+                    for k in need:
+                        ok = ok & F.map_contains_key(c, F.lit(k))
+                    return F.when(F.map_contains_key(c, F.lit(key)),
+                                  ok).otherwise(True)
+
+                rules.append(Rule(dep_kw, f"{sp}/{dep_kw}/{key}",
+                                  f"dependency of {key!r} not satisfied",
+                                  adep_pred, priority=45))
+            elif isinstance(need, (dict, bool)):
+                subnode = compile_node(need, dt, ctx, f"{sp}/{dep_kw}/{key}")
+                rules.append(Rule(
+                    dep_kw, f"{sp}/{dep_kw}/{key}",
+                    f"dependent schema of {key!r} failed",
+                    (lambda c, key=key, s=subnode:
+                     F.when(F.map_contains_key(c, F.lit(key)),
+                            s.valid(c)).otherwise(True)),
+                    errors_fn=(lambda c, p, key=key, s=subnode:
+                               F.when(F.map_contains_key(c, F.lit(key)),
+                                      s.errors(c, p))
+                               .otherwise(empty_errors())),
+                    priority=60,
+                ))
     return rules
 
 

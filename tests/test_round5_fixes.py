@@ -1229,3 +1229,171 @@ def test_double_instance_vs_nonrepresentable_int_literal(spark):
         json.loads(doc))
     assert got == [py] == [False]
     assert run({"exclusiveMaximum": L}, [doc]) == [True]
+
+
+def test_typed_map_const_enum_and_unique(spark):
+    """Map-bearing dtypes: Spark rejects `=`/array_distinct on MAP
+    (INVALID_ORDERING_TYPE) — const/enum/uniqueItems go through the
+    key-sorted orderable rewrite (review find: AnalysisException on
+    legal schemas), with key-order-insensitive object equality."""
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    def wrap(inner):
+        return {"type": "object", "properties": {"a": inner}}
+
+    def run(schema, df):
+        comp = compile_schema(schema, df.schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(df).collect()]
+
+    mdf = spark.createDataFrame(
+        [({"a": 1},), ({"b": 2},), ({"a": 1, "b": 2},), ({"b": 2, "a": 1},)],
+        T.StructType([T.StructField(
+            "a", T.MapType(T.StringType(), T.LongType()))]))
+    assert run(wrap({"const": {"a": 1}}), mdf) == [True, False, False, False]
+    assert run(wrap({"const": {"a": 1, "b": 2}}), mdf) == \
+        [False, False, True, True]  # key order is irrelevant
+    assert run(wrap({"enum": [{"a": 1}, {"b": 2}]}), mdf) == \
+        [True, True, False, False]
+    adf = spark.createDataFrame(
+        [([{"a": 1}, {"a": 1}],), ([{"a": 1}, {"b": 2}],)],
+        T.StructType([T.StructField(
+            "a", T.ArrayType(T.MapType(T.StringType(), T.LongType())))]))
+    assert run(wrap({"uniqueItems": True}), adf) == [False, True]
+
+
+def test_typed_map_dependencies_and_dependent_schemas(spark):
+    """Map columns honor dependencies (both forms) and dependentSchemas
+    like the struct path (review find: silently ignored)."""
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    def wrap(inner):
+        return {"type": "object", "properties": {"a": inner}}
+
+    mdf = spark.createDataFrame(
+        [({"a": 1},), ({"b": 2},), ({"a": 1, "b": 2},)],
+        T.StructType([T.StructField(
+            "a", T.MapType(T.StringType(), T.LongType()))]))
+    for schema in (wrap({"dependentSchemas": {"a": {"required": ["b"]}}}),
+                   wrap({"dependencies": {"a": {"required": ["b"]}}}),
+                   wrap({"dependencies": {"a": ["b"]}})):
+        comp = compile_schema(schema, mdf.schema, ValidationOptions())
+        got = [bool(r["valid"])
+               for r in comp.with_validation(mdf).collect()]
+        assert got == [False, True, True], schema
+
+
+def test_typed_struct_property_names_real_compile(spark):
+    """Struct propertyNames now evaluates field names with the REAL
+    compiled subschema (constant-folded), not a partial static
+    evaluator that mis-handled type lists and silently passed
+    unmodeled keywords (review find)."""
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    sdf = spark.createDataFrame(
+        [((1,),)],
+        T.StructType([T.StructField("a", T.StructType(
+            [T.StructField("x", T.LongType())]))]))
+
+    def run(inner):
+        comp = compile_schema(
+            {"type": "object", "properties": {"a": inner}},
+            sdf.schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(sdf).collect()]
+
+    assert run({"propertyNames": {"type": ["string"]}}) == [True]
+    assert run({"propertyNames": {"not": {"const": "x"}}}) == [False]
+    assert run({"propertyNames": {"anyOf": [{"const": "x"}]}}) == [True]
+    assert run({"propertyNames": {"minLength": 2}}) == [False]
+
+
+def test_typed_exact_numeric_review_fixes(spark):
+    """Typed-path exact numerics from the review sweep: fractional
+    multipleOf on longs (no double detour), type:integer on decimals,
+    direction-quantized fractional bounds on exact-domain columns, and
+    draft items array-form schema paths."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    def wrap(inner):
+        return {"type": "object", "properties": {"a": inner}}
+
+    def run(schema, df):
+        comp = compile_schema(schema, df.schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(df).collect()]
+
+    # 9007199254740993 * 10 is divisible by 3; the double cast rounded
+    # it to ...992 first and said no
+    ldf = spark.createDataFrame([(9007199254740993,),
+                                 (9007199254740994,)], "a long")
+    assert run(wrap({"multipleOf": 0.3}), ldf) == [True, False]
+    assert run(wrap({"multipleOf": 0.5}), ldf) == [True, True]
+
+    ddf = spark.createDataFrame(
+        [(Decimal("10000000000000000.25"),), (Decimal("3.00"),)],
+        T.StructType([T.StructField("a", T.DecimalType(38, 2))]))
+    assert run(wrap({"type": "integer"}), ddf) == [False, True]
+
+    hdf = spark.createDataFrame(
+        [(Decimal("0.3000000000000000004"),),
+         (Decimal("0.2999999999999999999"),),
+         (Decimal("0.2999999999999999888"),)],
+        T.StructType([T.StructField("a", T.DecimalType(38, 19))]))
+    # exact binary 0.3 = 0.299999999999999988897...: verdicts pinned
+    # against python-jsonschema's Decimal-vs-float exact compare
+    assert run(wrap({"maximum": 0.3}), hdf) == [False, False, True]
+    assert run(wrap({"minimum": 0.3}), hdf) == [True, True, False]
+
+    idf = spark.createDataFrame(
+        [([1],)],
+        T.StructType([T.StructField("a", T.ArrayType(T.LongType()))]))
+    comp = compile_schema(wrap({"items": [{"type": "string"}]}),
+                          idf.schema, ValidationOptions())
+    errs = comp.with_validation(idf, mode="verbose").collect()[0]["errors"]
+    assert [e["schema_path"] for e in errs] == \
+        ["/properties/a/items/0/type"]
+
+
+def test_typed_struct_patterns_use_ecma_translation(spark):
+    """Struct patternProperties/additionalProperties go through the
+    same ECMA->Java translation as the map path: ECMA named groups
+    compile (raw re.compile crashed), and name matching uses Java
+    semantics via constant-folded rlike (review find)."""
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    sdf = spark.createDataFrame(
+        [((1, "y"),)],
+        T.StructType([T.StructField("a", T.StructType(
+            [T.StructField("x", T.LongType()),
+             T.StructField("s", T.StringType())]))]))
+
+    def run(inner):
+        comp = compile_schema(
+            {"type": "object", "properties": {"a": inner}},
+            sdf.schema, ValidationOptions())
+        return [bool(r["valid"])
+                for r in comp.with_validation(sdf).collect()]
+
+    # ECMA named group — used to raise re.error at compile
+    assert run({"patternProperties": {"(?<g>x)": {"type": "integer"}}}) \
+        == [True]
+    assert run({"patternProperties": {"(?<g>x)": {"type": "string"}}}) \
+        == [False]
+    # additionalProperties exemption decided by the translated pattern
+    assert run({"patternProperties": {"^x$": {"type": "integer"}},
+                "additionalProperties": {"type": "string"}}) == [True]
+    assert run({"patternProperties": {"^s$": {"type": "string"}},
+                "additionalProperties": {"type": "string"}}) == [False]
