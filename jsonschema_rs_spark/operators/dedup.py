@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsonschema_rs_spark.operators.text_analysis import normalize_text
@@ -83,14 +83,17 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     a window-free two-phase agg, shuffle carries (fp, min_id) only."""
     fp = F.md5(normalize_text(F.col(text_col)))
     keepers = (
-        df.select(fp.alias("fp"), F.col(id_col).alias("__id"))
-        .groupBy("fp").agg(F.min("__id").alias("__keep"))
+        df.select(fp.alias("__fp"), F.col(id_col).alias("__id"))
+        .groupBy("__fp").agg(F.min("__id").alias("__keep"))
     )
+    # __-prefixed like every other internal column here: a bare "fp"
+    # silently overwrote-then-dropped a user column of that name
+    # (text_analysis.with_text_features emits exactly one)
     return (
-        df.withColumn("fp", fp)
-        .join(keepers, "fp", "inner")
+        df.withColumn("__fp", fp)
+        .join(keepers, "__fp", "inner")
         .where(F.col(id_col) == F.col("__keep"))
-        .drop("__keep", "fp")
+        .drop("__keep", "__fp")
     )
 
 
@@ -144,13 +147,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
                         max_shingle_freq: int = 1000) -> DataFrame:
-    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+    """Pairs (a < b) with guarded Jaccard(shingles_a, shingles_b)
+    >= threshold.
 
     Plan: explode distinct shingles → drop shingles shared by more than
     max_shingle_freq docs (stopword-shingle skew guard: a shingle in k docs
     produces k^2 pairs) → self-join on shingle → count common → Jaccard
-    from |A|+|B|-common. Exact; cost bounded by co-occurrence, so at 100 TB
+    from |A|+|B|-common. Cost bounded by co-occurrence, so at 100 TB
     this runs AFTER MinHash-LSH candidate generation, not instead of it.
+
+    GUARD SEMANTICS (mirrored exactly by the DuckDB oracle): dropped
+    hot shingles leave the intersection count but stay in the |A|/|B|
+    denominators, so the computed Jaccard is a LOWER BOUND on the true
+    value for docs containing frequent shingles — true >=threshold
+    pairs whose overlap is mostly boilerplate may be missed (docs whose
+    shingles are all frequent produce no pair). Exact whenever no
+    shingle of either doc exceeds max_shingle_freq.
     """
     staged = with_shingles(df, text_col, "__sh", n)
     sh = staged.select(
@@ -317,45 +329,49 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     verify-stage Jaccard is 1, so nothing is lost). Use
     lsh_bucket_metrics() to surface how many buckets took the star path.
     """
-    buckets = _lsh_buckets(df, text_col, id_col, num_hashes, bands, n)
-    small = buckets.where(F.size("ids") <= max_bucket)
-    # all pairs within small buckets: index-sequence cross within the array
-    pairs_small = small.select(
-        F.explode(
-            F.flatten(F.transform(
-                F.sequence(F.lit(1), F.size("ids") - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, F.size("ids")),
-                    lambda j: F.struct(
-                        F.element_at(F.col("ids"), i).alias("id_a"),
-                        F.element_at(F.col("ids"), j).alias("id_b"),
-                    ),
-                ),
-            ))
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    # star pairs for hot buckets: (representative=min id, member)
-    big = buckets.where(F.size("ids") > max_bucket)
-    pairs_big = big.select(
-        F.element_at(F.col("ids"), 1).alias("id_a"),
-        F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias("id_b"),
+    # FLAT pipeline — no per-bucket id array is ever materialized (the
+    # former collect_set form assembled EVERY member of a hot bucket
+    # into one row before the size guard could run: a 10^7-member
+    # boilerplate bucket OOMed on a single row at scale; same hazard
+    # class the exact-dedup flat form closed). One exchange by
+    # band_key annotates each membership row with its bucket size and
+    # representative via a keyed window; small buckets take an ids-only
+    # self-join (same pair set as the array cross: both sides sorted by
+    # id through the "<" predicate), hot buckets emit star pairs
+    # row-by-row.
+    ann = _lsh_memberships(df, text_col, id_col, num_hashes, bands, n)
+    small = ann.where((F.col("__bn") <= max_bucket) & (F.col("__bn") > 1))
+    pairs_small = (
+        small.alias("x").join(small.alias("y"), "band_key")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     )
+    # star pairs for hot buckets: (representative=min id, member)
+    pairs_big = ann.where(F.col("__bn") > max_bucket) \
+        .where(F.col("id") != F.col("__bmin")) \
+        .select(F.col("__bmin").alias("id_a"), F.col("id").alias("id_b"))
     return pairs_small.unionAll(pairs_big).dropDuplicates()
 
 
-def _lsh_buckets(df: DataFrame, text_col: str, id_col: str,
-                 num_hashes: int, bands: int, n: int) -> DataFrame:
-    """(band_key, ids sorted) buckets with >1 member."""
+def _lsh_memberships(df: DataFrame, text_col: str, id_col: str,
+                     num_hashes: int, bands: int, n: int) -> DataFrame:
+    """Flat bucket membership rows (band_key, id, __bn=bucket size,
+    __bmin=bucket min id) — one keyed-window exchange, never a
+    bucket-sized array."""
     rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        logging.getLogger(__name__).warning(
+            "LSH banding: num_hashes=%d is not a multiple of bands=%d "
+            "— using %d of the hashes (r=%d per band)", num_hashes,
+            bands, rows_per_band * bands, rows_per_band)
     staged = with_minhash(df, text_col, "__sig", num_hashes, n)
     keys = lsh_band_keys(F.col("__sig"), bands, rows_per_band)
     exploded = staged.select(F.col(id_col).alias("id"),
                              F.explode(keys).alias("band_key"))
-    return (
-        exploded.groupBy("band_key")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    w = Window.partitionBy("band_key")
+    return (exploded
+            .withColumn("__bn", F.count(F.lit(1)).over(w))
+            .withColumn("__bmin", F.min("id").over(w)))
 
 
 def lsh_bucket_metrics(df: DataFrame, text_col: str = "text",
@@ -367,12 +383,14 @@ def lsh_bucket_metrics(df: DataFrame, text_col: str = "text",
     n_oversized, max_bucket_size, n_ids_in_oversized). Run it alongside a
     dedup job to see exactly how much of the key space took the
     linear star-pair path."""
-    b = _lsh_buckets(df, text_col, id_col, num_hashes, bands, n)
+    b = (_lsh_memberships(df, text_col, id_col, num_hashes, bands, n)
+         .groupBy("band_key").agg(F.count(F.lit(1)).alias("sz"))
+         .where(F.col("sz") > 1))
     return b.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum((F.size("ids") > max_bucket).cast("long")).alias("n_oversized"),
-        F.max(F.size("ids")).alias("max_bucket_size"),
-        F.coalesce(F.sum(F.when(F.size("ids") > max_bucket, F.size("ids"))),
+        F.sum((F.col("sz") > max_bucket).cast("long")).alias("n_oversized"),
+        F.max("sz").alias("max_bucket_size"),
+        F.coalesce(F.sum(F.when(F.col("sz") > max_bucket, F.col("sz"))),
                    F.lit(0)).alias("n_ids_in_oversized"),
     )
 

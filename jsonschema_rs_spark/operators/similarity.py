@@ -45,7 +45,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector (failed/padded embedding) yields
+    # NULL similarity instead of ANSI DIVIDE_BY_ZERO aborting the job;
+    # NULL fails every >= threshold / ranks after real sims, and the
+    # Arrow verify kernel returns null for the same pairs, so all
+    # cosine paths agree on degenerate vectors (review find)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -68,8 +73,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       norm(F.col(vec_col)).alias("__cn"))
     scored = c.crossJoin(q).select(
         "query_id", "neighbor_id",
-        F.round(dot(F.col("__cv"), F.col("__qv"))
-                / (F.col("__cn") * F.col("__qn")), 6).alias("sim"),
+        F.round(F.try_divide(dot(F.col("__cv"), F.col("__qv")),
+                             F.col("__cn") * F.col("__qn")), 6)
+        .alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
@@ -192,6 +198,10 @@ def banded_signature_udf(planes: list[list[int]], planes_per_band: int):
             return pd.Series([], dtype=object)
         mat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64)
+        # NOTE: BLAS matmul summation order can differ from the
+        # sequential Column fold in the LAST ulp — a margin within
+        # ~1 ulp of 0 could flip a sign bit vs a fold-based oracle.
+        # Never observed at the 6dp-rounded margins this module uses.
         bits = (mat @ P > 0).astype(np.int64)        # (batch, n_planes)
         packed = bits.reshape(len(vs), bands, planes_per_band) @ pack
         return pd.Series(list(packed))
@@ -205,7 +215,15 @@ def _batch_cosine(a: "np.ndarray", b: "np.ndarray") -> "pd.Series":
     broadcast-gather paths stay bit-identical by construction."""
     num = np.einsum("ij,ij->i", a, b)
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return pd.Series(np.round(num / den, 6))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.round(num / den, 6)
+    # zero-norm pairs -> NULL (nullable Float64, not float NaN: Spark
+    # sorts NaN above every number, so NaN would WIN top-k orderings
+    # and PASS >= threshold filters) — matches the Column paths'
+    # try_divide
+    out = pd.array(sim, dtype="Float64")
+    out[den == 0.0] = pd.NA
+    return pd.Series(out)
 
 
 def pair_cosine_udf(acc=None):
@@ -505,8 +523,9 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        qbucket)
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "neighbor_id",
-        F.round(dot(F.col("__cv"), F.col("__qv"))
-                / (F.col("__cn") * F.col("__qn")), 6).alias("sim"),
+        F.round(F.try_divide(dot(F.col("__cv"), F.col("__qv")),
+                             F.col("__cn") * F.col("__qn")), 6)
+        .alias("sim"),
     )
     if n_probe > 1:
         # a neighbor can meet the query in several probed buckets
@@ -572,7 +591,8 @@ def _assign_to_centroid(corpus: DataFrame, cents: DataFrame,
     sim) scalars — with map-side partial max_by — never the vectors
     (VERDICT r2 "What's wrong" #2: the old Window.partitionBy(id) rank
     shuffled n_centroids copies of every embedding)."""
-    sim = dot(F.col("__v"), F.col("__c")) / (F.col("__n") * F.col("__cn"))
+    sim = F.try_divide(dot(F.col("__v"), F.col("__c")),
+                       F.col("__n") * F.col("__cn"))
     scored = (corpus.select(F.col(id_col), F.col(vec_col).alias("__v"),
                             norm(F.col(vec_col)).alias("__n"))
               .crossJoin(F.broadcast(
@@ -614,7 +634,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .crossJoin(F.broadcast(
             cents.select("centroid_id", F.col("cvec").alias("__c"),
                          norm(F.col("cvec")).alias("__ccn"))))
-    qsim = dot(F.col("__qv"), F.col("__c")) / (F.col("__qn") * F.col("__ccn"))
+    qsim = F.try_divide(dot(F.col("__qv"), F.col("__c")),
+                        F.col("__qn") * F.col("__ccn"))
     wq = Window.partitionBy("query_id").orderBy(F.col("__qs").desc(),
                                                 F.col("centroid_id"))
     probes = (q.withColumn("__qs", F.round(qsim, 9))
@@ -623,8 +644,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .select("query_id", "centroid_id", "__qv", "__qn"))
     scored = probes.join(inv, "centroid_id").select(
         "query_id", "neighbor_id",
-        F.round(dot(F.col("__cv"), F.col("__qv"))
-                / (F.col("__cn2") * F.col("__qn")), 6).alias("sim"))
+        F.round(F.try_divide(dot(F.col("__cv"), F.col("__qv")),
+                             F.col("__cn2") * F.col("__qn")), 6)
+        .alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -691,10 +713,20 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
         b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                      F.col("n").alias("nb"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        n_rows, n_ids = v.agg(
+            F.count(F.lit(1)), F.count_distinct("id")).first()
+        if n_ids != n_rows:
+            # same contract as both LSH verify transports (review find:
+            # the exact/oracle path silently emitted duplicate pairs)
+            raise ValueError(
+                f"duplicate {id_col} values ({n_rows} rows, {n_ids} "
+                f"distinct): near-duplicate pairs are ill-defined over "
+                f"non-unique ids (deduplicate first)")
         return pairs.select(
             "id_a", "id_b",
-            F.round(dot(F.col("va"), F.col("vb"))
-                    / (F.col("na") * F.col("nb")), 6).alias("sim"),
+            F.round(F.try_divide(dot(F.col("va"), F.col("vb")),
+                                 F.col("na") * F.col("nb")), 6)
+            .alias("sim"),
         ).where(F.col("sim") >= threshold)
     if bands == "auto" or (bands is None and n_planes is None):
         if n_planes is not None:
@@ -707,6 +739,13 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
             planes_per_band)
     elif bands is None:
         bands = max(1, n_planes // planes_per_band)
+        if bands * planes_per_band != n_planes:
+            logging.getLogger(__name__).warning(
+                "near_duplicates_by_cosine: n_planes=%d is not a "
+                "multiple of planes_per_band=%d — using %d planes "
+                "(%d bands x %d); pass consistent values to use every "
+                "requested sign bit", n_planes, planes_per_band,
+                bands * planes_per_band, bands, planes_per_band)
     elif n_planes is not None and n_planes != bands * planes_per_band:
         raise ValueError(
             f"inconsistent banding: n_planes={n_planes} but "
@@ -771,8 +810,9 @@ def near_duplicates_by_cosine(df: DataFrame, threshold: float = 0.95,
         # join+prededup 8.3s on the same session
         dedup_before_verify = True
     if log_candidates:
-        raw = cand.count()
-        deduped = cand.dropDuplicates(["id_a", "id_b"]).count()
+        raw, deduped = cand.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.struct("id_a", "id_b"))).first()
         logging.getLogger(__name__).info(
             "near_duplicates_by_cosine: %d raw / %d distinct candidate "
             "pairs from %d bands x %d planes at threshold %.3f",

@@ -1397,3 +1397,89 @@ def test_typed_struct_patterns_use_ecma_translation(spark):
                 "additionalProperties": {"type": "string"}}) == [True]
     assert run({"patternProperties": {"^s$": {"type": "string"}},
                 "additionalProperties": {"type": "string"}}) == [False]
+
+
+def test_zero_norm_embeddings_null_not_crash(spark):
+    """A zero-norm embedding (failed/padded vector) must not abort the
+    job with ANSI DIVIDE_BY_ZERO, and all cosine paths must agree:
+    similarity involving it is NULL — failing thresholds and ranking
+    after real sims (NaN would sort ABOVE every number in Spark and
+    win top-k; review find)."""
+    from jsonschema_rs_spark.operators import similarity as sim
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0] * 4), (3, [0.0] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # exact path: zero pairs dropped, real pair kept — no exception
+    exact = sim.near_duplicates_by_cosine(df, threshold=0.9, dim=4,
+                                          exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(0, 1)]
+    # LSH path (both verify transports route through _batch_cosine)
+    for bv in (True, False):
+        lsh = sim.near_duplicates_by_cosine(
+            df, threshold=0.9, n_planes=9, dim=4,
+            broadcast_verify=bv).collect()
+        assert [(r["id_a"], r["id_b"]) for r in lsh] == [(0, 1)], bv
+    # brute-force top-k: zero-norm corpus rows rank LAST (NULL sim)
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])],
+                              "query_id long, embedding array<double>")
+    top = sim.brute_force_topk(df, q, k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [0, 1]
+    assert all(r["sim"] is not None for r in top)
+
+
+def test_near_dup_exact_rejects_duplicate_ids(spark):
+    """The exact/oracle path enforces the same unique-id contract as
+    both LSH verify transports (review find: it silently emitted
+    duplicate pairs)."""
+    import pytest as _pytest
+
+    from jsonschema_rs_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="duplicate"):
+        sim.near_duplicates_by_cosine(df, threshold=0.5, dim=2,
+                                      exact=True).collect()
+
+
+def test_lsh_flat_buckets_hot_bucket_star(spark):
+    """minhash_lsh_candidates' flat membership pipeline (no per-bucket
+    id arrays — the collect_set form materialized every member of a
+    hot bucket into one row; review find): identical duplicate text
+    over max_bucket forces the star path, and every member still
+    reaches the min-id representative."""
+    from jsonschema_rs_spark.operators import dedup as dd
+
+    rows = [(f"d{i:03d}", "identical boilerplate text here") for i in range(12)]
+    rows += [("x1", "some unique text one"), ("x2", "totally other words")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dd.minhash_lsh_candidates(df, "text", "doc_id",
+                                      num_hashes=16, bands=4,
+                                      max_bucket=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star pairs: representative d000 to every other duplicate
+    expect = {("d000", f"d{i:03d}") for i in range(1, 12)}
+    assert expect <= got
+    # no pair may touch the unrelated docs
+    assert not any("x1" in p or "x2" in p for p in got)
+    # and the metrics see exactly one oversized bucket key space
+    m = dd.lsh_bucket_metrics(df, "text", "doc_id", num_hashes=16,
+                              bands=4, max_bucket=5).first()
+    assert m["n_oversized"] >= 1
+    assert m["max_bucket_size"] == 12
+
+
+def test_dedup_exact_preserves_user_fp_column(spark):
+    """dedup_exact keeps a caller's own 'fp' column intact (it used to
+    overwrite then drop it; review find)."""
+    from jsonschema_rs_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [("a", "same text", "userfp1"), ("b", "same text", "userfp2"),
+         ("c", "other text", "userfp3")],
+        "doc_id string, text string, fp string")
+    out = dd.dedup_exact(df, "text", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == ["a", "c"]
+    assert {r["fp"] for r in out} == {"userfp1", "userfp3"}
