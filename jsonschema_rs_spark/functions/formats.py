@@ -22,18 +22,18 @@ from jsonschema_rs_spark.compiler.nodes import Rule
 
 # RFC 3339 full-date/time building blocks (reference: format.rs:315-508 does
 # this by hand; we regex-gate the shape then try-cast for calendar validity)
-_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}\z"
 _TIME_RE = (
     r"^(([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?)"
-    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)\z"
 )
 _DATETIME_RE = (
     r"^\d{4}-\d{2}-\d{2}[Tt]"
     r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
-    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)\z"
 )
-_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
-_IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z"
+_IPV4_RE = r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\z"
 # RFC 1123 hostname label, reference-exact shape (format.rs:548-646
 # is_valid_hostname validate_label): 1-63 LDH chars, no leading/trailing
 # hyphen, and the RFC 5891 R-LDH rule — hyphens at positions 3-4 only
@@ -47,13 +47,13 @@ _HOST_LABEL = (
 # it), every label valid. xn-- labels are shape-only here; the punycode
 # DECODE check (format.rs:621-646) is the pUDF refinement in format_rule.
 _HOSTNAME_RE = (
-    r"^(?=[A-Za-z0-9.-]{1,253}$)"
-    + _HOST_LABEL + r"(?:\." + _HOST_LABEL + r")*$"
+    r"^(?=[A-Za-z0-9.-]{1,253}\z)"
+    + _HOST_LABEL + r"(?:\." + _HOST_LABEL + r")*\z"
 )
-_JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
-_REL_JSON_POINTER_RE = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$"
+_JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*\z"
+_REL_JSON_POINTER_RE = r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)\z"
 _DURATION_RE = (
-    r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
+    r"^P(\d+W|(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)\z"
 )
 def _build_uri_regexes():
     """Full RFC 3986 (URI) / RFC 3987 (IRI) grammars as regexes — both
@@ -125,10 +125,10 @@ def _build_uri_regexes():
         qchar = f"({pchar}|[/?]" \
             + (f"|[{extra_q}]" if extra_q else "") + ")"
         fchar = f"({pchar}|[/?])"
-        tail = f"(\\?{qchar}*)?(#{fchar}*)?$"
+        tail = f"(\\?{qchar}*)?(#{fchar}*)?\\z"
         out[name] = f"^{scheme}:{hier}{tail}"
         out[name + "-ref"] = f"^({scheme}:{hier}|{rel}){tail}"
-    out["ipv6"] = f"^({v6})$"
+    out["ipv6"] = f"^({v6})\\z"
     return out
 
 
@@ -137,7 +137,7 @@ _URI_RE = _URI_GRAMMAR["uri"]
 _URI_REF_RE = _URI_GRAMMAR["uri-ref"]
 _IRI_RE = _URI_GRAMMAR["iri"]
 _IRI_REF_RE = _URI_GRAMMAR["iri-ref"]
-_URI_TEMPLATE_RE = r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|\{[+#./;?&=,!@|]?((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?)(,((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?))*\})*$"
+_URI_TEMPLATE_RE = r"^([^\x00-\x20\x7f\"'%<>\\^`{|}]|%[0-9A-Fa-f]{2}|\{[+#./;?&=,!@|]?((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?)(,((\w|%[0-9A-Fa-f]{2})(\.?(\w|%[0-9A-Fa-f]{2}))*(:[1-9]\d{0,3}|\*)?))*\})*\z"
 
 
 def _date_valid(c: Column) -> Column:
@@ -196,7 +196,7 @@ _EMAIL_ATEXT_IDN = r"(?:" + _EMAIL_ATEXT + r"|[^\x00-\x7F])"
 # unanchored IPv4 / IPv6 bodies for bracketed domain literals — the
 # reference strips the brackets and requires a clean std-parser IP
 # (format.rs:524-533)
-_IPV4_BODY = _IPV4_RE[1:-1]
+_IPV4_BODY = _IPV4_RE[1:-2]  # strip "^" head and "\\z" tail
 # approximate unicode hostname label for the idn-email Column shape
 # (exact IDNA rules live in the idna pUDF refinement, like idn-hostname)
 _IDN_LABEL = r"(?:(?!-)[^\x00-\x20\x7F@.<>\[\]\\\"]{1,63}(?<!-))"
@@ -214,7 +214,7 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
     quoted strings — the email_address crate's display handling; the
     old `[^<>]*` accepted unquoted specials like `,;:()`), with the
     display-name itself optional (name-addr allows a bare angle-addr)."""
-    tail = r">$" if display else r"$"
+    tail = r">\z" if display else r"\z"
     dchar = r"[^@>]" if display else r"[^@]"
     atext = _EMAIL_ATEXT_IDN if idn else _EMAIL_ATEXT
     dot_atom = r"(?=[^@]{1,64}@)" + atext + r"+(?:\." + atext + r"+)*"
@@ -227,13 +227,14 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
     alts = [host]
     if getattr(opts, "allow_domain_literal", True):
         alts.append(r"\[" + _IPV4_BODY + r"\]")
-        alts.append(r"\[IPv6:" + _URI_GRAMMAR["ipv6"][1:-1] + r"\]")
+        # strip the "^(" head and ")\z" tail of the anchored grammar
+        alts.append(r"\[IPv6:" + _URI_GRAMMAR["ipv6"][1:-2] + r"\]")
     addr = local + "@" + "(?:" + "|".join(alts) + ")"
     if display:
         word = r"(?:(?:" + atext + r"|\.)+|" + quoted + r")"
         phrase = r"(?:" + word + r"(?:[ \t]+" + word + r")*[ \t]*)?"
-        return r"^" + phrase + r"<" + addr + r">$"
-    return r"^" + addr + r"$"
+        return r"^" + phrase + r"<" + addr + r">\z"
+    return r"^" + addr + r"\z"
 
 
 # local part of the addr-spec wherever it sits (start of string, or
@@ -242,7 +243,7 @@ def _addr_spec_re(idn: bool, opts, display: bool) -> str:
 # FINAL '@domain' (domains cannot contain '@'), so a display phrase
 # containing '@' (e.g. `"x@y" <a@b.com>`) never wins the extraction —
 # an unanchored first-match regex captured display text there.
-_EMAIL_LOCAL_EXTRACT = r'(?:^|[<\s])("(?:[^"\\]|\\.)*"|[^@<>\s]+)@[^@]*$'
+_EMAIL_LOCAL_EXTRACT = r'(?:^|[<\s])("(?:[^"\\]|\\.)*"|[^@<>\s]+)@[^@]*\z'
 
 
 def _email_shape(c: Column, idn: bool, opts) -> Column:
@@ -265,7 +266,7 @@ def _email_shape(c: Column, idn: bool, opts) -> Column:
 def _email_domain(c: Column) -> Column:
     """The named-host domain of an addr-spec (empty string for bracketed
     literals), tolerant of a trailing `>` from display-text forms."""
-    return F.regexp_extract(c, r"@([^@\[\]<>]+)>?$", 1)
+    return F.regexp_extract(c, r"@([^@\[\]<>]+)>?\z", 1)
 
 
 def _punycode_labels_udf():
@@ -296,10 +297,8 @@ _COLUMN_FORMATS = {
     "ipv4": lambda c: c.rlike(_IPV4_RE),
     "ipv6": _ipv6_valid,
     "hostname": lambda c: c.rlike(_HOSTNAME_RE),
-    # default-options shape checks; format_rule upgrades these with
-    # EmailOptions and the idna/punycode pUDF refinements
-    "email": lambda c: _email_shape(c, False, None),
-    "idn-email": lambda c: _email_shape(c, True, None),
+    # (email/idn-email are NOT here: format_rule's dedicated branch
+    # returns for every path — entries in this dict would be dead)
     "json-pointer": lambda c: c.rlike(_JSON_POINTER_RE),
     "relative-json-pointer": lambda c: c.rlike(_REL_JSON_POINTER_RE),
     "duration": lambda c: c.rlike(_DURATION_RE) & (c != "P") & ~c.endswith("T"),
@@ -312,7 +311,7 @@ _COLUMN_FORMATS = {
     # structural approximation (labels 1-63, no leading/trailing hyphen,
     # no trailing dot); the exact IDNA check is the pUDF in format_rule
     "idn-hostname": lambda c: c.rlike(
-        r"^(?=.{1,253}$)" + _IDN_LABEL + r"(?:\." + _IDN_LABEL + r")*$"),
+        r"^(?=.{1,253}\z)" + _IDN_LABEL + r"(?:\." + _IDN_LABEL + r")*\z"),
 }
 
 
@@ -383,10 +382,20 @@ def format_rule(name: str, ctx, sp: str) -> Rule | None:
         _custom = _str_pred_pandas_udf(fn)
         return Rule("format", sp + "/format", f"invalid {name!r} format",
                     lambda c: _custom(c), priority=10)
-    if name == "regex" and not in_hof:
-        udf = _regex_format_udf()
-        return Rule("format", sp + "/format", "invalid regex",
-                    lambda c: udf(c), priority=10)
+    if name == "regex":
+        if not in_hof:
+            udf = _regex_format_udf()
+            return Rule("format", sp + "/format", "invalid regex",
+                        lambda c: udf(c), priority=10)
+        if not ctx.options.ignore_unknown_formats:
+            from jsonschema_rs_spark.errors import SchemaError
+            raise SchemaError(
+                "format 'regex' needs a regex-compile check (a pandas "
+                "UDF), which Spark forbids inside array/object "
+                "applicator lambdas on the dynamic-JSON path; set "
+                "ignore_unknown_formats=True to downgrade it to an "
+                "annotation there", sp + "/format")
+        return None  # annotation-only downgrade inside HOFs
     if name == "idn-hostname" and not in_hof:
         try:
             import idna  # noqa: F401 — compile-time availability probe
@@ -470,21 +479,21 @@ _B64_LAST2 = "[AQgw]"              # 2 pad chars: low 4 bits zero
 _B64_LAST3 = "[AEIMQUYcgkosw048]"  # 1 pad char: low 2 bits zero
 _B64_RE = (r"^([A-Za-z0-9+/]{4})*"
            r"([A-Za-z0-9+/]" + _B64_LAST2 + r"==|"
-           r"[A-Za-z0-9+/]{2}" + _B64_LAST3 + r"=)?$")
+           r"[A-Za-z0-9+/]{2}" + _B64_LAST3 + r"=)?\z")
 _B64URL_RE = (r"^([A-Za-z0-9_-]{4})*"
               r"([A-Za-z0-9_-]" + _B64_LAST2 + r"==|"
-              r"[A-Za-z0-9_-]{2}" + _B64_LAST3 + r"=)?$")
+              r"[A-Za-z0-9_-]{2}" + _B64_LAST3 + r"=)?\z")
 _B32_RE = (r"^([A-Z2-7]{8})*"
            r"([A-Z2-7][AEIMQUY4]={6}|"
            r"[A-Z2-7]{3}[AQ]={4}|"
            r"[A-Z2-7]{4}[ACEGIKMOQSUWY246]={3}|"
-           r"[A-Z2-7]{6}[AIQY]=)?$")
+           r"[A-Z2-7]{6}[AIQY]=)?\z")
 _B32HEX_RE = (r"^([0-9A-V]{8})*"
               r"([0-9A-V][048CGKOS]={6}|"
               r"[0-9A-V]{3}[0G]={4}|"
               r"[0-9A-V]{4}[02468ACEGIKMOQSU]={3}|"
-              r"[0-9A-V]{6}[08GO]=)?$")
-_B16_RE = r"^([0-9A-Fa-f][0-9A-Fa-f])*$"  # case-insensitive per the reference
+              r"[0-9A-V]{6}[08GO]=)?\z")
+_B16_RE = r"^([0-9A-Fa-f][0-9A-Fa-f])*\z"  # case-insensitive per the reference
 
 _CONTENT_ENCODINGS = {
     "base64": lambda c: c.rlike(_B64_RE),
@@ -536,9 +545,6 @@ def _b32_decode_json_udf(hex_alphabet: bool):
     return _str_pred_pandas_udf(ok)
 
 
-def _custom_str_pred_udf(fn):
-    return _str_pred_pandas_udf(fn)
-
 
 def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
     rules: list[Rule] = []
@@ -558,7 +564,8 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 f"custom contentEncoding {enc!r} (a Python callable) "
                 "cannot be evaluated inside array/object applicators on "
                 "the dynamic-JSON path", sp + "/contentEncoding")
-        udf = _custom_str_pred_udf(ctx.options.custom_content_encodings[enc])
+        udf = _str_pred_pandas_udf(
+            ctx.options.custom_content_encodings[enc])
         rules.append(Rule(
             "contentEncoding", sp + "/contentEncoding",
             f"not valid {enc}", lambda c, udf=udf: udf(c), priority=15))
@@ -579,9 +586,11 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 "cannot be evaluated inside array/object applicators on "
                 "the dynamic-JSON path", sp + "/contentMediaType")
         # custom media-type check runs on the DECODED text when the
-        # encoding has a JVM decoder, else on the raw string
+        # encoding has a JVM decoder; on the raw string only when there
+        # is NO encoding to undo (an undecodable encoding would feed
+        # the callable encoded text — annotation-only instead)
         fn = ctx.options.custom_content_media_types[mt]
-        udf = _custom_str_pred_udf(fn)
+        udf = _str_pred_pandas_udf(fn)
         dec = _CONTENT_DECODERS.get(enc)
         if dec is not None:
             rules.append(Rule(
@@ -589,7 +598,7 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 f"decoded content is not {mt}",
                 lambda c, udf=udf, dec=dec:
                 udf(dec(c).cast("string")), priority=16))
-        else:
+        elif enc is None:
             rules.append(Rule(
                 "contentMediaType", sp + "/contentMediaType",
                 f"content is not {mt}",
@@ -603,7 +612,7 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                     "decoded content is not JSON",
                     lambda c, udf=udf: udf(c), priority=16))
             # in_hof: annotation-only downgrade (documented above)
-        else:
+        elif enc is None or enc in _CONTENT_DECODERS:
             dec = _CONTENT_DECODERS.get(enc, _CONTENT_DECODERS[None])
             rules.append(Rule(
                 "contentMediaType", sp + "/contentMediaType",
@@ -611,5 +620,9 @@ def content_rules(schema: dict, ctx, sp: str) -> list[Rule]:
                 lambda c, dec=dec:
                 F.try_parse_json(dec(c).cast("string")).isNotNull(),
                 priority=16))
+        # else: custom/unknown contentEncoding with no JVM decoder —
+        # asserting JSON on the still-ENCODED text would reject rows
+        # valid under both keywords (review find); annotation-only,
+        # like unknown media types
     # unknown media type = annotation only
     return rules

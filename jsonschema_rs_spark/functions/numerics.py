@@ -68,7 +68,10 @@ def _divisor_parts(m) -> tuple[int, int, int, int, int]:
     Decimal(str(m)) = t * 10^f, t = t' * 2^a * 5^b, gcd(t', 10) = 1."""
     dm = Decimal(str(m)).normalize()
     sign, digits, exp = dm.as_tuple()
-    if sign:
+    if sign or not dm:
+        # zero check included: t=0 would make the factor loops below
+        # spin forever (compile callers meta-validate multipleOf > 0
+        # first, so this is a direct-caller guard)
         raise ValueError("multipleOf divisor must be positive")
     t = int("".join(map(str, digits)))
     f = int(exp)

@@ -1483,3 +1483,80 @@ def test_dedup_exact_preserves_user_fp_column(spark):
     out = dd.dedup_exact(df, "text", "doc_id").collect()
     assert sorted(r["doc_id"] for r in out) == ["a", "c"]
     assert {r["fp"] for r in out} == {"userfp1", "userfp3"}
+
+
+def test_format_anchors_reject_trailing_newline(spark):
+    """Java `$` matches BEFORE one trailing line terminator, so every
+    anchored rlike format accepted values with a trailing newline the
+    reference parsers reject (review find, JVM-verified); anchors are
+    now \\z. Also pins the ANSI CAST crash path: a newline-shifted time
+    string no longer reaches the leap-second substring casts."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    cases = [("ipv4", "1.2.3.4"), ("hostname", "example.com"),
+             ("date", "2020-01-01"), ("time", "12:34:56+07:00"),
+             ("date-time", "2020-01-01T12:34:56Z"),
+             ("uuid", "123e4567-e89b-12d3-a456-426614174000"),
+             ("uri", "https://example.com/a"),
+             ("duration", "P1DT2H"),
+             # (json-pointer is absent: RFC 6901 ALLOWS control chars
+             # in reference tokens, so "/a/b\n" is genuinely valid)
+             ("email", "user@example.com"),
+             ("ipv6", "2001:db8::1")]
+    for fmt, good in cases:
+        comp = CompiledJsonSchema(
+            {"format": fmt}, ValidationOptions(validate_formats=True))
+        df = spark.createDataFrame(
+            [(json.dumps(good),), (json.dumps(good + "\n"),),
+             (json.dumps(good + "\r\n"),)], "doc string")
+        got = [bool(r["valid"])
+               for r in comp.with_validation(df, "doc").collect()]
+        assert got == [True, False, False], fmt
+    # content encodings too
+    comp = CompiledJsonSchema({"contentEncoding": "base64"},
+                              ValidationOptions())
+    df = spark.createDataFrame([('"QQ=="',), ('"QQ==\\n"',)], "doc string")
+    got = [bool(r["valid"])
+           for r in comp.with_validation(df, "doc").collect()]
+    assert got == [True, False]
+
+
+def test_content_media_type_undecodable_encoding_annotation_only(spark):
+    """application/json over an encoding the JVM cannot decode (custom
+    or unknown) must not assert JSON on the still-ENCODED text (review
+    find): annotation-only, so a row valid under both keywords stays
+    valid."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    qp = "=7B=22a=22=3A1=7D"  # quoted-printable-ish of {"a":1}
+
+    def check_qp(v):
+        return v.startswith("=7B")
+
+    comp = CompiledJsonSchema(
+        {"contentEncoding": "qp", "contentMediaType": "application/json"},
+        ValidationOptions(custom_content_encodings={"qp": check_qp}))
+    df = spark.createDataFrame([(json.dumps(qp),)], "doc string")
+    assert [bool(r["valid"])
+            for r in comp.with_validation(df, "doc").collect()] == [True]
+    # the encoding assertion itself still fires
+    df2 = spark.createDataFrame([(json.dumps("plain"),)], "doc string")
+    assert [bool(r["valid"])
+            for r in comp.with_validation(df2, "doc").collect()] == [False]
+
+
+def test_format_regex_in_hof_clear_error():
+    """format:'regex' inside a HOF applicator with
+    ignore_unknown_formats=False raises a SchemaError naming the REAL
+    constraint (no pandas UDF inside HOF lambdas), not a bogus
+    'Unknown format' (review find)."""
+    import pytest as _pytest
+
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    from jsonschema_rs_spark.errors import SchemaError
+
+    with _pytest.raises(SchemaError, match="array/object applicator"):
+        CompiledJsonSchema(
+            {"items": {"format": "regex"}},
+            ValidationOptions(validate_formats=True,
+                              ignore_unknown_formats=False))
