@@ -176,7 +176,8 @@ def _compile_node_body(orig: Any, schema: dict, dt: T.DataType,
     rules += K.build_composition(schema, dt, ctx, sp, compile_node)
     from jsonschema_rs_spark.compiler.unevaluated import \
         build_unevaluated_rules
-    rules += build_unevaluated_rules(schema, dt, ctx, sp, compile_node)
+    rules += build_unevaluated_rules(schema, dt, ctx, sp, compile_node,
+                                    referrer=orig)
 
     # custom keywords (reference: keywords/custom.rs, options.rs:482)
     for name, factory in ctx.options.custom_keywords.items():

@@ -104,24 +104,32 @@ def _jbool(c: Column) -> Column:
     return F.when(c, F.lit("true")).otherwise(F.lit("false"))
 
 
+def _jquote(k: Column) -> Column:
+    """A string Column as a QUOTED JSON string literal with FULL JSON
+    escaping — backslash, quote, AND control characters (the
+    hand-rolled replaces missed those: a property name holding a
+    newline produced unparseable output JSON; review find).
+    to_json(array(k)) renders ["..."] with proper escaping; strip the
+    brackets to keep the quoted literal."""
+    j = F.to_json(F.array(k))
+    return F.substr(j, F.lit(2), F.length(j) - F.lit(2))
+
+
 def _name_token(k: Column) -> Column:
     """A dynamic property-name Column escaped for embedding in the
     output JSON: JSON-Pointer escape (~ → ~0, / → ~1) for the pointer
-    token, then JSON-string escape (backslash, quote) so the
-    concatenated output stays valid JSON. `F.replace` is literal
-    (no regex), so escape order is the only subtlety."""
+    token, then full JSON-string escaping, UNQUOTED (callers embed it
+    inside larger string literals)."""
     c = F.replace(k, F.lit("~"), F.lit("~0"))
     c = F.replace(c, F.lit("/"), F.lit("~1"))
-    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-    return F.replace(c, F.lit('"'), F.lit('\\"'))
+    q = _jquote(c)
+    return F.substr(q, F.lit(2), F.length(q) - F.lit(2))
 
 
 def _jname(k: Column) -> Column:
     """A dynamic property-name Column as a quoted JSON string literal
-    (for annotations lists): JSON-escape only, no pointer escape."""
-    c = F.replace(k, F.lit("\\"), F.lit("\\\\"))
-    c = F.replace(c, F.lit('"'), F.lit('\\"'))
-    return F.concat(F.lit('"'), c, F.lit('"'))
+    (for annotations lists): full JSON escaping, no pointer escape."""
+    return _jquote(k)
 
 
 class OutputPlan:
@@ -292,7 +300,12 @@ class OutputPlan:
                 continue  # draft-4 bool form folds into minimum/maximum
             micro = {kw: eff[kw]}
             for p in partners:
-                if p in eff:
+                if p in eff and isinstance(eff[p], bool):
+                    # draft-4 boolean form modifies the partner keyword;
+                    # NUMERIC-form partners are independent assertions
+                    # with units of their own — folding them conflated
+                    # verdicts (minimum:3 + exclusiveMinimum:5 against
+                    # 4 blamed 'minimum'; review find)
                     micro[p] = eff[p]
             kv = self._valid_of(micro, f"{ep}/{kw}", v)
             err = None
@@ -447,7 +460,10 @@ class OutputPlan:
                 ne = name.replace("~", "~0").replace("/", "~1")
                 h, fl, sv = self._schema_unit(
                     sub, f"{ep}/properties/{ne}", pv,
-                    F.concat(ip, F.lit("/" + _j(name))))
+                    # pointer-escape THEN json-escape: a name holding
+                    # '/' or '~' must emit '~1'/'~0' in the pointer
+                    # (review find: '/a/b' pointed into a nested member)
+                    F.concat(ip, F.lit("/" + _j(ne))))
                 if self._want_hier:
                     prop_hier.append(F.when(has, h).otherwise(F.lit(None)))
                 if self._want_flat:
@@ -773,28 +789,39 @@ class OutputPlan:
                     if idx_flat else F.array(flat_self)
             emit(u, fl_all)
 
-        # items (schema form): per-element units beyond the prefix
+        # items (schema form) / draft 4-7 additionalItems: per-element
+        # units beyond the prefix (additionalItems previously emitted NO
+        # unit, so a failure it caused appeared nowhere in the tree —
+        # review find)
+        rest_kw = None
         if "items" in eff and not isinstance(eff["items"], (list,)):
-            sub = eff["items"]
+            rest_kw, rest_sub = "items", eff["items"]
+        elif prefix and prefix[0] == "items" \
+                and "additionalItems" in eff \
+                and eff["additionalItems"] is not True:
+            rest_kw, rest_sub = "additionalItems", eff["additionalItems"]
+        if rest_kw is not None:
+            sub = rest_sub
             if sub is not True:
                 arr = _as_array(v)
                 with self.ctx.in_hof():  # applied per element in transform
                     items_node = compile_variant(sub, self.ctx,
-                                                 f"{ep}/items")
+                                                 f"{ep}/{rest_kw}")
 
-                def elem_builder(sub=sub, ep=ep):
+                def elem_builder(sub=sub, ep=ep, rest_kw=rest_kw):
                     def build(x: Column, i: Column):
                         h, _, _ = self._schema_unit_dyn(
-                            sub, f"{ep}/items", x,
+                            sub, f"{ep}/{rest_kw}", x,
                             F.concat(ip, F.lit("/"), i.cast("string")))
                         return F.when(i >= n_prefix, h) \
                             .otherwise(F.lit(None))
                     return build
 
-                def elem_flat_builder(sub=sub, ep=ep):
+                def elem_flat_builder(sub=sub, ep=ep,
+                                      rest_kw=rest_kw):
                     def build(x: Column, i: Column):
                         _, fl, _ = self._schema_unit_dyn(
-                            sub, f"{ep}/items", x,
+                            sub, f"{ep}/{rest_kw}", x,
                             F.concat(ip, F.lit("/"), i.cast("string")))
                         return F.when(i >= n_prefix, fl).otherwise(
                             self._empty())
@@ -818,7 +845,7 @@ class OutputPlan:
                         F.transform(arr, elem_builder()),
                         lambda x: x.isNotNull())
                     u = self._unit(
-                        ivalid, f"{ep}/items", sl + "/items", ip,
+                        ivalid, f"{ep}/{rest_kw}", sl + "/" + rest_kw, ip,
                         annotations=F.when(applied, ann),
                         annotates=True,
                         details=F.when(_is_array(v),
@@ -827,7 +854,7 @@ class OutputPlan:
                 fl_all = None
                 if self._want_flat:
                     flat_self = self._unit(
-                        ivalid, f"{ep}/items", sl + "/items", ip,
+                        ivalid, f"{ep}/{rest_kw}", sl + "/" + rest_kw, ip,
                         annotations=F.when(applied, ann), annotates=True)
                     flat_elems = F.when(
                         _is_array(v),

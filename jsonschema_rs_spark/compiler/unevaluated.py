@@ -6,13 +6,24 @@ evaluation tracking (keywords/unevaluated_properties.rs:223-554,
 unevaluated_items.rs:218-509):
 
 - struct columns: field names are static, so coverage by `properties` /
-  `patternProperties` is decided AT COMPILE TIME per field; only
-  in-place-applicator coverage (valid-branch-conditioned) remains a
-  runtime Column condition
+  `patternProperties` is decided per field with CONSTANT-folded
+  expressions (patterns through the same ECMA->Java translation the
+  validator matches with — Python `re` diverged on named groups and
+  `$`); only in-place-applicator coverage (valid-branch-conditioned)
+  remains a runtime Column condition
 - map columns: keys are dynamic → forall over map entries with runtime
   name matching
 - arrays: index coverage from prefixItems / items / contains matches /
   applicator branches
+
+The walks follow the same reach rules as the variant coverage walks:
+the DIALECT-EFFECTIVE view of every node (a keyword the active draft
+ignores annotates nothing), $ref/$dynamicRef/$recursiveRef targets
+(cycle-guarded via ctx._active_refs, like compile_node), if/then/else
+conditioned on the `if` verdict, and dependentSchemas conditioned on
+key presence. Refs resolve against the ORIGINAL schema object — a
+fresh sibling dict would lose the object-identity key into the
+registry's base-URI map under nested $id resources.
 
 "Evaluated" follows 2020-12 annotation semantics: a branch's
 properties/items only count where the branch VALIDATES the instance.
@@ -20,7 +31,6 @@ properties/items only count where the branch VALIDATES the instance.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -33,25 +43,49 @@ from jsonschema_rs_spark.compiler.nodes import Rule
 # fn(instance_col, key_col: Column) -> Column (dynamic-key form, maps)
 
 
-def _static_name_match(schema: dict, name: str) -> bool:
-    if name in schema.get("properties", {}):
-        return True
-    for pat in schema.get("patternProperties", {}):
+_REF_RESOLVERS = (
+    ("$ref", lambda ctx, r, orig: ctx.resolve_ref(r, orig)),
+    ("$dynamicRef",
+     lambda ctx, r, orig: ctx.registry.resolve_dynamic_in_scope(
+         r, orig, ctx._dyn_scope)),
+    ("$recursiveRef",
+     lambda ctx, r, orig: ctx.registry.resolve_recursive()),
+)
+
+
+def _ref_targets(schema: dict, orig: Any, ctx, tag: str):
+    """Yield (guard_key, target) for each ref keyword present, skipping
+    active cycles (same discipline as compile_node's _active_refs) and
+    unresolvable refs (the validator itself raises on those first)."""
+    for kw, resolver in _REF_RESOLVERS:
+        ref = schema.get(kw)
+        if not isinstance(ref, str):
+            continue
+        key = (tag + ":" + kw + ":" + ref, "")
+        if key in ctx._active_refs:
+            continue
         try:
-            if re.search(pat, name):
-                return True
-        except re.error:
-            pass
-    return "additionalProperties" in schema \
-        or "unevaluatedProperties" in schema
+            target = resolver(ctx, ref, orig)
+        except Exception:
+            continue
+        yield key, target
 
 
-def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
+def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node,
+                        referrer: Any = None
                         ) -> Callable[[Column, str], Column]:
     """Coverage for a STATIC field name: returns a Column condition (often
     a literal) under which `name` counts as evaluated."""
     if not isinstance(schema, dict):
         return lambda c, name: F.lit(False)
+    orig = referrer if referrer is not None else schema
+    schema = ctx.dialect.effective(schema)
+
+    props = tuple(schema.get("properties", {}) or {})
+    pats = tuple(ctx.regex(p)
+                 for p in (schema.get("patternProperties", {}) or {}))
+    blanket = "additionalProperties" in schema \
+        or "unevaluatedProperties" in schema
 
     branch_parts = []  # (node, coverage) for in-place applicators
     for kw in ("allOf", "anyOf", "oneOf"):
@@ -59,13 +93,14 @@ def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
             node = compile_node(sub, dt, ctx, "/__cov")
             cov = struct_key_coverage(sub, dt, ctx, compile_node)
             branch_parts.append((node, cov))
-    ref_cov = None
-    if "$ref" in schema:
+    ref_covs = []
+    for key, target in _ref_targets(schema, orig, ctx, "covS"):
+        ctx._active_refs.add(key)
         try:
-            target = ctx.resolve_ref(schema["$ref"], schema)
-            ref_cov = struct_key_coverage(target, dt, ctx, compile_node)
-        except Exception:
-            ref_cov = None
+            ref_covs.append(struct_key_coverage(target, dt, ctx,
+                                                compile_node))
+        finally:
+            ctx._active_refs.discard(key)
     ite = None
     if "if" in schema:
         ite = (
@@ -83,12 +118,17 @@ def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
                                                  compile_node)))
 
     def covered(c: Column, name: str) -> Column:
-        out = F.lit(_static_name_match(schema, name))
+        # patterns matched with the VALIDATOR's Java semantics via a
+        # constant-folded rlike on the literal name (Python re silently
+        # diverged: (?<g>...) raised re.error -> "no match")
+        out = F.lit(blanket or name in props)
+        for jp in pats:
+            out = out | F.lit(name).rlike(jp)
         for node, cov in branch_parts:
             out = out | (F.coalesce(node.valid(c), F.lit(False))
                          & cov(c, name))
-        if ref_cov is not None:
-            out = out | ref_cov(c, name)
+        for rc in ref_covs:
+            out = out | rc(c, name)
         if ite is not None:
             if_node, if_cov, then_cov, else_cov = ite
             ok = F.coalesce(if_node.valid(c), F.lit(False))
@@ -103,21 +143,47 @@ def struct_key_coverage(schema: Any, dt: T.StructType, ctx, compile_node
     return covered
 
 
-def map_key_coverage(schema: Any, dt: T.MapType, ctx, compile_node
+def map_key_coverage(schema: Any, dt: T.MapType, ctx, compile_node,
+                     referrer: Any = None
                      ) -> Callable[[Column, Column], Column]:
     if not isinstance(schema, dict):
         return lambda c, k: F.lit(False)
+    orig = referrer if referrer is not None else schema
+    schema = ctx.dialect.effective(schema)
     names = tuple(schema.get("properties", {}).keys())
     pats = tuple(ctx.regex(p) for p in schema.get("patternProperties", {}))
     blanket = "additionalProperties" in schema \
         or "unevaluatedProperties" in schema
     branch_parts = []
+    ref_covs = []
+    ite = None
+    deps = []
     with ctx.in_hof():  # covered() renders inside F.forall lambdas
         for kw in ("allOf", "anyOf", "oneOf"):
             for sub in schema.get(kw, []) or []:
                 node = compile_node(sub, dt, ctx, "/__cov")
                 cov = map_key_coverage(sub, dt, ctx, compile_node)
                 branch_parts.append((node, cov))
+        for key, target in _ref_targets(schema, orig, ctx, "covM"):
+            ctx._active_refs.add(key)
+            try:
+                ref_covs.append(map_key_coverage(target, dt, ctx,
+                                                 compile_node))
+            finally:
+                ctx._active_refs.discard(key)
+        if "if" in schema:
+            ite = (
+                compile_node(schema["if"], dt, ctx, "/__cov"),
+                map_key_coverage(schema["if"], dt, ctx, compile_node),
+                map_key_coverage(schema.get("then", {}), dt, ctx,
+                                 compile_node),
+                map_key_coverage(schema.get("else", {}), dt, ctx,
+                                 compile_node),
+            )
+        if "dependentSchemas" in schema:
+            for dk, sub in schema["dependentSchemas"].items():
+                deps.append((dk, map_key_coverage(sub, dt, ctx,
+                                                  compile_node)))
 
     def covered(c: Column, k: Column) -> Column:
         out = F.lit(True) if blanket else (
@@ -126,16 +192,28 @@ def map_key_coverage(schema: Any, dt: T.MapType, ctx, compile_node
             out = out | k.rlike(p)
         for node, cov in branch_parts:
             out = out | (F.coalesce(node.valid(c), F.lit(False)) & cov(c, k))
+        for rc in ref_covs:
+            out = out | rc(c, k)
+        if ite is not None:
+            if_node, if_cov, then_cov, else_cov = ite
+            ok = F.coalesce(if_node.valid(c), F.lit(False))
+            out = out | F.when(ok, if_cov(c, k) | then_cov(c, k)) \
+                .otherwise(else_cov(c, k))
+        for dk, cov in deps:
+            out = out | (F.map_contains_key(c, F.lit(dk)) & cov(c, k))
         return out
 
     return covered
 
 
-def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
+def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node,
+                   referrer: Any = None
                    ) -> Callable[[Column, Column, Column], Column]:
     """fn(array_col, idx0, el) -> Column."""
     if not isinstance(schema, dict):
         return lambda c, i, el: F.lit(False)
+    orig = referrer if referrer is not None else schema
+    schema = ctx.dialect.effective(schema)
     items = schema.get("items")
     if isinstance(items, list):  # draft 4-7 positional form
         nprefix = len(items)
@@ -145,6 +223,8 @@ def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
         has_rest = items is not None
     blanket = has_rest or "unevaluatedItems" in schema
     branch_parts = []
+    ref_covs = []
+    ite = None
     with ctx.in_hof():  # covered() renders inside F.transform lambdas
         cnode = compile_node(schema["contains"], dt.elementType, ctx,
                              "/__cov") if "contains" in schema else None
@@ -153,6 +233,22 @@ def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
                 node = compile_node(sub, dt, ctx, "/__cov")
                 cov = index_coverage(sub, dt, ctx, compile_node)
                 branch_parts.append((node, cov))
+        for key, target in _ref_targets(schema, orig, ctx, "covI"):
+            ctx._active_refs.add(key)
+            try:
+                ref_covs.append(index_coverage(target, dt, ctx,
+                                               compile_node))
+            finally:
+                ctx._active_refs.discard(key)
+        if "if" in schema:
+            ite = (
+                compile_node(schema["if"], dt, ctx, "/__cov"),
+                index_coverage(schema["if"], dt, ctx, compile_node),
+                index_coverage(schema.get("then", {}), dt, ctx,
+                               compile_node),
+                index_coverage(schema.get("else", {}), dt, ctx,
+                               compile_node),
+            )
 
     def covered(c: Column, i: Column, el: Column) -> Column:
         out = F.lit(True) if blanket else (
@@ -162,21 +258,35 @@ def index_coverage(schema: Any, dt: T.ArrayType, ctx, compile_node
         for node, cov in branch_parts:
             out = out | (F.coalesce(node.valid(c), F.lit(False))
                          & cov(c, i, el))
+        for rc in ref_covs:
+            out = out | rc(c, i, el)
+        if ite is not None:
+            if_node, if_cov, then_cov, else_cov = ite
+            ok = F.coalesce(if_node.valid(c), F.lit(False))
+            out = out | F.when(ok, if_cov(c, i, el) | then_cov(c, i, el)) \
+                .otherwise(else_cov(c, i, el))
         return out
 
     return covered
 
 
 def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
-                            compile_node) -> list[Rule]:
+                            compile_node, referrer: Any = None) -> list[Rule]:
     rules: list[Rule] = []
+
+    def _sibling(drop: str) -> dict:
+        # base the walk on the ORIGINAL node when the caller provides
+        # it (object identity keys the registry's base-URI map); the
+        # walk re-applies dialect gating itself
+        src = referrer if isinstance(referrer, dict) else schema
+        return {k: v for k, v in src.items() if k != drop}
 
     if "unevaluatedProperties" in schema:
         up = schema["unevaluatedProperties"]
-        sibling = {k: v for k, v in schema.items()
-                   if k != "unevaluatedProperties"}
+        sibling = _sibling("unevaluatedProperties")
         if isinstance(dt, T.StructType):
-            cov = struct_key_coverage(sibling, dt, ctx, compile_node)
+            cov = struct_key_coverage(sibling, dt, ctx, compile_node,
+                                      referrer=referrer)
             up_nodes = {} if up is False else {
                 f.name: compile_node(up, f.dataType, ctx,
                                      sp + "/unevaluatedProperties")
@@ -199,7 +309,8 @@ def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
                               "unevaluated properties present", up_pred,
                               priority=40))
         elif isinstance(dt, T.MapType):
-            cov = map_key_coverage(sibling, dt, ctx, compile_node)
+            cov = map_key_coverage(sibling, dt, ctx, compile_node,
+                                   referrer=referrer)
             with ctx.in_hof():  # applied per entry inside F.forall
                 node = None if up is False else compile_node(
                     up, dt.valueType, ctx, sp + "/unevaluatedProperties")
@@ -220,9 +331,9 @@ def build_unevaluated_rules(schema: dict, dt: T.DataType, ctx, sp: str,
 
     if "unevaluatedItems" in schema and isinstance(dt, T.ArrayType):
         ui = schema["unevaluatedItems"]
-        sibling = {k: v for k, v in schema.items()
-                   if k != "unevaluatedItems"}
-        icov = index_coverage(sibling, dt, ctx, compile_node)
+        sibling = _sibling("unevaluatedItems")
+        icov = index_coverage(sibling, dt, ctx, compile_node,
+                              referrer=referrer)
         with ctx.in_hof():  # applied per element inside F.transform
             node = None if ui is False else compile_node(
                 ui, dt.elementType, ctx, sp + "/unevaluatedItems")

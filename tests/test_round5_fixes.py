@@ -1560,3 +1560,84 @@ def test_format_regex_in_hof_clear_error():
             {"items": {"format": "regex"}},
             ValidationOptions(validate_formats=True,
                               ignore_unknown_formats=False))
+
+
+def test_typed_unevaluated_coverage_through_refs(spark):
+    """Typed unevaluated* coverage walks follow $ref (and honor dialect
+    gating) like the variant walks (review find: a map column with
+    properties behind a $ref was falsely rejected, and 2019-09 let a
+    2020-12-only prefixItems claim index coverage)."""
+    from pyspark.sql import types as T
+
+    from jsonschema_rs_spark.compiler.compiler import compile_schema
+
+    mdf = spark.createDataFrame(
+        [({"a": 1},), ({"z": 1},)],
+        T.StructType([T.StructField(
+            "m", T.MapType(T.StringType(), T.LongType()))]))
+    sch = {"type": "object", "properties": {"m": {
+        "$ref": "#/$defs/base", "unevaluatedProperties": False}},
+        "$defs": {"base": {"properties": {"a": True}}}}
+    comp = compile_schema(sch, mdf.schema, ValidationOptions())
+    assert [bool(r["valid"])
+            for r in comp.with_validation(mdf).collect()] == [True, False]
+
+    # struct + pattern with ECMA named group reaches Java semantics
+    sdf = spark.createDataFrame(
+        [((1,),)], T.StructType([T.StructField("s", T.StructType(
+            [T.StructField("ab", T.LongType())]))]))
+    sch2 = {"type": "object", "properties": {"s": {
+        "patternProperties": {"(?<g>ab)": True},
+        "unevaluatedProperties": False}}}
+    comp2 = compile_schema(sch2, sdf.schema, ValidationOptions())
+    assert [bool(r["valid"])
+            for r in comp2.with_validation(sdf).collect()] == [True]
+
+    # 2019-09 ignores prefixItems -> index 0 IS unevaluated
+    adf = spark.createDataFrame(
+        [([1],)], T.StructType([T.StructField(
+            "a", T.ArrayType(T.LongType()))]))
+    sch3 = {"type": "object", "properties": {"a": {
+        "allOf": [{"prefixItems": [{"type": "integer"}]}],
+        "unevaluatedItems": False}}}
+    comp3 = compile_schema(sch3, adf.schema,
+                           ValidationOptions(dialect="2019-09"))
+    assert [bool(r["valid"])
+            for r in comp3.with_validation(adf).collect()] == [False]
+
+
+def test_output_units_review_fixes(spark):
+    """Output v1 fidelity from the review sweep: numeric exclusive
+    bounds get INDEPENDENT units (minimum:3 + exclusiveMinimum:5 vs 4
+    used to blame 'minimum'); instanceLocation pointer-escapes property
+    names; dynamic names with control characters stay valid JSON; and
+    draft-4-7 additionalItems emits a unit for its failures."""
+    from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+
+    def units(schema, doc, opts=None):
+        comp = CompiledJsonSchema(schema, opts or ValidationOptions())
+        df = spark.createDataFrame([(doc,)], "doc string")
+        out = comp.with_output(df, "doc", format="list").collect()[0]
+        return json.loads(out["output"])
+
+    o = units({"minimum": 3, "exclusiveMinimum": 5}, "4")
+    per = {u["evaluationPath"]: u["valid"] for u in o["details"]}
+    assert per["/minimum"] is True
+    assert per["/exclusiveMinimum"] is False
+
+    o2 = units({"properties": {"a/b": {"type": "integer"}}},
+               '{"a/b": "x"}')
+    locs = {u["instanceLocation"] for u in o2["details"]}
+    assert "/a~1b" in locs and "/a/b" not in locs
+
+    o3 = units({"additionalProperties": {"type": "integer"}},
+               json.dumps({"a\nb": 1}))  # parses = valid output JSON
+    assert o3["valid"] is True
+
+    o4 = units({"items": [{"type": "integer"}],
+                "additionalItems": {"type": "string"}}, "[1, 2]",
+               ValidationOptions(dialect="7"))
+    per4 = {u["evaluationPath"]: u["valid"] for u in o4["details"]}
+    assert o4["valid"] is False
+    assert per4["/additionalItems"] is False
+    assert per4["/items/0"] is True
