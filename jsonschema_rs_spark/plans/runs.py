@@ -54,18 +54,26 @@ class ValidationRunner:
 
     # -- checkpoint state --------------------------------------------------
 
+    def _read_metrics(self) -> DataFrame:
+        # probe by READING, not os.path.exists: the checkpoint lives on
+        # whatever filesystem the path names (hdfs://, s3a://) where
+        # os.path is always False — which silently disabled resume on
+        # exactly the cluster deployments this module targets — and a
+        # half-written first chunk (_temporary only) must read as
+        # "no checkpoint yet", not crash the resume (review finds)
+        try:
+            return self.spark.read.parquet(self.runs_path)
+        except Exception:
+            return self.spark.createDataFrame([], METRICS_SCHEMA_DDL)
+
     def completed_partitions(self, run_id: str) -> set[str]:
-        if not os.path.exists(self.runs_path):
-            return set()
-        df = self.spark.read.parquet(self.runs_path)
+        df = self._read_metrics()
         return {r["part_id"] for r in
                 df.where(F.col("run_id") == run_id)
                 .select("part_id").distinct().collect()}
 
     def metrics(self) -> DataFrame:
-        if not os.path.exists(self.runs_path):
-            return self.spark.createDataFrame([], METRICS_SCHEMA_DDL)
-        return self.spark.read.parquet(self.runs_path)
+        return self._read_metrics()
 
     # -- the run -----------------------------------------------------------
 
@@ -158,15 +166,19 @@ class ValidationRunner:
                     "violation_keywords",
                     F.coalesce("violation_keywords",
                                F.create_map().cast("map<string,bigint>")))
-                .withColumn("run_id", F.lit(run_id))
-                .withColumn("snapshot_id",
-                            F.lit(snapshot_id).cast("bigint"))
-                .withColumn("started", F.lit(t0))
-                .withColumn("finished", F.lit(time.time()))
-                .select("run_id", "snapshot_id", PART_COL, "n_rows",
-                        "n_valid", "n_invalid", "violation_keywords",
-                        "input_files", "started", "finished")
             )
-            per_part.write.mode("append").parquet(self.runs_path)
+            # run the validation NOW and collect the tiny result
+            # (<= chunk_size rows), so `finished` covers the actual
+            # work — F.lit(time.time()) at plan-build time recorded
+            # only driver-side plan construction (review find)
+            rows = per_part.collect()
+            finished = time.time()
+            out = self.spark.createDataFrame(
+                [(run_id, int(snapshot_id), r[PART_COL], r["n_rows"],
+                  r["n_valid"], r["n_invalid"],
+                  dict(r["violation_keywords"]), list(r["input_files"]),
+                  t0, finished) for r in rows],
+                METRICS_SCHEMA_DDL)
+            out.write.mode("append").parquet(self.runs_path)
         finally:
             slim.unpersist()

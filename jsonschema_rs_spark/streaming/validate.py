@@ -127,19 +127,21 @@ def run_to_metrics(stream_df: DataFrame, plan: CompiledSchema,
                     F.collect_list(F.struct(F.col("__k").alias("key"),
                                             F.col("__c").alias("value"))))
                      .alias("violation_keywords")))
-            agg = (
-                counts.crossJoin(F.broadcast(kws))
-                .select(
-                    F.lit(run_id).alias("run_id"),
-                    F.lit(-1).cast("bigint").alias("snapshot_id"),
-                    F.lit(f"batch-{batch_id}").alias("part_id"),
-                    "n_rows", "n_valid", "n_invalid",
-                    "violation_keywords",
-                    F.array().cast("array<string>").alias("input_files"),
-                    F.lit(t0).alias("started"),
-                    F.lit(_time.time()).alias("finished"),
-                )
-            )
+            # run the aggregation NOW (one row) so `finished`
+            # covers the micro-batch's actual validation work —
+            # F.lit(time.time()) at plan-build time measured only plan
+            # construction (review find)
+            row = counts.crossJoin(F.broadcast(kws)).collect()[0]
+            finished = _time.time()
+            agg = batch_df.sparkSession.createDataFrame(
+                [(run_id, -1, f"batch-{batch_id}", row["n_rows"],
+                  row["n_valid"], row["n_invalid"],
+                  dict(row["violation_keywords"]), [], t0, finished)],
+                ("run_id string, snapshot_id bigint, part_id string, "
+                 "n_rows bigint, n_valid bigint, n_invalid bigint, "
+                 "violation_keywords map<string,bigint>, "
+                 "input_files array<string>, started double, "
+                 "finished double"))
             agg.write.mode("overwrite") \
                 .option("partitionOverwriteMode", "dynamic") \
                 .partitionBy("run_id", "part_id") \

@@ -423,3 +423,50 @@ def test_streaming_violation_sessions_late_events_merge(spark, tmp_path):
     assert late["session_end"] - late["session_start"] == 30.0
     assert opened["n_violations"] == 1             # the 16:40 session
     assert opened["session_start"] == opened["session_end"]
+
+
+def test_icetable_boolean_partitions_resumable(spark, tmp_path):
+    """Manifest values use Spark's string rendering: a BOOLEAN
+    partition column used to store str(True)='True' while the
+    directory read-back renders 'true', making those partitions
+    permanently invisible to read() (review find)."""
+    from jsonschema_rs_spark.sources.icetable import IceTable
+
+    t = IceTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, True), (2, False)], "v long, flag boolean")
+    snap = t.append_partitions(df, "flag")
+    parts = t.partitions(snap)
+    assert parts == ["false", "true"]
+    assert t.read(partitions=["true"]).count() == 1
+    assert t.read(snapshot_id=snap).count() == 2
+    # NULL partition values are refused up front
+    import pytest as _pytest
+    dfn = spark.createDataFrame([(3, None)], "v long, flag boolean")
+    with _pytest.raises(ValueError, match="NULL partition"):
+        t.append_partitions(dfn, "flag")
+
+
+def test_runner_checkpoint_probe_by_reading(spark, tmp_path):
+    """completed_partitions()/metrics() probe the checkpoint by READING
+    it (hdfs/s3a paths where os.path.exists is always False used to
+    silently disable resume; an empty/garbage runs dir must read as
+    'no checkpoint', not crash) — review find."""
+    from jsonschema_rs_spark import compile_schema
+    from jsonschema_rs_spark.errors import ValidationOptions
+
+    t = IceTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame([("a", 1)], "doc_id string, v long")
+    t.append_partitions(df, F.lit("p0"))
+    plan = compile_schema({"type": "object"}, t.read().schema,
+                          ValidationOptions())
+    runs_dir = tmp_path / "runs"
+    runs_dir.mkdir()  # exists but EMPTY: unreadable as parquet
+    r = ValidationRunner(t, plan, str(runs_dir))
+    assert r.completed_partitions("rid") == set()
+    assert r.metrics().count() == 0
+    out = r.run(run_id="rid")
+    assert out["processed"] == 1
+    m = r.metrics().collect()
+    assert len(m) == 1 and m[0]["finished"] >= m[0]["started"]
+    # second run resumes fully
+    assert r.run(run_id="rid")["skipped"] == 1
