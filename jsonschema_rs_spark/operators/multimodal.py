@@ -57,9 +57,11 @@ def synthetic_media_df(spark, n_assets: int = 1000, seed: int = 42,
     parallelism), standing in for real blobs in tests."""
     base = spark.range(n_assets)
     k = F.col("id")
+    # 32 hex chars decode to 16 BYTES: // 16 sizes payloads at the
+    # requested byte count (// 32 produced half; review find)
     content = F.to_binary(
         F.repeat(F.md5(F.concat(F.lit(seed), k.cast("string"))),
-                 max(1, payload_bytes // 32)), F.lit("hex"))
+                 max(1, payload_bytes // 16)), F.lit("hex"))
     return base.select(
         F.concat(F.lit("asset-"),
                  F.substring(F.md5(k.cast("string")), 1, 8)).alias("asset_id"),
@@ -69,22 +71,33 @@ def synthetic_media_df(spark, n_assets: int = 1000, seed: int = 42,
     )
 
 
-def _decode_image_stub(data: bytes) -> tuple[int, int]:
+def _decode_image_stub(data: bytes) -> tuple:
     """STUB — real impl: PIL.Image.open(io.BytesIO(data)).size.
     Deterministic fake: dimensions derived from a content hash so tests
-    have stable expectations."""
+    have stable expectations. NULL content and undecodable bytes yield
+    (None, None) — a corrupt blob must not kill the task 4 times and
+    abort the whole job (review find: `except ImportError` did not
+    cover UnidentifiedImageError/OSError once Pillow is installed)."""
+    if data is None:
+        return None, None
     try:
         from PIL import Image  # pragma: no cover - not in this container
         import io
-        with Image.open(io.BytesIO(data)) as im:
-            return im.width, im.height
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return im.width, im.height
+        except Exception:
+            return None, None
     except ImportError:
         h = int(hashlib.md5(data).hexdigest()[:8], 16)
         return 64 + h % 1024, 64 + (h >> 10) % 1024
 
 
-def _decode_av_stub(data: bytes) -> tuple[int, int]:
-    """STUB — real impl: soundfile/av probe. Fake (duration_ms, frames)."""
+def _decode_av_stub(data: bytes) -> tuple:
+    """STUB — real impl: soundfile/av probe. Fake (duration_ms, frames);
+    NULL content yields (None, None)."""
+    if data is None:
+        return None, None
     h = int(hashlib.md5(data).hexdigest()[8:16], 16)
     dur = 500 + h % 600_000
     return dur, max(1, dur // 40)
@@ -134,12 +147,18 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     rows from metadata only — the decode of the actual frame bytes is the
     stubbed step. Pure Column expressions: sequence + explode, no Python.
     """
-    feats = extract_media_features(df).where(F.col("media_type") == "video")
-    return feats.select(
+    # filter to videos BEFORE feature extraction: the md5/decodes over
+    # every non-video blob were pure waste for a metadata-only plan
+    # (review find)
+    feats = extract_media_features(
+        df.where(F.col("media_type") == "video"))
+    return feats.where(F.col("duration_ms").isNotNull()).select(
         "asset_id",
         F.posexplode(
+            # last sampled ts stays INSIDE the stream: a frame at
+            # ts == duration_ms does not exist (review find)
             F.sequence(F.lit(0),
-                       (F.col("duration_ms") / every_ms).cast("int"))
+                       ((F.col("duration_ms") - 1) / every_ms).cast("int"))
         ).alias("frame_idx", "ts_s"),
     ).select("asset_id", "frame_idx",
              (F.col("ts_s") * every_ms).cast("int").alias("ts_ms"))

@@ -50,7 +50,10 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    n_tok: Column = token_counter(F.col(text_col))
+    # NULL text counts 0 tokens: a NULL n_tokens nulled the prefix sum
+    # and silently dropped the document from every pack (review find);
+    # the DuckDB oracle coalesces identically
+    n_tok: Column = F.coalesce(token_counter(F.col(text_col)), F.lit(0))
     keys = [F.col(shard_col)] if shard_col else []
     w = (Window.partitionBy(*keys).orderBy(F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -84,7 +87,11 @@ def pack_sequences_greedy(df: DataFrame, text_col: str = "text",
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    n_tok: Column = token_counter(F.col(text_col))
+    # NULL text counts 0 tokens — without the coalesce a NULL reached
+    # the pandas fold as NaN, making `used` NaN and disabling the
+    # budget check for the REST OF THE SHARD (every later document
+    # landed in one pack; review find)
+    n_tok: Column = F.coalesce(token_counter(F.col(text_col)), F.lit(0))
     out_cols = [F.col(id_col)]
     if shard_col:
         out_cols.append(F.col(shard_col))

@@ -164,9 +164,14 @@ def uniqueness_violations(df: DataFrame, keys: list[str],
     skew-join handling does not cover aggregations.
     """
     if salt_buckets > 0:
+        # salt from the FULL ROW CONTENT, not
+        # monotonically_increasing_id: the latter changes across stage
+        # retries, so recomputed map tasks could re-bucket rows and
+        # double-count/drop in phase 2 (the SPARK-23207 hazard class;
+        # review find). Identical full rows share a bucket — counts
+        # stay exact; only their skew spread is forfeited.
         salt = F.pmod(F.xxhash64(F.lit(5417),
-                                 *[F.col(k) for k in keys],
-                                 F.monotonically_increasing_id()),
+                                 *[F.col(c) for c in df.columns]),
                       F.lit(salt_buckets)).alias("__salt")
         phase1 = (
             df.groupBy(*keys, salt)
@@ -581,9 +586,17 @@ def chi_square_drift(observed: DataFrame, reference: DataFrame,
         + F.when(e_r >= min_expected,
                  (F.col("n_r") - e_r) ** 2 / e_r).otherwise(0.0)
     )
+    # dof counts only categories that CONTRIBUTE to the statistic
+    # (either side's expected meets min_expected): suppressed long-tail
+    # categories inflated dof while contributing 0 to chi2, deflating
+    # the implied p-value (review find). Coalesced/clamped so empty
+    # inputs return (0.0, 0) instead of (NULL, -1).
+    contributes = (e_o >= min_expected) | (e_r >= min_expected)
     return j.agg(
-        F.sum(term).alias("chi2"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.coalesce(F.sum(term), F.lit(0.0)).alias("chi2"),
+        F.greatest(
+            F.coalesce(F.sum(contributes.cast("long")), F.lit(0)) - 1,
+            F.lit(0)).cast("long").alias("dof"),
         F.max("tot_o").alias("n_obs"),
         F.max("tot_r").alias("n_ref"),
     )

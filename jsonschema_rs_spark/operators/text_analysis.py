@@ -108,7 +108,12 @@ def quality_score(text: Column) -> Column:
         - F.when(f["digit_ratio"] > 0.3, 0.2).otherwise(0.0)
         - F.when(f["stopword_ratio"] < 0.05, 0.2).otherwise(0.0)
     )
-    return F.greatest(score, F.lit(0.0))
+    # NULL text scores 0.0, not a vacuous 1.0 (every penalty gate's
+    # NULL comparison fell into .otherwise(0.0), so null documents
+    # sailed through quality filters as perfect — review find); the
+    # DuckDB oracle template carries the same clause
+    return F.when(text.isNull(), F.lit(0.0)) \
+        .otherwise(F.greatest(score, F.lit(0.0)))
 
 
 def normalize_text(text: Column) -> Column:
@@ -163,18 +168,21 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     lang_pred = F.when(m < 1, F.lit("und"))
     for lang, h in zip(langs, hits):
         lang_pred = lang_pred.when(h == m, F.lit(lang))
+    # NULL text (all hits NULL -> every branch NULL) classifies 'und'
+    # like lang_id() does, instead of a silent NULL (review find)
+    lang_pred = lang_pred.otherwise(F.lit("und"))
     safe_tok = F.greatest(F.col("__n_tok"), F.lit(1))
     safe_chr = F.greatest(F.col("__n_chars"), F.lit(1))
     punct_ratio = F.col("__n_punct") / safe_chr
     digit_ratio = F.col("__n_digit") / safe_chr
     stop_ratio = F.col("__n_stop") / safe_tok
-    quality = F.greatest(
+    quality = F.when(t.isNull(), F.lit(0.0)).otherwise(F.greatest(
         F.lit(1.0)
         - F.when(F.col("__n_tok") < 5, 0.4).otherwise(0.0)
         - F.when(punct_ratio > 0.2, 0.2).otherwise(0.0)
         - F.when(digit_ratio > 0.3, 0.2).otherwise(0.0)
         - F.when(stop_ratio < 0.05, 0.2).otherwise(0.0),
-        F.lit(0.0))
+        F.lit(0.0)))
     out = staged.select(
         *df.columns,
         F.col("__n_tok").alias("n_tokens_ws"),

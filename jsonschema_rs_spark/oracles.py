@@ -441,7 +441,10 @@ SELECT
       THEN pow(n_r - (n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE), 2)
            / ((n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE))
       ELSE 0.0 END)), 6) AS chi2,
-  CAST(count(*) - 1 AS BIGINT) AS dof,
+  CAST(greatest(sum(CASE WHEN
+        (n_o + n_r) * tot_o / CAST(tot_o + tot_r AS DOUBLE) >= 1.0
+        OR (n_o + n_r) * tot_r / CAST(tot_o + tot_r AS DOUBLE) >= 1.0
+      THEN 1 ELSE 0 END) - 1, 0) AS BIGINT) AS dof,
   CAST(max(tot_o) AS BIGINT) AS n_obs,
   CAST(max(tot_r) AS BIGINT) AS n_ref
 FROM j
@@ -510,7 +513,8 @@ def _lang_sql() -> str:
     m = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
     cases = " ".join(
         f"WHEN {hits[lang]} = {m} THEN '{lang}'" for lang in langs)
-    return f"(CASE WHEN {m} < 1 THEN 'und' {cases} END)"
+    # ELSE catches NULL text (all hits NULL): 'und', like the engine
+    return f"(CASE WHEN {m} < 1 THEN 'und' {cases} ELSE 'und' END)"
 
 
 _N_PUNCT = "len(regexp_extract_all(text, '[^\\w\\s]'))"
@@ -523,11 +527,11 @@ _DIGIT_RATIO = f"({_N_DIGIT} / CAST({_SAFE_CHR} AS DOUBLE))"
 _STOP_RATIO = f"({_N_STOP} / CAST({_SAFE_TOK} AS DOUBLE))"
 
 _QUALITY = f"""
-greatest(1.0
+(CASE WHEN text IS NULL THEN 0.0 ELSE greatest(1.0
   - (CASE WHEN {_WS_COUNT} < 5 THEN 0.4 ELSE 0.0 END)
   - (CASE WHEN {_PUNCT_RATIO} > 0.2 THEN 0.2 ELSE 0.0 END)
   - (CASE WHEN {_DIGIT_RATIO} > 0.3 THEN 0.2 ELSE 0.0 END)
-  - (CASE WHEN {_STOP_RATIO} < 0.05 THEN 0.2 ELSE 0.0 END), 0.0)
+  - (CASE WHEN {_STOP_RATIO} < 0.05 THEN 0.2 ELSE 0.0 END), 0.0) END)
 """
 
 TEXT_FEATURES = f"""
@@ -891,7 +895,8 @@ SELECT id, MIN(comp) AS component FROM reach GROUP BY id
 # whitespace token counts in doc_id order within each language shard;
 # pack_id = start_offset // 512 (concatenate-then-chunk semantics)
 PACK_DOCS = f"""
-WITH t AS (SELECT doc_id, lang, CAST({_WS_COUNT} AS BIGINT) AS n_tokens
+WITH t AS (SELECT doc_id, lang,
+             CAST(coalesce({_WS_COUNT}, 0) AS BIGINT) AS n_tokens
            FROM documents),
 c AS (SELECT doc_id, lang, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)

@@ -475,3 +475,69 @@ def test_pack_sequences_chunk_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_null_text_robustness(spark):
+    """NULL text across the pipeline operators (review sweep): quality
+    scores 0.0 (not a vacuous 1.0 that sailed through filters),
+    lang_pred classifies 'und' like lang_id, and both packing variants
+    count 0 tokens instead of dropping the doc (chunk path) or
+    poisoning the rest of the shard with NaN (greedy path)."""
+    from jsonschema_rs_spark.operators import text_analysis as ta
+    from jsonschema_rs_spark.operators.packing import (
+        pack_sequences, pack_sequences_greedy)
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog today"),
+         ("b", None), ("c", "another perfectly normal document for the "
+                            "test with enough stopwords in it")],
+        "doc_id string, text string")
+    feats = {r["doc_id"]: r for r in
+             ta.with_text_features(df).collect()}
+    assert feats["b"]["quality"] == 0.0
+    assert feats["b"]["lang_pred"] == "und"
+    assert feats["a"]["quality"] > 0.5
+
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(df, budget=8).collect()}
+    assert packed["b"]["n_tokens"] == 0
+    assert packed["b"]["pack_id"] is not None
+
+    greedy = {r["doc_id"]: r
+              for r in pack_sequences_greedy(df, budget=8).collect()}
+    # the null doc fits wherever the cursor is; later docs still pack
+    assert all(r["pack_id"] is not None for r in greedy.values())
+    assert greedy["c"]["pack_id"] >= greedy["a"]["pack_id"]
+
+
+def test_media_features_null_content(spark):
+    """NULL content rows yield NULL features instead of a TypeError
+    that kills the task (review find)."""
+    from jsonschema_rs_spark.operators.multimodal import (
+        extract_media_features)
+
+    df = spark.createDataFrame(
+        [("a1", "image", bytearray(b"xx")), ("a2", "image", None),
+         ("a3", "video", None)],
+        "asset_id string, media_type string, content binary")
+    rows = {r["asset_id"]: r for r in extract_media_features(df).collect()}
+    assert rows["a2"]["width"] is None and rows["a2"]["content_md5"] is None
+    assert rows["a3"]["duration_ms"] is None
+    assert rows["a1"]["width"] is not None
+
+
+def test_chi_square_dof_counts_contributing_categories(spark):
+    """Suppressed (below min_expected) categories no longer inflate
+    dof, and empty inputs return (0.0, 0) not (NULL, -1) — review
+    find."""
+    from jsonschema_rs_spark.operators.table_checks import chi_square_drift
+
+    o = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50 + [("rare",)],
+        "cat string")
+    r = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "cat string")
+    row = chi_square_drift(o, r, "cat", min_expected=2.0).first()
+    assert row["dof"] == 1  # a, b contribute; 'rare' suppressed
+    empty = spark.createDataFrame([], "cat string")
+    row2 = chi_square_drift(empty, empty, "cat").first()
+    assert row2["chi2"] == 0.0 and row2["dof"] == 0
