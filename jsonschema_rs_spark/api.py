@@ -48,10 +48,14 @@ JSONPrimitive: TypeAlias = "str | int | float | _Decimal | bool | None"
 
 
 class KeywordValidator(Protocol):
-    """Protocol for custom keyword validators (jsonschema-py
-    __init__.pyi:10-33): instantiated with (parent_schema, value,
-    schema_path); validate(instance) raises on failure. The engine's
-    keywords= kwarg accepts the same classes (options.custom_keywords)."""
+    """Protocol shape of jsonschema-py's custom keyword validators
+    (__init__.pyi:10-33) — TYPING PARITY ONLY. This engine's custom
+    keywords are Column-native factories with a DIFFERENT contract:
+    callable(value, spark_dtype, ctx, schema_path) -> Rule | None,
+    applied by the TYPED compiler (compile_schema); see
+    docspec.strictly_increasing_factory for the worked example. The
+    dynamic-JSON path refuses keywords= outright rather than silently
+    skipping them."""
 
     def __init__(self, parent_schema: dict, value: Any,
                  schema_path: list) -> None: ...
@@ -179,12 +183,22 @@ for _n, _k in [
 
 
 def _ptr_value(schema, pointer: str):
-    """Resolve a JSON-pointer-style schema_path into `schema`."""
+    """Resolve a JSON-pointer-style schema_path into `schema`.
+    Empty tokens address EMPTY-STRING keys (RFC 6901) — only the
+    split artifact of a leading '/' is dropped; a same-document
+    '$ref' segment ('#/...') is followed so errors under a ref still
+    reconstruct schema-derived kinds (both review finds)."""
     node = schema
-    for seg in pointer.lstrip("/").split("/"):
-        if seg == "":
-            continue
+    segs = pointer.split("/")
+    if segs and segs[0] == "":
+        segs = segs[1:]
+    for seg in segs:
         seg = seg.replace("~1", "/").replace("~0", "~")
+        if isinstance(node, dict) and seg == "$ref" \
+                and isinstance(node.get("$ref"), str) \
+                and node["$ref"].startswith("#/"):
+            node = _ptr_value(schema, node["$ref"][1:])
+            continue
         if isinstance(node, list):
             node = node[int(seg)]
         elif isinstance(node, dict):
@@ -262,6 +276,7 @@ def _kind_for(schema, keyword: str, schema_path: str, instance_path: str,
                 if keyword == "additionalProperties" \
                 else ValidationErrorKind.UnevaluatedProperties
             name = instance_path.rsplit("/", 1)[-1] if instance_path else ""
+            name = name.replace("~1", "/").replace("~0", "~")
             return cls(unexpected=[name] if name else [])
         if keyword == "unevaluatedItems":
             idx = instance_path.rsplit("/", 1)[-1]

@@ -131,6 +131,31 @@ def _instance_json_text(path: str) -> str:
     return text
 
 
+def _static_schema_check(node, root, ctx, depth: int = 0) -> None:
+    """Driver-side structural pass: every reachable $ref resolves
+    (ref depth bounded so recursive schemas terminate). Pattern
+    translation runs too, but Java-compilability itself is only
+    checkable on the JVM — instance/dataset modes cover it."""
+    if depth > 16 or not isinstance(node, (dict, list)):
+        return
+    if isinstance(node, list):
+        for v in node:
+            _static_schema_check(v, root, ctx, depth)
+        return
+    ref = node.get("$ref")
+    if isinstance(ref, str):
+        target = ctx.resolve_ref(ref, node)  # raises SchemaError
+        _static_schema_check(target, root, ctx, depth + 1)
+    if isinstance(node.get("pattern"), str):
+        ctx.regex(node["pattern"])
+    if isinstance(node.get("patternProperties"), dict):
+        for pat in node["patternProperties"]:
+            ctx.regex(pat)
+    for k, v in node.items():
+        if k not in ("$ref", "enum", "const"):
+            _static_schema_check(v, root, ctx, depth)
+
+
 def _validate_schema_only(schema_path: str, args, out) -> bool:
     """No -i files: meta-validate the schema itself AND check it
     compiles (ref main.rs:365-405 validate_schema_meta: meta::validate,
@@ -143,10 +168,14 @@ def _validate_schema_only(schema_path: str, args, out) -> bool:
     err = None
     try:
         meta_validate(schema)
-        # also check the registry/refs resolve (the reference builds the
-        # validator after meta-validation, main.rs:330-340); context
-        # construction is driver-side and needs no Spark session
-        VariantCompileContext(schema, _options(args))
+        # also check every reachable $ref resolves (the reference
+        # builds the full validator after meta-validation,
+        # main.rs:330-340; a broken '#/nowhere' ref used to pass —
+        # review find). The walk is driver-side and needs no Spark
+        # session; PATTERN compilability is a JVM property and is
+        # checked when instances/--dataset are provided.
+        ctx = VariantCompileContext(schema, _options(args))
+        _static_schema_check(schema, schema, ctx)
     except SchemaError as e:
         err = e
 
@@ -254,10 +283,17 @@ def _validate_dataset(schema_path: str, args, out) -> bool:
     driver except the printed sample / summary."""
     from jsonschema_rs_spark.compiler.output import OutputPlan
     from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
+    from jsonschema_rs_spark.errors import SchemaError
 
     schema = _load_schema(schema_path)
     opts = _options(args)
-    compiled = CompiledJsonSchema(schema, opts)
+    try:
+        compiled = CompiledJsonSchema(schema, opts)
+    except SchemaError as e:
+        # same formatted failure as the -i path (review find: this
+        # mode leaked a raw traceback for an uncompilable schema)
+        print(f"Schema is invalid. Error: {e}", file=out)
+        return False
     spark = _get_session(args)
 
     path = args.dataset
@@ -298,6 +334,8 @@ def _validate_dataset(schema_path: str, args, out) -> bool:
                           "out": args.out}), file=out)
         return (n - n_valid) == 0 or args.errors_only
 
+    result = result.persist()  # two actions (count + sample) — one
+    # compute of the validation plan instead of two full scans
     n_invalid = result.filter(~F.col("valid")).count()
     for r in result.limit(args.limit).collect():
         rec = {"output": args.output, "schema": schema_path,

@@ -1702,6 +1702,18 @@ class CompiledJsonSchema:
     def __init__(self, schema: Any,
                  options: ValidationOptions | None = None):
         options = options or ValidationOptions()
+        if options.custom_keywords:
+            # custom keywords are TYPED-path extensions: their factories
+            # are called with (value, spark_dtype, ctx, sp) and build
+            # Column rules against a concrete dtype. This path has no
+            # dtype to offer — the factories were previously SKIPPED
+            # silently, validating instances that violate the custom
+            # assertion (review find). Refuse loudly instead.
+            raise SchemaError(
+                "custom keywords require the typed compiler "
+                "(compile_schema over a typed DataFrame); the "
+                "dynamic-JSON path cannot apply Column-factory "
+                "keywords: " + ", ".join(sorted(options.custom_keywords)))
         if options.on_depth_exhausted not in ("annotate", "fail",
                                               "ignore", "exact"):
             raise SchemaError("on_depth_exhausted must be 'annotate', "

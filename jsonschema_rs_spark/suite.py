@@ -18,6 +18,8 @@ the table queries in queries.py.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import json
 import os
 from typing import Any
@@ -31,6 +33,7 @@ _VECTORS_PATH = os.path.join(os.path.dirname(__file__), "spec",
                              "vectors_2020_12.json")
 
 
+@_functools.lru_cache(maxsize=4)
 def load_vectors() -> list[dict[str, Any]]:
     with open(_VECTORS_PATH) as f:
         return json.load(f)

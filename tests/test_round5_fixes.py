@@ -340,7 +340,9 @@ def test_depth_exact_refuses_twin_fallback_schemas(spark):
 
 def test_depth_exact_refuses_custom_python_semantics():
     from jsonschema_rs_spark import SchemaError, compile_json_schema
-    with pytest.raises(SchemaError, match="on_depth_exhausted='exact'"):
+    # blanket variant-path refusal (typed-compiler contract) fires
+    # before the exact-mode-specific scope rule
+    with pytest.raises(SchemaError, match="typed compiler"):
         compile_json_schema(CHAIN_SCHEMA, ValidationOptions(
             on_depth_exhausted="exact",
             custom_keywords={"x-k": lambda col: col.isNotNull()}))
@@ -945,7 +947,11 @@ def test_variant_big_literal_exact_mode_overrules(spark):
 def test_precision_exact_mode_rejects_custom_semantics():
     from jsonschema_rs_spark.compiler.variant import CompiledJsonSchema
     from jsonschema_rs_spark.errors import SchemaError
-    with pytest.raises(SchemaError, match="custom_keywords"):
+    # custom keywords are refused on the variant path in EVERY mode now
+    # (they are typed-compiler Column factories and were silently
+    # skipped before) — the blanket refusal supersedes the exact-mode-
+    # specific one
+    with pytest.raises(SchemaError, match="typed compiler"):
         CompiledJsonSchema({}, ValidationOptions(
             on_precision_loss="exact",
             custom_keywords={"x-k": lambda *a: None}))
@@ -1641,3 +1647,53 @@ def test_output_units_review_fixes(spark):
     assert o4["valid"] is False
     assert per4["/additionalItems"] is False
     assert per4["/items/0"] is True
+
+
+def test_api_review_fixes(spark):
+    """api/cli review sweep: the dynamic-JSON path REFUSES keywords=
+    (the Column-factory contract needs a dtype; they were silently
+    skipped, validating violating instances); error kinds reconstruct
+    through same-document $ref; unexpected-property names unescape
+    pointer tokens."""
+    import pytest as _pytest
+
+    import jsonschema_rs_spark as jrs
+    from jsonschema_rs_spark.errors import SchemaError
+
+    with _pytest.raises(SchemaError, match="typed compiler"):
+        jrs.is_valid({"type": "array", "x-k": 1}, [1],
+                     keywords={"x-k": lambda *a: None})
+
+    errs = list(jrs.iter_errors(
+        {"properties": {"a": {"$ref": "#/$defs/lim"}},
+         "$defs": {"lim": {"minimum": 3}}}, {"a": 1}))
+    assert errs and errs[0].kind.__class__.__name__ == "Minimum"
+    assert errs[0].kind.limit == 3
+
+    # unescape check goes through _ptr_value-level units; the
+    # engine's additionalProperties error carries a root path here, so
+    # exercise the unescape on the kind helper directly
+    from jsonschema_rs_spark.api import _kind_for
+    kind = _kind_for({"additionalProperties": False},
+                     "additionalProperties", "/additionalProperties",
+                     "/a~1b", "additional properties not allowed")
+    assert kind.unexpected == ["a/b"]
+
+
+def test_cli_schema_only_catches_broken_refs(tmp_path, capsys):
+    """Schema-only mode reports invalid for unresolvable refs like the
+    reference CLI (it used to print 'Schema is valid' — review find;
+    pattern compilability is JVM-only and stays an instance-mode
+    check)."""
+    import json as _json
+
+    from jsonschema_rs_spark.cli import main
+
+    p = tmp_path / "s.json"
+    p.write_text(_json.dumps({"$ref": "#/nowhere"}))
+    rc = main([str(p)])
+    assert rc == 1
+    assert "Schema is invalid" in capsys.readouterr().out
+    good = tmp_path / "g.json"
+    good.write_text(_json.dumps({"type": "object"}))
+    assert main([str(good)]) == 0
